@@ -1,0 +1,181 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-fold metric aggregates — the Spark re-expression of the reference's
+  * scorer layer (`panelsplit/metrics.py`). Every metric is a single-pass
+  * decomposable SQL aggregate over a predictions frame carrying
+  * (fold, label, prediction) — map-side partial aggregation, whole-stage
+  * codegen, no driver math on row data. Confusion-matrix families reduce to
+  * four conditional sums. Sign convention matches sklearn scorers: `neg_*`
+  * registry entries negate (`metrics.py:163,388-398`).
+  */
+object Metrics {
+
+  /** An aggregate-expression metric: `agg(label, prediction)` must be a valid
+    * aggregate Column. `greaterIsBetter=false` metrics get a `neg_` scorer.
+    */
+  final case class MetricSpec(
+      name: String,
+      greaterIsBetter: Boolean,
+      agg: (Column, Column) => Column)
+
+  // ---- regression -------------------------------------------------------
+  private def mse(l: Column, p: Column) = avg(pow(l - p, 2))
+  private def rmse(l: Column, p: Column) = sqrt(mse(l, p))
+  private def mae(l: Column, p: Column) = avg(abs(l - p))
+  private def mape(l: Column, p: Column) =
+    // sklearn clamps |y| at eps to avoid div-by-zero; data here is non-degenerate
+    avg(abs(l - p) / greatest(abs(l), lit(1e-15)))
+  private def medae(l: Column, p: Column) =
+    expr_percentile(abs(l - p))
+  private def expr_percentile(c: Column): Column =
+    call_function("percentile", c, lit(0.5))
+  private def r2(l: Column, p: Column) = {
+    val ssRes = sum(pow(l - p, 2))
+    val ssTot = sum(pow(l, 2)) - pow(sum(l), 2) / count(l)
+    lit(1.0) - ssRes / ssTot
+  }
+  private def explainedVariance(l: Column, p: Column) = {
+    // 1 - Var(y - yhat) / Var(y), population variances
+    lit(1.0) - var_pop(l - p) / var_pop(l)
+  }
+  private def maxError(l: Column, p: Column) = max(abs(l - p))
+  private def msle(l: Column, p: Column) = avg(pow(log1p(l) - log1p(p), 2))
+  private def rmsle(l: Column, p: Column) = sqrt(msle(l, p))
+  private def meanPoissonDeviance(l: Column, p: Column) =
+    avg(lit(2.0) * (when(l > 0, l * log(l / p)).otherwise(lit(0.0)) - l + p))
+  private def meanGammaDeviance(l: Column, p: Column) =
+    avg(lit(2.0) * (log(p / l) + l / p - lit(1.0)))
+
+  // ---- classification (hard labels in {0,1}) ----------------------------
+  private def tp(l: Column, p: Column) = sum(when(l === 1 && p === 1, 1).otherwise(0)).cast("double")
+  private def fp(l: Column, p: Column) = sum(when(l === 0 && p === 1, 1).otherwise(0)).cast("double")
+  private def fn(l: Column, p: Column) = sum(when(l === 1 && p === 0, 1).otherwise(0)).cast("double")
+  private def tn(l: Column, p: Column) = sum(when(l === 0 && p === 0, 1).otherwise(0)).cast("double")
+
+  private def accuracy(l: Column, p: Column) = avg(when(l === p, 1.0).otherwise(0.0))
+  private def precisionM(l: Column, p: Column) = {
+    val d = tp(l, p) + fp(l, p)
+    when(d === 0, 0.0).otherwise(tp(l, p) / d)
+  }
+  private def recallM(l: Column, p: Column) = {
+    val d = tp(l, p) + fn(l, p)
+    when(d === 0, 0.0).otherwise(tp(l, p) / d)
+  }
+  private def f1(l: Column, p: Column) = {
+    val d = lit(2.0) * tp(l, p) + fp(l, p) + fn(l, p)
+    when(d === 0, 0.0).otherwise(lit(2.0) * tp(l, p) / d)
+  }
+  private def jaccard(l: Column, p: Column) = {
+    val d = tp(l, p) + fp(l, p) + fn(l, p)
+    when(d === 0, 0.0).otherwise(tp(l, p) / d)
+  }
+  private def balancedAccuracy(l: Column, p: Column) = {
+    val tpr = tp(l, p) / (tp(l, p) + fn(l, p))
+    val tnr = tn(l, p) / (tn(l, p) + fp(l, p))
+    (tpr + tnr) / 2.0
+  }
+  private def mcc(l: Column, p: Column) = {
+    val (a, b, c, d) = (tp(l, p), fp(l, p), fn(l, p), tn(l, p))
+    val num = a * d - b * c
+    val den = sqrt((a + b) * (a + c) * (d + b) * (d + c))
+    when(den === 0, 0.0).otherwise(num / den)
+  }
+  /** Probabilistic metrics: `p` is a probability of the positive class. */
+  private def logLoss(l: Column, p: Column) = {
+    val eps = lit(1e-15)
+    val pc = least(greatest(p, eps), lit(1.0) - eps)
+    -avg(l * log(pc) + (lit(1.0) - l) * log(lit(1.0) - pc))
+  }
+  private def brier(l: Column, p: Column) = avg(pow(l - p, 2))
+
+  /** ROC-AUC via the Mann-Whitney rank statistic, tie-corrected (equivalent
+    * to sklearn's trapezoid AUC): AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+    * with average ranks over the score column. Not a plain aggregate (needs a
+    * rank), so exposed as [[rocAuc]] rather than a registry `agg`.
+    */
+  def rocAuc(preds: DataFrame, labelCol: String, scoreCol: String, foldCol: String = "fold"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // average rank = (rank + (count_of_ties - 1)/2); derive from two ranks
+    val w = Window.partitionBy(foldCol).orderBy(col(scoreCol))
+    val ranked = preds
+      .withColumn("__r_lo", rank().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(foldCol), col(scoreCol))))
+      .withColumn("__avg_rank", col("__r_lo") + (col("__cnt") - 1) / 2.0)
+    ranked.groupBy(foldCol)
+      .agg(
+        sum(when(col(labelCol) === 1, col("__avg_rank"))).as("__sum_pos_rank"),
+        sum(when(col(labelCol) === 1, 1).otherwise(0)).cast("double").as("__npos"),
+        sum(when(col(labelCol) =!= 1, 1).otherwise(0)).cast("double").as("__nneg"))
+      .select(col(foldCol),
+        ((col("__sum_pos_rank") - col("__npos") * (col("__npos") + 1) / 2.0)
+          / (col("__npos") * col("__nneg"))).as("score"))
+  }
+
+  val registry: Map[String, MetricSpec] = {
+    val base = Seq(
+      MetricSpec("mean_squared_error", greaterIsBetter = false, mse),
+      MetricSpec("root_mean_squared_error", greaterIsBetter = false, rmse),
+      MetricSpec("mean_absolute_error", greaterIsBetter = false, mae),
+      MetricSpec("mean_absolute_percentage_error", greaterIsBetter = false, mape),
+      MetricSpec("median_absolute_error", greaterIsBetter = false, medae),
+      MetricSpec("mean_squared_log_error", greaterIsBetter = false, msle),
+      MetricSpec("root_mean_squared_log_error", greaterIsBetter = false, rmsle),
+      MetricSpec("mean_poisson_deviance", greaterIsBetter = false, meanPoissonDeviance),
+      MetricSpec("mean_gamma_deviance", greaterIsBetter = false, meanGammaDeviance),
+      MetricSpec("max_error", greaterIsBetter = false, maxError),
+      MetricSpec("r2", greaterIsBetter = true, r2),
+      MetricSpec("explained_variance", greaterIsBetter = true, explainedVariance),
+      MetricSpec("accuracy", greaterIsBetter = true, accuracy),
+      MetricSpec("balanced_accuracy", greaterIsBetter = true, balancedAccuracy),
+      MetricSpec("precision", greaterIsBetter = true, precisionM),
+      MetricSpec("recall", greaterIsBetter = true, recallM),
+      MetricSpec("f1", greaterIsBetter = true, f1),
+      MetricSpec("jaccard", greaterIsBetter = true, jaccard),
+      MetricSpec("matthews_corrcoef", greaterIsBetter = true, mcc),
+      MetricSpec("log_loss", greaterIsBetter = false, logLoss),
+      MetricSpec("brier_score", greaterIsBetter = false, brier))
+    base.map(m => m.name -> m).toMap
+  }
+
+  /** Resolve a scorer name: a bare metric name returns the raw metric value;
+    * `neg_<metric>` applies the sklearn scorer sign flip
+    * (`metrics.py:163`, greater_is_better=False → negated score).
+    */
+  def resolve(scorer: String): (MetricSpec, Double) =
+    registry.get(scorer) match {
+      case Some(m) => (m, 1.0)
+      case None if scorer.startsWith("neg_") && registry.contains(scorer.stripPrefix("neg_")) =>
+        (registry(scorer.stripPrefix("neg_")), -1.0)
+      case None =>
+        throw new IllegalArgumentException(
+          s"Unknown scorer '$scorer'. Known: ${registry.keys.toSeq.sorted.mkString(", ")}")
+    }
+
+  /** Per-fold scores as a DataFrame (fold, score), ordered by fold —
+    * reference `_Scorer._score` returns the per-fold list in fold order
+    * (`metrics.py:352-398`).
+    */
+  def perFoldScores(
+      preds: DataFrame,
+      scorer: String,
+      labelCol: String = "label",
+      predictionCol: String = "prediction",
+      foldCol: String = "fold"): DataFrame = {
+    val (spec, sign) = resolve(scorer)
+    preds.groupBy(col(foldCol))
+      .agg((spec.agg(col(labelCol).cast("double"), col(predictionCol).cast("double")) * sign).as("score"))
+      .orderBy(col(foldCol))
+  }
+
+  /** Driver-side convenience: fold-ordered score vector. */
+  def perFoldScoreSeq(
+      preds: DataFrame,
+      scorer: String,
+      labelCol: String = "label",
+      predictionCol: String = "prediction"): Seq[Double] =
+    perFoldScores(preds, scorer, labelCol, predictionCol)
+      .collect().map(_.getDouble(1)).toSeq
+}

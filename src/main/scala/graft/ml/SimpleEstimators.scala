@@ -1,0 +1,105 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Minimal deterministic `spark.ml` estimators used to exercise the per-fold
+  * fit/predict machinery with oracle-checkable (SQL-expressible) semantics —
+  * the Spark analog of the reference test suite's identity estimators
+  * (`tests/test_pipeline.py:14-76`, `X1ToYRegressor`). All are real
+  * `Estimator`/`Model` pairs so the cross-val plumbing is identical to what a
+  * `LinearRegression` user gets.
+  */
+trait SimpleParams extends org.apache.spark.ml.param.Params {
+  final val featureCol: Param[String] = new Param[String](this, "featureCol", "input feature column")
+  final val labelCol: Param[String] = new Param[String](this, "labelCol", "label column")
+  final val predictionCol: Param[String] = new Param[String](this, "predictionCol", "output prediction column")
+  def getFeatureCol: String = $(featureCol)
+  def getLabelCol: String = $(labelCol)
+  def getPredictionCol: String = $(predictionCol)
+  setDefault(featureCol -> "feature", labelCol -> "label", predictionCol -> "prediction")
+
+  protected def withPrediction(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField($(predictionCol), DoubleType, nullable = true))
+}
+
+/** Predicts the train-set mean of the label for every row (sklearn
+  * `DummyRegressor(strategy="mean")` equivalent).
+  */
+class MeanRegressor(override val uid: String) extends Estimator[MeanRegressorModel] with SimpleParams {
+  def this() = this(Identifiable.randomUID("meanReg"))
+  def setFeatureCol(v: String): this.type = set(featureCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+
+  override def fit(ds: Dataset[_]): MeanRegressorModel = {
+    val m = ds.agg(avg(col($(labelCol)))).head().getDouble(0)
+    copyValues(new MeanRegressorModel(uid, m).setParent(this))
+  }
+  override def copy(extra: ParamMap): MeanRegressor = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+}
+
+class MeanRegressorModel(override val uid: String, val mean: Double)
+    extends Model[MeanRegressorModel] with SimpleParams {
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.withColumn($(predictionCol), lit(mean))
+  override def copy(extra: ParamMap): MeanRegressorModel =
+    copyValues(new MeanRegressorModel(uid, mean)).setParent(parent)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+}
+
+/** Predicts the feature column verbatim — proves out-of-fold plumbing returns
+  * each row's own value (reference `X1ToYRegressor`,
+  * `tests/test_pipeline.py:54-61`).
+  */
+class IdentityRegressor(override val uid: String) extends Estimator[IdentityRegressorModel] with SimpleParams {
+  def this() = this(Identifiable.randomUID("idReg"))
+  def setFeatureCol(v: String): this.type = set(featureCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  override def fit(ds: Dataset[_]): IdentityRegressorModel =
+    copyValues(new IdentityRegressorModel(uid).setParent(this))
+  override def copy(extra: ParamMap): IdentityRegressor = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+}
+
+class IdentityRegressorModel(override val uid: String)
+    extends Model[IdentityRegressorModel] with SimpleParams {
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.withColumn($(predictionCol), col($(featureCol)).cast(DoubleType))
+  override def copy(extra: ParamMap): IdentityRegressorModel =
+    copyValues(new IdentityRegressorModel(uid)).setParent(parent)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+}
+
+/** Binary classifier: predict 1.0 when feature > train-set mean of the
+  * feature, else 0.0. Deterministic and SQL-expressible, so classification
+  * metrics can be oracled end-to-end.
+  */
+class ThresholdClassifier(override val uid: String) extends Estimator[ThresholdClassifierModel] with SimpleParams {
+  def this() = this(Identifiable.randomUID("thrClf"))
+  def setFeatureCol(v: String): this.type = set(featureCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  override def fit(ds: Dataset[_]): ThresholdClassifierModel = {
+    val thr = ds.agg(avg(col($(featureCol)))).head().getDouble(0)
+    copyValues(new ThresholdClassifierModel(uid, thr).setParent(this))
+  }
+  override def copy(extra: ParamMap): ThresholdClassifier = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+}
+
+class ThresholdClassifierModel(override val uid: String, val threshold: Double)
+    extends Model[ThresholdClassifierModel] with SimpleParams {
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.withColumn($(predictionCol),
+      when(col($(featureCol)) > lit(threshold), 1.0d).otherwise(0.0d))
+  override def copy(extra: ParamMap): ThresholdClassifierModel =
+    copyValues(new ThresholdClassifierModel(uid, threshold)).setParent(parent)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+}

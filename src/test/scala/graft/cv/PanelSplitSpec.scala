@@ -1,0 +1,98 @@
+package graft.cv
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PanelSplitSpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("doctest oracle: periods [1,1,2,2,3,3], nSplits=2 (cross_validation.py:85-90)") {
+    val df = Seq((0, 1), (1, 1), (2, 2), (3, 2), (4, 3), (5, 3)).toDF("id", "period")
+    val ps = PanelSplit(df, "period", nSplits = 2, testSize = 1)
+    val splits = ps.split(df).map { case (tr, te) =>
+      (tr.select("id").as[Int].collect().sorted.toVector,
+       te.select("id").as[Int].collect().sorted.toVector)
+    }
+    assert(splits == Seq(
+      (Vector(0, 1), Vector(2, 3)),
+      (Vector(0, 1, 2, 3), Vector(4, 5))))
+  }
+
+  test("two entities x 10 dates, 3 splits (tests/test_PanelSplit.py:29-49)") {
+    val rows = for (e <- 0 until 2; d <- 0 until 10) yield (e * 10 + d, java.sql.Date.valueOf(f"2022-01-${d + 1}%02d"))
+    val df = rows.toDF("pos", "date")
+    val ps = PanelSplit(df, "date", nSplits = 3, testSize = 1)
+    val train = ps.genTrainLabels(df).select("pos").as[Int].collect().sorted.toVector
+    val test = ps.genTestLabels(df).select("pos").as[Int].collect().sorted.toVector
+    assert(train == ((0 to 8) ++ (10 to 18)).toVector)
+    assert(test == Vector(7, 8, 9, 17, 18, 19))
+  }
+
+  test("include_first_train_in_test merges fold 0 train into test; include_train_in_test merges all and forces first") {
+    val df = (1 to 5).map(p => (p, p)).toDF("id", "period")
+    val psFirst = PanelSplit(df, "period", nSplits = 2, testSize = 1, includeFirstTrainInTest = true)
+    assert(psFirst.folds(0).testPeriods.toSet == Set(1, 2, 3, 4))
+    assert(psFirst.folds(1).testPeriods.toSet == Set(5))
+    val psAll = PanelSplit(df, "period", nSplits = 2, testSize = 1, includeTrainInTest = true)
+    assert(psAll.folds(0).testPeriods.toSet == Set(1, 2, 3, 4))
+    assert(psAll.folds(1).testPeriods.toSet == Set(1, 2, 3, 4, 5))
+  }
+
+  test("gen_snapshots doctest (cross_validation.py:378-393): duplicates rows per split with split + snapshot_period") {
+    val df = Seq((Some(10), 1), (None, 2), (Some(30), 3)).toDF("value", "period")
+    val ps = PanelSplit(df, "period", nSplits = 2, testSize = 1)
+    val snap = ps.genSnapshots(df, Some("period"))
+      .select("value", "period", "split", "snapshot_period")
+      .collect().map(r => (Option(r.get(0)), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._3, t._2)).toVector
+    assert(snap == Vector(
+      (Some(10), 1, 0, 2), (None, 2, 0, 2),
+      (Some(10), 1, 1, 3), (None, 2, 1, 3), (Some(30), 3, 1, 3)))
+  }
+
+  test("dropSplits: intended semantics evaluates every fold (divergence from cross_validation.py:460-466 pop-while-iterating)") {
+    // Reference doctest y=[0,NaN,1]: its pop-inside-enumerate skips fold 1
+    // after dropping fold 0, so fold 1 survives despite a 1-distinct test
+    // side. Intended semantics (SURVEY §4) evaluates every fold: both are
+    // degenerate here (null counts as a distinct value, like np.unique).
+    val df = Seq((Some(0), 1), (Option.empty[Int], 2), (Some(1), 3)).toDF("y", "period")
+    val ps = PanelSplit(df, "period", nSplits = 2, testSize = 1)
+    val kept = ps.dropSplits(df, "y")
+    assert(kept.nSplits == 0)
+
+    // non-degenerate folds survive: 2 rows per period with distinct ys
+    val df2 = (for (p <- 1 to 3; i <- 0 to 1) yield (p * 10 + i, p)).toDF("y", "period")
+    val ps2 = PanelSplit(df2, "period", nSplits = 2, testSize = 1)
+    assert(ps2.dropSplits(df2, "y").nSplits == 2)
+  }
+
+  test("snapshot semantics: fold keeps only rows whose snapshot equals max test period, clamped to min snapshot") {
+    // periods 1..3, snapshots equal to period value; fold snapshot = max test period
+    val rows = for (p <- 1 to 3; s <- 1 to 3) yield (p * 10 + s, p, s)
+    val df = rows.toDF("id", "period", "snap")
+    val ps = PanelSplit(df, "period", snapshotCol = Some("snap"), nSplits = 2, testSize = 1)
+    // fold 0: train {1}, test {2}, snapshot = 2 -> train rows: period 1 & snap 2
+    val splits = ps.split(df).map { case (tr, te) =>
+      (tr.select("id").as[Int].collect().sorted.toVector,
+       te.select("id").as[Int].collect().sorted.toVector)
+    }
+    assert(splits(0) == (Vector(12), Vector(22)))
+    assert(splits(1) == (Vector(13, 23), Vector(33)))
+  }
+
+  test("dropSplits: degenerate when a fold side is empty") {
+    // periods [1,2,3] but no rows in period 2 for y-subset... simulate by
+    // empty test side: period 2 rows filtered out of df entirely means axis
+    // comes from remaining data; instead pass uniquePeriods explicitly.
+    val df = Seq((1, 1, 1.0), (2, 1, 2.0), (3, 3, 3.0), (4, 3, 4.0))
+      .toDF("id", "period", "y")
+    val ps = PanelSplit(df, "period", nSplits = 2, testSize = 1,
+      uniquePeriods = Some(Vector(1, 2, 3)))
+    // fold 0: train {1} test {2} -> test empty -> dropped; fold 1 survives
+    val kept = ps.dropSplits(df, "y")
+    assert(kept.nSplits == 1 && kept.folds.head.testPeriods == Vector(3))
+  }
+}

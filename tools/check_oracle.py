@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB oracle compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+Reads each <out>/<name> parquet (Spark result), runs <out>/oracle_sql.json[name]
+in DuckDB with the sf tables registered as views, sorts columns by name and
+rows by all columns, and compares values (floats to 1e-9 rel).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        got = pd.concat([pd.read_parquet(f) for f in spark_files])
+        want = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]")
+            if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (bytes,)):
+                pass
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    g, w = norm(got), norm(want)
+    if list(g.columns) != list(w.columns):
+        print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}"); fails += 1; continue
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} != {len(w)}"); fails += 1; continue
+    ok = True
+    for c in g.columns:
+        a, b = g[c], w[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            import numpy as np
+            if not np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True):
+                ok = False; print(f"FAIL {name}: col {c} differs, e.g. {a.head(3).tolist()} vs {b.head(3).tolist()}")
+        else:
+            if not (a.astype(str).values == b.astype(str).values).all():
+                ok = False
+                diff = (a.astype(str).values != b.astype(str).values)
+                print(f"FAIL {name}: col {c} differs at {diff.sum()} rows, e.g. {a[diff][:3].tolist()} vs {b[diff][:3].tolist()}")
+        if not ok: break
+    if ok:
+        print(f"OK   {name} ({len(g)} rows)")
+    else:
+        fails += 1
+sys.exit(1 if fails else 0)
