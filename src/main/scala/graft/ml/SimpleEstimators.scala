@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
-import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.param.{DoubleParam, Param, ParamMap}
 import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -27,17 +27,21 @@ trait SimpleParams extends org.apache.spark.ml.param.Params {
     StructType(schema.fields :+ StructField($(predictionCol), DoubleType, nullable = true))
 }
 
-/** Predicts the train-set mean of the label for every row (sklearn
-  * `DummyRegressor(strategy="mean")` equivalent).
+/** Predicts the train-set mean of the label (+ a tunable `shift`, for search
+  * tests) for every row (sklearn `DummyRegressor(strategy="mean")`
+  * equivalent).
   */
 class MeanRegressor(override val uid: String) extends Estimator[MeanRegressorModel] with SimpleParams {
   def this() = this(Identifiable.randomUID("meanReg"))
+  final val shift: DoubleParam = new DoubleParam(this, "shift", "constant added to the fitted mean")
+  setDefault(shift -> 0.0)
   def setFeatureCol(v: String): this.type = set(featureCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
   def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setShift(v: Double): this.type = set(shift, v)
 
   override def fit(ds: Dataset[_]): MeanRegressorModel = {
-    val m = ds.agg(avg(col($(labelCol)))).head().getDouble(0)
+    val m = ds.agg(avg(col($(labelCol)))).head().getDouble(0) + $(shift)
     copyValues(new MeanRegressorModel(uid, m).setParent(this))
   }
   override def copy(extra: ParamMap): MeanRegressor = defaultCopy(extra)
