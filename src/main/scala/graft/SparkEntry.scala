@@ -16,6 +16,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     PanelQueries,
     MetricQueries,
+    TextQueries,
+    DedupQueries,
+    SimilarityQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

@@ -1,0 +1,162 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Deduplication operators for training-data pipelines — beyond-reference
+  * (builder prompt). Designed for 100 TB: every stage is a shuffle-on-key
+  * DataFrame op (groupBy doc hash / band bucket), no driver materialization,
+  * no cross joins except within LSH candidate buckets.
+  */
+object Dedup {
+
+  /** Exact dedup via content hash: one row per distinct text with the
+    * canonical (minimum) id and the duplicate count. Single hash-shuffle;
+    * at scale this is the cheapest possible exact dedup (hash groupBy with
+    * map-side partial aggregation).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct n-token shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Near-duplicate pairs by n-gram shingle Jaccard within a blocking key.
+    * Blocking bounds the quadratic verify (at scale: block = LSH bucket,
+    * here also exposed with a plain attribute block for the SQL oracle).
+    * Output: (id_a, id_b, sim) with id_a < id_b, sim >= threshold.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val withSh = df.select(
+      col(idCol).as("id"), col(blockCol).as("block"),
+      shingles(col(textCol), n).as("sh"))
+    val a = withSh.select(col("id").as("id_a"), col("block"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("block"), col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** MinHash parameters: k universal-hash functions h_i(x) = (a_i·x + b_i)
+    * mod p over the 60-bit shingle hash reduced mod p. Constants are fixed
+    * (seeded LCG) so Scala and the SQL oracle share them exactly.
+    */
+  val MINHASH_P: Long = 2147483647L // 2^31 - 1, Mersenne prime
+  def minhashParams(k: Int): Seq[(Int, Long, Long)] = {
+    // deterministic params from a tiny LCG; a_i must be non-zero mod p
+    var state = 42L
+    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; state }
+    (0 until k).map { i =>
+      val a = next() % (MINHASH_P - 1) + 1
+      val b = next() % MINHASH_P
+      (i, a, b)
+    }
+  }
+
+  /** Per-document MinHash signatures: explode shingles × k hash functions,
+    * min-aggregate. One shuffle on (id, hash index); at 100 TB the explode
+    * is map-local and the aggregate is partial-combine friendly.
+    * Output: (id, i, minh) — k rows per document.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val params = minhashParams(k).toDF("i", "a", "b")
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .withColumn("x", pmod(hash60(col("sh")), lit(MINHASH_P)))
+      .crossJoin(broadcast(params))
+      .withColumn("h", pmod(col("a") * col("x") + col("b"), lit(MINHASH_P)))
+      .groupBy(col("id"), col("i"))
+      .agg(min(col("h")).as("minh"))
+  }
+
+  /** LSH banding over minhash signatures: documents sharing any band's full
+    * signature become candidate pairs. bandsize = k / nBands rows per band.
+    * Output: (id_a, id_b) distinct candidate pairs. The self-join is per
+    * (band, band_sig) bucket — bounded, shuffle-on-bucket, no cross join.
+    */
+  def lshCandidates(signatures: DataFrame, nBands: Int, k: Int): DataFrame = {
+    val bandSize = k / nBands
+    require(bandSize * nBands == k, s"nBands=$nBands must divide k=$k")
+    val banded = signatures
+      .withColumn("band", (col("i") / bandSize).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minh")))),
+        x => x.getField("minh").cast("string")), ",").as("band_sig"))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("band_sig"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash-LSH near-dup detection end to end: signatures → banded
+    * candidates → exact Jaccard verify on the candidates only.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      nBands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val cands = lshCandidates(sigs, nBands, k)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** 32-bit SimHash over tokens: bit b of the signature is the sign of
+    * Σ_tokens (±1 depending on bit b of the token's 60-bit hash).
+    * Computed as explode(tokens) × 32 bit positions → conditional sum —
+    * fully distributed, partial-aggregation friendly.
+    * Output: (id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bitsDf = (0 until bits).toDF("b")
+    df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("th", hash60(col("tok")))
+      .crossJoin(broadcast(bitsDf))
+      // shiftright/shiftleft by a column require the SQL form (the typed
+      // functions._ overloads only take Int literals)
+      .withColumn("contrib",
+        when(expr("shiftright(th, b)") % 2 === 1, 1).otherwise(-1))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+
+/** Deduplication operator queries over `documents`: exact hash-groups,
+  * blocked n-gram Jaccard, MinHash signatures, MinHash+LSH banding, SimHash.
+  * The MinHash/LSH arithmetic (60-bit md5-prefix hash, (a·x+b) mod p
+  * universal hashing, band signatures) is replicated literally in the
+  * DuckDB oracles — same constants, same integer arithmetic.
+  *
+  * documents are short same-vocabulary word-soup, so unigram shingles
+  * (n=1) carry the similarity signal (3-gram Jaccard ≈ 0 on this corpus).
+  */
+object DedupQueries extends QueryPack {
+
+  private val K = 16        // minhash functions
+  private val BANDS = 4     // lsh bands (band size 4)
+  private val N = 1         // shingle size
+  private val THR = 0.8     // jaccard near-dup threshold
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", N, THR)),
+    "q_dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir).filter(col("doc_id") < 50), "doc_id", "text", N, K)),
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", N, K, BANDS, THR)),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")),
+  )
+
+  /** Shared oracle fragments. */
+  private val sh = "list_distinct(string_split(text, ' '))" // n=1 shingles
+  private val h60 = "CAST(CAST(('0x' || substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)"
+  private def paramsValues: String =
+    Dedup.minhashParams(K).map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+
+  private def sigCte(where: String): String =
+    s"""p(i, a, b) AS (VALUES $paramsValues),
+       |shx AS (SELECT doc_id, unnest($sh) AS s FROM documents $where),
+       |hx AS (SELECT doc_id, i, (a * ($h60 % ${Dedup.MINHASH_P}) + b) % ${Dedup.MINHASH_P} AS h
+       |       FROM shx CROSS JOIN p),
+       |sig AS (SELECT doc_id, i, CAST(min(h) AS BIGINT) AS minh FROM hx GROUP BY doc_id, i)""".stripMargin
+
+  private val jaccardExpr =
+    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)
+        |""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, $sh AS sh FROM documents),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardExpr AS sim
+         |          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $THR
+         |""".stripMargin,
+    "q_dedup_minhash_sig" ->
+      s"""WITH ${sigCte("WHERE doc_id < 50")}
+         |SELECT doc_id AS id, i, minh FROM sig
+         |""".stripMargin,
+    "q_dedup_minhash_lsh" ->
+      s"""WITH ${sigCte("")},
+         |band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
+         |                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS band_sig
+         |         FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM band a JOIN band b
+         |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+         |t AS (SELECT doc_id, $sh AS sh FROM documents),
+         |ver AS (SELECT c.id_a, c.id_b, $jaccardExpr AS sim
+         |        FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b)
+         |SELECT id_a, id_b, sim FROM ver WHERE sim >= $THR
+         |""".stripMargin,
+    "q_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sh) AS s FROM documents),
+         |th AS (SELECT doc_id, $h60 AS h FROM tok),
+         |bits AS (SELECT CAST(b AS INT) AS b FROM range(0, 32) t(b)),
+         |c AS (SELECT doc_id, b,
+         |             sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+         |      FROM th CROSS JOIN bits GROUP BY doc_id, b)
+         |SELECT doc_id AS id,
+         |       CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM c GROUP BY doc_id
+         |""".stripMargin,
+  )
+}

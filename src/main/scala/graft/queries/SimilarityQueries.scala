@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+import graft.sources.Tables
+
+/** Similarity-search operator queries over `embeddings` (64-dim float
+  * vectors): brute-force cosine top-k, SRP-LSH bucketed ANN, and
+  * embedding-cosine near-dup pairs. The SRP hyperplane constants are
+  * generated once in Scala and interpolated verbatim into the DuckDB oracle
+  * so both engines use bit-identical doubles.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val DIM = 64
+  private val K = 5
+  private val PLANES = 4
+  private val NEARDUP_THR = 0.25
+  private val NQUERIES = 10
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K)
+    }),
+    "q_ann_srp" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.srpTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, PLANES, DIM)
+    }),
+    "q_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", "label", NEARDUP_THR)),
+  )
+
+  private val dv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def cosSql(a: String, b: String) =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** SRP plane literal for the oracle — identical doubles to Scala's. */
+  private def planeSql(j: Int): String =
+    "[" + Similarity.hyperplane(j, DIM).map(d => f"$d%.17g").mkString(", ") + "]"
+
+  private def bucketSql(v: String): String =
+    (0 until PLANES).map { j =>
+      s"(CASE WHEN list_dot_product($v, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),
+         |c AS (SELECT vec_id AS neighbor_id, $dv AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
+    "q_ann_srp" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, qv, ${bucketSql("qv")} AS bucket
+         |           FROM (SELECT vec_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES)),
+         |c AS (SELECT vec_id AS neighbor_id, cv, ${bucketSql("cv")} AS bucket
+         |      FROM (SELECT vec_id, $dv AS cv FROM embeddings)),
+         |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |      FROM c JOIN q ON c.bucket = q.bucket WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
+    "q_cosine_neardup" ->
+      s"""WITH v AS (SELECT vec_id, label, $dv AS dv FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.dv", "b.dv")} AS sim
+         |          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $NEARDUP_THR
+         |""".stripMargin,
+  )
+}

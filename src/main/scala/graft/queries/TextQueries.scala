@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextFunctions._
+
+/** Text-analysis operator queries over `documents` — language-ID, quality
+  * scoring, token stats, fingerprinting (beyond-reference training-data
+  * ops). Every expression is a codegen'd `functions._` composition with an
+  * exact DuckDB replica.
+  */
+object TextQueries extends QueryPack {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+
+  private val stop = Seq("the", "a")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_distinct"),
+      round(avgTokenLen(col("text")), 6).as("avg_token_len"),
+      round(typeTokenRatio(col("text")), 6).as("ttr"))),
+    "q_text_quality" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      round(stopwordRatio(col("text"), stop), 6).as("stopword_ratio"),
+      round(qualityScore(col("text"), stop), 6).as("quality"))),
+    "q_lang_id" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), langId(col("text")).as("pred_lang"))),
+    "q_fingerprint" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      bagFingerprint(col("text")).as("bag_fp"))),
+  )
+
+  private val toks = "string_split(text, ' ')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($toks) AS n_tokens,
+         |  len(list_distinct($toks)) AS n_distinct,
+         |  round(CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)
+         |        / len($toks), 6) AS avg_token_len,
+         |  round(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks), 6) AS ttr
+         |FROM documents
+         |""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($toks) AS DOUBLE) AS n,
+         |    CAST(len(list_distinct($toks)) AS DOUBLE) AS nd,
+         |    CAST(len(list_filter($toks, x -> x IN ('the', 'a'))) AS DOUBLE) AS nstop
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(nstop / n, 6) AS stopword_ratio,
+         |  round(greatest(least((least(n / 100.0, 1.0) + nd / n - nstop / n) / 2.0, 1.0), 0.0), 6) AS quality
+         |FROM t
+         |""".stripMargin,
+    "q_lang_id" -> {
+      def s(markers: Seq[String]) =
+        s"len(list_filter($toks, x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+      val m = graft.text.TextFunctions.langMarkers.toMap
+      s"""WITH t AS (SELECT doc_id,
+         |    ${s(m("de"))} AS s_de, ${s(m("en"))} AS s_en, ${s(m("es"))} AS s_es,
+         |    ${s(m("fr"))} AS s_fr, ${s(m("zh"))} AS s_zh
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN s_zh > greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+         |       WHEN s_fr > greatest(s_de, s_en, s_es) THEN 'fr'
+         |       WHEN s_es > greatest(s_de, s_en) THEN 'es'
+         |       WHEN s_en > s_de THEN 'en'
+         |       ELSE 'de' END AS pred_lang
+         |FROM t
+         |""".stripMargin
+    },
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp,
+         |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS bag_fp
+         |FROM documents
+         |""".stripMargin,
+  )
+}

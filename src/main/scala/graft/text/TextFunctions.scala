@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines —
+  * beyond-reference operators (builder prompt; SURVEY §7.1 step 7). All are
+  * pure `functions._` compositions: codegen-friendly, no UDFs, fully
+  * pushdown/prune-compatible, and each has an exact DuckDB-SQL equivalent
+  * for the oracle gate.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the documents table is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isin(stopwords.map(lit): _*))).cast("double") / size(t)
+  }
+
+  /** Type-token ratio — lexical-diversity quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    distinctTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: length band + lexical diversity −
+    * stopword saturation. Deterministic, SQL-replicable.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = Seq("the", "a")): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val diversity = typeTokenRatio(text)
+    val stopPenalty = stopwordRatio(text, stopwords)
+    greatest(least((lenScore + diversity - stopPenalty) / 2.0, lit(1.0)), lit(0.0))
+  }
+
+  /** Per-language marker-token sets for the n-gram/marker language-ID
+    * heuristic. Tiny closed-class word lists; the scoring is what matters
+    * (count of marker hits per language, argmax, alphabetical tie-break).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "des"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo"))
+
+  /** Predicted language = argmax over marker-hit counts, ties broken by
+    * language code ascending (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    def score(markers: Seq[String]): Column =
+      size(filter(t, x => x.isin(markers.map(lit): _*)))
+    // argmax with alphabetical tie-break: fold over languages in order,
+    // keep strict-greater replacement
+    val first = langMarkers.head
+    val init = struct(score(first._2).as("s"), lit(first._1).as("l"))
+    val best = langMarkers.tail.foldLeft(init) { case (acc, (lang, markers)) =>
+      val s = score(markers)
+      struct(
+        when(s > acc.getField("s"), s).otherwise(acc.getField("s")).as("s"),
+        when(s > acc.getField("s"), lit(lang)).otherwise(acc.getField("l")).as("l"))
+    }
+    best.getField("l")
+  }
+
+  /** Exact content fingerprint. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Order-insensitive bag fingerprint: md5 of the sorted distinct token
+    * set — detects shuffled/reordered duplicates.
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** 60-bit numeric hash of a string via md5 prefix — the cross-engine
+    * numeric hash shared with the DuckDB oracle
+    * (`CAST('0x'||substr(md5(s),1,15) AS UBIGINT)`).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+}

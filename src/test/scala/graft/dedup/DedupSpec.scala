@@ -1,0 +1,60 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  // planted corpus: 0/1 exact dups, 2 near-dup of 0 (one word changed),
+  // 3 unrelated
+  private def corpus = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta", "s0"),
+    (1L, "alpha beta gamma delta epsilon zeta", "s0"),
+    (2L, "alpha beta gamma delta epsilon eta", "s0"),
+    (3L, "one two three four five six", "s0")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactGroups: identical texts collapse to one canonical id") {
+    val g = Dedup.exactGroups(corpus, "doc_id", "text").collect()
+    assert(g.length == 3)
+    val dup = g.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("unigram jaccard pairs find exact and near dups, not unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "source", n = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))     // exact: jaccard 1.0
+    assert(pairs.contains((0L, 2L)))     // near: 5/7 = 0.714
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // disjoint vocab
+  }
+
+  test("minhash LSH: candidates recover exact duplicates; verified pairs subset of true jaccard pairs") {
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", n = 1, k = 16, nBands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical docs have identical signatures -> guaranteed candidate + verified
+    assert(lsh.contains((0L, 1L)))
+    val brute = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", "source", n = 1, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute)) // verify step enforces the true-jaccard threshold
+  }
+
+  test("minhash signature is order-insensitive and length-k per doc") {
+    val df = Seq((0L, "a b c"), (1L, "c b a")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", n = 1, k = 8)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("i"), r.getAs[Long]("minh")))
+    assert(sigs.length == 16)
+    val byDoc = sigs.groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSet).toMap
+    assert(byDoc(0L) == byDoc(1L)) // same shingle set -> same signature
+  }
+
+  test("simhash: identical texts equal; near-dup within small hamming distance; unrelated far") {
+    val hashes = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(hashes(0L) == hashes(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hashes(0L), hashes(2L)) < hamming(hashes(0L), hashes(3L)))
+  }
+}

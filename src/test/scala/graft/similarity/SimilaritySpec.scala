@@ -1,0 +1,52 @@
+package graft.similarity
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private val DIM = 8
+
+  // deterministic corpus: vec 1 = vec 0 scaled (cosine 1), vec 2 = -vec 0,
+  // rest pseudo-random via sin
+  private def corpus = {
+    val base = (0 until DIM).map(d => math.sin(d + 1).toFloat)
+    val rows = Seq(
+      (0L, base),
+      (1L, base.map(x => x * 2f)),
+      (2L, base.map(x => -x))) ++
+      (3L to 20L).map(i => (i, (0 until DIM).map(d => math.sin(i * 31 + d).toFloat)))
+    rows.map { case (id, v) => (id, v.toArray) }.toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: scaled copy ranks first with cosine 1, negation last") {
+    val top = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0L), corpus, "vec_id", "embedding", 20)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"), r.getAs[Int]("rnk")))
+    assert(top.find(_._3 == 1).get._1 == 1L)
+    assert(top.find(_._3 == 1).get._2 == 1.0)
+    assert(top.maxBy(_._3)._1 == 2L) // cosine -1 ranks last
+    assert(top.maxBy(_._3)._2 == -1.0)
+  }
+
+  test("srpTopK: results are a subset of brute-force candidates; scaled copy shares every bucket") {
+    val q = corpus.filter(col("vec_id") === 0L)
+    val srp = Similarity.srpTopK(q, corpus, "vec_id", "embedding", 5, nPlanes = 4, dim = DIM)
+      .select("neighbor_id").as[Long].collect().toSet
+    // scaled copy has identical signs on every hyperplane -> same bucket
+    assert(srp.contains(1L))
+    val brute = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", 20)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(srp.subsetOf(brute))
+  }
+
+  test("cosineNearDupPairs finds the planted near-identical pair within a block") {
+    val blocked = corpus.withColumn("block", lit(1))
+    val pairs = Similarity.cosineNearDupPairs(blocked, "vec_id", "embedding", "block", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+}
