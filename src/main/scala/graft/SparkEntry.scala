@@ -19,6 +19,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     SimilarityQueries,
+    ExtensionQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

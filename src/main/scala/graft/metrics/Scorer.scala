@@ -1,0 +1,71 @@
+package graft.metrics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.SequentialCVPipeline
+
+/** Scorer layer — the Spark re-expression of the reference's scorer factory
+  * and registry (`panelsplit/metrics.py:102-550`): a scorer wraps a metric
+  * with a sign (`greater_is_better`) and a response column preference, and
+  * scores a fitted pipeline per fold of its last CV step.
+  */
+final case class Scorer(
+    name: String,
+    metricName: String,
+    sign: Double,
+    /** Which output column feeds the metric: "prediction" (hard label /
+      * regression) or "probability" (positive-class score) — the response
+      * dispatch of `utils/_response.py:13-73`.
+      */
+    responseCol: String) {
+
+  /** Per-fold scores, fold-ordered; single-element when the pipeline's last
+    * step has no CV (`metrics.py:352-398`).
+    */
+  def score(pipeline: SequentialCVPipeline, df: DataFrame, labelCol: String): Seq[Double] = {
+    val out0 = pipeline.transform(df)
+    val hasCv = pipeline.lastCv.isDefined
+    val out = if (hasCv) out0 else out0.withColumn("fold", lit(0))
+    val perFold =
+      if (metricName == "roc_auc")
+        Metrics.rocAuc(out, labelCol, responseCol).orderBy(col("fold"))
+      else
+        Metrics.perFoldScores(out, metricName, labelCol, responseCol)
+    perFold.collect().map(_.getDouble(1) * sign).toSeq
+  }
+}
+
+object Scorers {
+
+  /** Named scorer registry mirroring `metrics.py:554-724`: every base metric
+    * plus sign-flipped `neg_*` for the greater-is-better=false family.
+    */
+  lazy val registry: Map[String, Scorer] = {
+    val base = Metrics.registry.map { case (name, spec) =>
+      val response = if (name == "log_loss" || name == "brier_score") "probability" else "prediction"
+      if (spec.greaterIsBetter)
+        name -> Scorer(name, name, 1.0, response)
+      else
+        s"neg_$name" -> Scorer(s"neg_$name", name, -1.0, response)
+    }
+    base ++ Map(
+      "roc_auc" -> Scorer("roc_auc", "roc_auc", 1.0, "probability"))
+  }
+
+  /** `get_scorer` (`metrics.py:401-430`): resolve by name or fail with the
+    * known-names list.
+    */
+  def get(name: String): Scorer =
+    registry.getOrElse(name, throw new IllegalArgumentException(
+      s"Unknown scorer '$name'. Known: ${registry.keys.toSeq.sorted.mkString(", ")}"))
+
+  /** `check_scoring` (`metrics.py:452-550`): a single name or a list of
+    * names → ordered (name, Scorer) pairs; duplicates rejected.
+    */
+  def check(scoring: Seq[String]): Seq[(String, Scorer)] = {
+    require(scoring.nonEmpty, "scoring must not be empty")
+    require(scoring.distinct.size == scoring.size, s"duplicate scorers in $scoring")
+    scoring.map(n => n -> get(n))
+  }
+}

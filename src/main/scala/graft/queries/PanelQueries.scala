@@ -86,7 +86,7 @@ object PanelQueries extends QueryPack {
     val pipe = new SequentialCVPipeline(
       Seq("mu" -> new MeanRegressor().setLabelCol("value")), Seq(Some(ps)))
     val gs = new GridSearch(pipe, Map("mu__shift" -> Seq(0.0, 10.0, 100.0)),
-      scoring = "neg_mean_squared_error", labelCol = "value", refit = false)
+      scoring = Seq("neg_mean_squared_error"), labelCol = "value", refit = false)
     gs.fit(df)
     gs.cvResults(spark).select(
       col("candidate"), col("params"),

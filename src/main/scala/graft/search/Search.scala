@@ -3,6 +3,7 @@ package graft.search
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
+import graft.metrics.Scorers
 import graft.pipeline.SequentialCVPipeline
 
 import java.util.concurrent.Executors
@@ -10,14 +11,14 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import scala.util.{Failure, Success, Try}
 
-/** One evaluated candidate. */
+/** One evaluated candidate: per-metric per-split scores + aggregates. */
 final case class CandidateResult(
     index: Int,
     params: Map[String, Any],
-    splitScores: Seq[Double],
-    meanScore: Double,
-    stdScore: Double,
-    var rank: Int,
+    splitScores: Map[String, Seq[Double]],
+    meanScore: Map[String, Double],
+    stdScore: Map[String, Double],
+    var rank: Map[String, Int],
     failed: Boolean,
     error: Option[String])
 
@@ -28,25 +29,35 @@ final case class CandidateResult(
   * Candidates fan out as driver-side jobs over a shared (cached) DataFrame;
   * each fit is itself a set of per-fold Spark jobs. Semantics preserved:
   * std is population (ddof=0, `model_selection.py:856-858`), rank is
-  * ties→min with NaN→worst (`:876-884`), fit failures fill `errorScore`
-  * and warn, all-failed raises (`_validation.py:88-166`).
+  * ties→min with NaN→worst (`:876-884`), fit failures fill `errorScore` and
+  * warn, all-failed raises (`_validation.py:88-166`), multimetric scoring
+  * with a named refit metric (`model_selection.py:474-497`).
+  *
+  * @param scoring     scorer names from [[Scorers.registry]]; first is the
+  *                    refit/rank metric unless `refitMetric` is given
   */
 abstract class BaseSearch(
     val pipeline: SequentialCVPipeline,
-    val scoring: String,
+    val scoring: Seq[String],
     val labelCol: String,
     val refit: Boolean,
+    val refitMetric: Option[String],
     val errorScore: Double,
     val parallelism: Int) {
 
   protected def candidates(): Seq[Map[String, Any]]
+
+  val scorers: Seq[(String, graft.metrics.Scorer)] = Scorers.check(scoring)
+  val primaryMetric: String = refitMetric.getOrElse(scoring.head)
+  require(scoring.contains(primaryMetric),
+    s"refit metric '$primaryMetric' must be one of $scoring") // model_selection.py:437-455
 
   var results: Seq[CandidateResult] = Nil
   var bestIndex: Int = -1
   var bestEstimator: Option[SequentialCVPipeline] = None
 
   def bestParams: Map[String, Any] = results(bestIndex).params
-  def bestScore: Double = results(bestIndex).meanScore
+  def bestScore: Double = results(bestIndex).meanScore(primaryMetric)
 
   def fit(df: DataFrame): this.type = {
     val cands = candidates()
@@ -56,14 +67,13 @@ abstract class BaseSearch(
       Try {
         val cand = pipeline.copyWith(params)
         cand.fit(df)
-        cand.score(df, scoring, labelCol)
+        scorers.map { case (name, sc) => name -> sc.score(cand, df, labelCol) }.toMap
       } match {
-        case Success(scores) =>
-          mkResult(i, params, scores, failed = false, None)
+        case Success(scores) => mkResult(i, params, scores, failed = false, None)
         case Failure(e) =>
           System.err.println(s"[search] candidate $i failed: ${e.getMessage}; filling errorScore")
-          mkResult(i, params, Seq.fill(pipeline.nScoreSplits)(errorScore), failed = true,
-            Some(e.getMessage))
+          val fill = scoring.map(_ -> Seq.fill(pipeline.nScoreSplits)(errorScore)).toMap
+          mkResult(i, params, fill, failed = true, Some(e.getMessage))
       }
     }
     val evaluated = runAll(tasks, parallelism)
@@ -71,15 +81,18 @@ abstract class BaseSearch(
       throw new IllegalStateException(
         s"All ${evaluated.size} fits failed. First error: ${evaluated.head.error.getOrElse("?")}")
 
-    // rank: ties -> min, NaN -> worst (scipy rankdata(-means, method="min"))
-    val means = evaluated.map(_.meanScore)
+    // per-metric rank: ties -> min, NaN -> worst (rankdata(-means, "min"))
     evaluated.foreach { r =>
-      r.rank =
-        if (r.meanScore.isNaN) means.count(!_.isNaN) + 1
-        else 1 + means.count(m => !m.isNaN && m > r.meanScore)
+      r.rank = scoring.map { m =>
+        val means = evaluated.map(_.meanScore(m))
+        val mine = r.meanScore(m)
+        m -> (if (mine.isNaN) means.count(!_.isNaN) + 1
+              else 1 + means.count(x => !x.isNaN && x > mine))
+      }.toMap
     }
     results = evaluated
-    bestIndex = results.filter(!_.meanScore.isNaN).minBy(_.rank).index
+    bestIndex = results.filter(!_.meanScore(primaryMetric).isNaN)
+      .minBy(_.rank(primaryMetric)).index
     if (refit) {
       val best = pipeline.copyWith(results(bestIndex).params)
       best.fit(df)
@@ -88,33 +101,42 @@ abstract class BaseSearch(
     this
   }
 
-  private def mkResult(i: Int, params: Map[String, Any], scores: Seq[Double],
-      failed: Boolean, error: Option[String]): CandidateResult = {
-    val mean = scores.sum / scores.size
-    val std = math.sqrt(scores.map(s => math.pow(s - mean, 2)).sum / scores.size) // ddof=0
-    CandidateResult(i, params, scores, mean, std, rank = 0, failed, error)
+  private def mkResult(i: Int, params: Map[String, Any],
+      scores: Map[String, Seq[Double]], failed: Boolean, error: Option[String]): CandidateResult = {
+    val mean = scores.map { case (m, s) => m -> s.sum / s.size }
+    val std = scores.map { case (m, s) =>
+      val mu = mean(m)
+      m -> math.sqrt(s.map(x => math.pow(x - mu, 2)).sum / s.size) // ddof=0
+    }
+    CandidateResult(i, params, scores, mean, std, rank = Map.empty, failed, error)
   }
 
-  /** `cv_results_` as a DataFrame: one row per candidate with params_json,
-    * split{i}_test_score, mean/std/rank (`model_selection.py:828-923`).
+  /** `cv_results_` as a DataFrame (`model_selection.py:828-923`): per metric
+    * m, columns split{i}_test_m / mean_test_m / std_test_m / rank_test_m —
+    * suffix "score" for single-metric searches like sklearn.
     */
   def cvResults(spark: SparkSession): DataFrame = {
-    val nSplits = results.map(_.splitScores.size).max
+    val nSplits = results.flatMap(_.splitScores.values.map(_.size)).max
+    def suffix(m: String) = if (scoring.size == 1) "score" else m
     val fields = Seq(
       StructField("candidate", IntegerType, nullable = false),
       StructField("params", StringType, nullable = false)) ++
-      (0 until nSplits).map(i => StructField(s"split${i}_test_score", DoubleType)) ++
-      Seq(
-        StructField("mean_test_score", DoubleType),
-        StructField("std_test_score", DoubleType),
-        StructField("rank_test_score", IntegerType, nullable = false))
+      scoring.flatMap { m =>
+        (0 until nSplits).map(i => StructField(s"split${i}_test_${suffix(m)}", DoubleType)) ++
+          Seq(
+            StructField(s"mean_test_${suffix(m)}", DoubleType),
+            StructField(s"std_test_${suffix(m)}", DoubleType),
+            StructField(s"rank_test_${suffix(m)}", IntegerType, nullable = false))
+      }
     val rows = results.map { r =>
       val paramStr = r.params.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString(";")
       Row.fromSeq(
         Seq[Any](r.index, paramStr) ++
-          (0 until nSplits).map(i => r.splitScores.lift(i).getOrElse(Double.NaN)) ++
-          Seq[Any](r.meanScore, r.stdScore, r.rank))
+          scoring.flatMap { m =>
+            (0 until nSplits).map(i => r.splitScores(m).lift(i).getOrElse(Double.NaN): Any) ++
+              Seq[Any](r.meanScore(m), r.stdScore(m), r.rank(m))
+          })
     }
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, StructType(fields))
@@ -136,19 +158,20 @@ abstract class BaseSearch(
 final class GridSearch(
     pipeline: SequentialCVPipeline,
     val paramGrid: Map[String, Seq[Any]],
-    scoring: String,
+    scoring: Seq[String],
     labelCol: String,
     refit: Boolean = true,
+    refitMetric: Option[String] = None,
     errorScore: Double = Double.NaN,
     parallelism: Int = 1)
-  extends BaseSearch(pipeline, scoring, labelCol, refit, errorScore, parallelism) {
+  extends BaseSearch(pipeline, scoring, labelCol, refit, refitMetric, errorScore, parallelism) {
 
-  protected def candidates(): Seq[Map[String, Any]] = {
-    val keys = paramGrid.keys.toSeq.sorted
-    keys.foldLeft(Seq(Map.empty[String, Any])) { (acc, k) =>
-      for (m <- acc; v <- paramGrid(k)) yield m + (k -> v)
-    }
-  }
+  def this(pipeline: SequentialCVPipeline, paramGrid: Map[String, Seq[Any]],
+      scoring: String, labelCol: String) =
+    this(pipeline, paramGrid, Seq(scoring), labelCol, true, None, Double.NaN, 1)
+
+  protected def candidates(): Seq[Map[String, Any]] =
+    BaseSearch.cartesian(paramGrid)
 }
 
 /** Seeded sampling of `nIter` distinct settings; exhaustive when the grid is
@@ -160,19 +183,26 @@ final class RandomizedSearch(
     val paramGrid: Map[String, Seq[Any]],
     val nIter: Int,
     val seed: Long = 0L,
-    scoring: String,
+    scoring: Seq[String],
     labelCol: String,
     refit: Boolean = true,
+    refitMetric: Option[String] = None,
     errorScore: Double = Double.NaN,
     parallelism: Int = 1)
-  extends BaseSearch(pipeline, scoring, labelCol, refit, errorScore, parallelism) {
+  extends BaseSearch(pipeline, scoring, labelCol, refit, refitMetric, errorScore, parallelism) {
 
   protected def candidates(): Seq[Map[String, Any]] = {
-    val keys = paramGrid.keys.toSeq.sorted
-    val all = keys.foldLeft(Seq(Map.empty[String, Any])) { (acc, k) =>
-      for (m <- acc; v <- paramGrid(k)) yield m + (k -> v)
-    }
+    val all = BaseSearch.cartesian(paramGrid)
     if (all.size <= nIter) all
     else new scala.util.Random(seed).shuffle(all).take(nIter)
+  }
+}
+
+object BaseSearch {
+  def cartesian(paramGrid: Map[String, Seq[Any]]): Seq[Map[String, Any]] = {
+    val keys = paramGrid.keys.toSeq.sorted
+    keys.foldLeft(Seq(Map.empty[String, Any])) { (acc, k) =>
+      for (m <- acc; v <- paramGrid(k)) yield m + (k -> v)
+    }
   }
 }

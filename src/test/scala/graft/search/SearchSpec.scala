@@ -29,11 +29,12 @@ class SearchSpec extends SparkTestBase {
     val df = panel
     val gs = new GridSearch(pipe(df),
       Map("mu__shift" -> Seq(0.0, 5.0, 100.0)),
-      scoring = "neg_mean_squared_error", labelCol = "y")
+      scoring = Seq("neg_mean_squared_error"), labelCol = "y")
     gs.fit(df)
     assert(gs.results.size == 3)
     assert(gs.bestParams == Map("mu__shift" -> 0.0))
-    assert(gs.results.sortBy(_.rank).map(m => m.params("mu__shift")) == Seq(0.0, 5.0, 100.0))
+    assert(gs.results.sortBy(_.rank("neg_mean_squared_error"))
+      .map(m => m.params("mu__shift")) == Seq(0.0, 5.0, 100.0))
     assert(gs.bestEstimator.isDefined && gs.bestEstimator.get.isFitted)
     // cv_results frame shape
     val res = gs.cvResults(spark)
@@ -49,27 +50,42 @@ class SearchSpec extends SparkTestBase {
     // simulate failure with a pipeline whose copyWith rejects the key
     val gs = new GridSearch(pipe(df),
       Map("mu__shift" -> Seq(0.0), "mu__bogus" -> Seq(1)),
-      scoring = "neg_mean_squared_error", labelCol = "y")
+      scoring = Seq("neg_mean_squared_error"), labelCol = "y")
     assertThrows[IllegalStateException](gs.fit(df)) // every candidate fails
+  }
+
+  test("multimetric scoring: per-metric columns, named refit metric picks best") {
+    val df = panel
+    val gs = new GridSearch(pipe(df),
+      Map("mu__shift" -> Seq(0.0, 5.0)),
+      scoring = Seq("neg_mean_squared_error", "neg_mean_absolute_error"),
+      labelCol = "y", refitMetric = Some("neg_mean_absolute_error"))
+    gs.fit(df)
+    val cols = gs.cvResults(spark).columns.toSet
+    assert(cols.contains("mean_test_neg_mean_squared_error"))
+    assert(cols.contains("rank_test_neg_mean_absolute_error"))
+    assert(gs.bestParams == Map("mu__shift" -> 0.0))
+    assert(gs.results.head.meanScore.keySet ==
+      Set("neg_mean_squared_error", "neg_mean_absolute_error"))
   }
 
   test("RandomizedSearch: exhaustive when grid <= nIter, seeded subset otherwise") {
     val df = panel
     val rsAll = new RandomizedSearch(pipe(df),
       Map("mu__shift" -> Seq(0.0, 1.0)), nIter = 5, seed = 42L,
-      scoring = "neg_mean_squared_error", labelCol = "y")
+      scoring = Seq("neg_mean_squared_error"), labelCol = "y")
     rsAll.fit(df)
     assert(rsAll.results.size == 2)
 
     val rsSub = new RandomizedSearch(pipe(df),
       Map("mu__shift" -> (0 to 9).map(_.toDouble)), nIter = 3, seed = 42L,
-      scoring = "neg_mean_squared_error", labelCol = "y")
+      scoring = Seq("neg_mean_squared_error"), labelCol = "y")
     rsSub.fit(df)
     assert(rsSub.results.size == 3)
     // deterministic under the same seed
     val rsSub2 = new RandomizedSearch(pipe(df),
       Map("mu__shift" -> (0 to 9).map(_.toDouble)), nIter = 3, seed = 42L,
-      scoring = "neg_mean_squared_error", labelCol = "y")
+      scoring = Seq("neg_mean_squared_error"), labelCol = "y")
     rsSub2.fit(df)
     assert(rsSub.results.map(_.params) == rsSub2.results.map(_.params))
   }
