@@ -20,6 +20,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     ExtensionQueries,
+    RelationalQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

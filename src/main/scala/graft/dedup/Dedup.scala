@@ -128,6 +128,9 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val cands = lshCandidates(sigs, nBands, k)
+    // measured: letting Catalyst pick the join strategy here beats forcing
+    // broadcast (the array payloads make broadcast hash probes slower than
+    // the partitioned join at this shape)
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -23,7 +23,7 @@ object DedupQueries extends QueryPack {
   private val THR = 0.8     // jaccard near-dup threshold
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.cached(spark, dir, "documents")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>

@@ -20,7 +20,7 @@ object MetricQueries extends QueryPack {
   import PanelQueries.{events, panelSplit, prelude}
 
   private def regressionPreds(spark: SparkSession, dir: String): DataFrame = {
-    val df = events(spark, dir).cache()
+    val df = events(spark, dir)
     val ps = panelSplit(df)
     val (preds, _) = CrossVal.crossValFitPredict(
       new graft.ml.MeanRegressor().setLabelCol("value"), df, ps, labelCol = "value")

@@ -23,7 +23,7 @@ object PanelQueries extends QueryPack {
   private def est(e: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]) = e
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    graft.sources.Tables.events(spark, dir)
+    graft.sources.Tables.cached(spark, dir, "events")
       .withColumn("period", to_date(date_trunc("day", col("ts"))))
 
   def panelSplit(df: DataFrame): PanelSplit =
@@ -45,7 +45,7 @@ object PanelQueries extends QueryPack {
   }
 
   def cvMse(spark: SparkSession, dir: String): DataFrame = {
-    val df = events(spark, dir).cache()
+    val df = events(spark, dir)
     val ps = panelSplit(df)
     val est = new MeanRegressor().setLabelCol("value")
     val (preds, _) = CrossVal.crossValFitPredict(est, df, ps, labelCol = "value")
@@ -55,7 +55,7 @@ object PanelQueries extends QueryPack {
 
   /** Raw out-of-fold predictions of the per-fold mean regressor. */
   private def cvPredict(spark: SparkSession, dir: String): DataFrame = {
-    val df = events(spark, dir).cache()
+    val df = events(spark, dir)
     val ps = panelSplit(df)
     val (preds, _) = CrossVal.crossValFitPredict(
       new MeanRegressor().setLabelCol("value"), df, ps, labelCol = "value")
@@ -67,7 +67,7 @@ object PanelQueries extends QueryPack {
     * step surfaces it as the prediction (leak-free stacking, SURVEY §2.10).
     */
   private def pipelineOof(spark: SparkSession, dir: String): DataFrame = {
-    val df = events(spark, dir).cache()
+    val df = events(spark, dir)
     val ps = panelSplit(df)
     val pipe = new SequentialCVPipeline(
       Seq(
@@ -81,7 +81,7 @@ object PanelQueries extends QueryPack {
 
   /** GridSearch cv_results over the mean regressor's shift param. */
   private def gridSearch(spark: SparkSession, dir: String): DataFrame = {
-    val df = events(spark, dir).cache()
+    val df = events(spark, dir)
     val ps = panelSplit(df)
     val pipe = new SequentialCVPipeline(
       Seq("mu" -> new MeanRegressor().setLabelCol("value")), Seq(Some(ps)))

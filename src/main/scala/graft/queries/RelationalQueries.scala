@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** General relational capability over the TPC-H-ish tables — scan/filter/
+  * aggregate/join/window surface (SURVEY §2.2-2.6 Spark primitives) and the
+  * bench headliners on the largest table (`lineitem`, ~600k rows at sf0.1).
+  *
+  * Plans are deliberately pushdown-friendly: filters and projections reach
+  * the parquet scan; the dimension side of every join broadcasts.
+  */
+object RelationalQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: single scan + hash aggregate
+    "q_rel_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    // order-revenue join: fact-fact equi-join, dimension broadcast
+    "q_rel_order_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+    // per-month top-3 revenue days: window rank over a time-bucketed agg
+    "q_rel_top_revenue_days" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val daily = li
+        .groupBy(to_date(date_trunc("month", col("l_shipdate"))).as("month"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(round(sum(col("l_extendedprice")), 4).as("day_rev"))
+      val w = Window.partitionBy("month").orderBy(col("day_rev").desc, col("day"))
+      daily.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    }),
+    // nation-level customer order stats: two broadcast joins up a snowflake
+    "q_rel_nation_orders" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val nat = broadcast(Tables.nation(s, dir))
+      val ord = Tables.orders(s, dir)
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total_price"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |""".stripMargin,
+    "q_rel_order_revenue" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |""".stripMargin,
+    "q_rel_top_revenue_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |         CAST(l_shipdate AS DATE) AS day,
+        |         round(sum(l_extendedprice), 4) AS day_rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT month, day, day_rev,
+        |       CAST(row_number() OVER (PARTITION BY month ORDER BY day_rev DESC, day) AS INT) AS rnk
+        |FROM daily QUALIFY rnk <= 3
+        |""".stripMargin,
+    "q_rel_nation_orders" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |""".stripMargin,
+  )
+}

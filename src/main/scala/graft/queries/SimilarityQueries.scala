@@ -21,7 +21,7 @@ object SimilarityQueries extends QueryPack {
   private val NQUERIES = 10
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.cached(spark, dir, "embeddings")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_bruteforce" -> ((s, dir) => {

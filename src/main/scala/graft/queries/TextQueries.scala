@@ -14,7 +14,7 @@ import graft.text.TextFunctions._
 object TextQueries extends QueryPack {
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.cached(spark, dir, "documents")
 
   private val stop = Seq("the", "a")
 

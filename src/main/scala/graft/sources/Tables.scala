@@ -21,6 +21,17 @@ object Tables {
     df
   }
 
+  /** Session-scoped cached table handle: repeated driver-contract queries
+    * over the same sf dir share one in-memory copy instead of re-scanning
+    * parquet per query. Cache key is (session, dir, name); `persist` is
+    * lazy so unused tables cost nothing.
+    */
+  private val cacheReg = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def cached(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = s"${System.identityHashCode(spark)}|$dir|$name"
+    cacheReg.computeIfAbsent(key, _ => load(spark, dir, name).persist())
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
