@@ -21,6 +21,7 @@ object SparkEntry {
     SimilarityQueries,
     ExtensionQueries,
     RelationalQueries,
+    MlQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

@@ -90,6 +90,17 @@ object CrossVal {
     (crossValPredict(models, df, cv, returnGroup, parallelism), models)
   }
 
+  /** Distinct union of label classes over every fold's train side —
+    * reference `classes_` (`pipeline.py:1084-1086`,
+    * `np.unique(np.concatenate([...]))`). One scan, sorted for determinism.
+    */
+  def classesUnion(df: DataFrame, cv: PanelSplit, labelCol: String): Seq[Any] = {
+    val pred = cv.folds.map(_.trainPredicate(cv.periodsCol, cv.snapshotCol))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.filter(pred).select(col(labelCol)).na.drop().distinct()
+      .orderBy(col(labelCol)).collect().map(_.get(0)).toSeq
+  }
+
   /** Run fold tasks sequentially or on a bounded driver-thread pool.
     * Parallel ≡ serial is a test invariant (reference
     * `tests/test_cross_validation.py:51-80`).

@@ -114,6 +114,74 @@ object Metrics {
           / (col("__npos") * col("__nneg"))).as("score"))
   }
 
+  /** Average precision (area under the precision-recall curve, step
+    * integration like sklearn): AP = (1/n⁺) Σ_{positive k} precision@k over
+    * the score-descending ranking. Ties broken by the ranking order; pass a
+    * distinct-valued score column for determinism.
+    */
+  def averagePrecision(preds: DataFrame, labelCol: String, scoreCol: String,
+      foldCol: String = "fold", tieCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = col(scoreCol).desc +: tieCol.map(col(_).asc).toSeq
+    val w = Window.partitionBy(foldCol).orderBy(order: _*)
+    val ranked = preds
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__cum_pos", sum(when(col(labelCol) === 1, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    ranked.groupBy(col(foldCol))
+      .agg((sum(when(col(labelCol) === 1, col("__cum_pos").cast("double") / col("__k"))) /
+        sum(when(col(labelCol) === 1, 1).otherwise(0))).as("score"))
+      .orderBy(col(foldCol))
+  }
+
+  /** Adjusted Rand Index from the (label, cluster) contingency table —
+    * `groupBy(fold,label,cluster).count` + per-fold combinatorial sums, all
+    * decomposable aggregates (sklearn `adjusted_rand_score` formula).
+    */
+  def adjustedRandIndex(preds: DataFrame, labelCol: String, clusterCol: String, foldCol: String = "fold"): DataFrame = {
+    def c2(x: Column) = x * (x - 1) / 2.0
+    val cont = preds.groupBy(col(foldCol), col(labelCol).as("l"), col(clusterCol).as("c"))
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val rows = cont.groupBy(col(foldCol), col("l")).agg(sum(col("nij")).as("ai"))
+      .groupBy(col(foldCol)).agg(sum(c2(col("ai"))).as("sum_ai2"))
+    val cols = cont.groupBy(col(foldCol), col("c")).agg(sum(col("nij")).as("bj"))
+      .groupBy(col(foldCol)).agg(sum(c2(col("bj"))).as("sum_bj2"))
+    val cells = cont.groupBy(col(foldCol)).agg(
+      sum(c2(col("nij"))).as("sum_nij2"), sum(col("nij")).as("n"))
+    cells.join(rows, Seq(foldCol)).join(cols, Seq(foldCol))
+      .select(col(foldCol), {
+        val expected = col("sum_ai2") * col("sum_bj2") / c2(col("n"))
+        val maxIdx = (col("sum_ai2") + col("sum_bj2")) / 2.0
+        when(maxIdx === expected, 1.0) // degenerate: single cluster == single class
+          .otherwise((col("sum_nij2") - expected) / (maxIdx - expected)).as("score")
+      })
+      .orderBy(col(foldCol))
+  }
+
+  /** Normalized Mutual Information (arithmetic mean normalization, the
+    * sklearn default): MI / ((H(U) + H(V)) / 2), from the same contingency
+    * aggregates as ARI. Natural log.
+    */
+  def normalizedMutualInfo(preds: DataFrame, labelCol: String, clusterCol: String, foldCol: String = "fold"): DataFrame = {
+    val cont = preds.groupBy(col(foldCol), col(labelCol).as("l"), col(clusterCol).as("c"))
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val n = cont.groupBy(col(foldCol)).agg(sum(col("nij")).as("n"))
+    val ai = cont.groupBy(col(foldCol), col("l")).agg(sum(col("nij")).as("ai"))
+    val bj = cont.groupBy(col(foldCol), col("c")).agg(sum(col("nij")).as("bj"))
+    val mi = cont.join(ai, Seq(foldCol, "l")).join(bj, Seq(foldCol, "c")).join(n, Seq(foldCol))
+      .groupBy(col(foldCol))
+      .agg(sum((col("nij") / col("n")) * log(col("nij") * col("n") / (col("ai") * col("bj")))).as("mi"))
+    val hu = ai.join(n, Seq(foldCol)).groupBy(col(foldCol))
+      .agg((-sum((col("ai") / col("n")) * log(col("ai") / col("n")))).as("hu"))
+    val hv = bj.join(n, Seq(foldCol)).groupBy(col(foldCol))
+      .agg((-sum((col("bj") / col("n")) * log(col("bj") / col("n")))).as("hv"))
+    mi.join(hu, Seq(foldCol)).join(hv, Seq(foldCol))
+      .select(col(foldCol),
+        when(col("hu") + col("hv") === 0, 1.0)
+          .otherwise(col("mi") / ((col("hu") + col("hv")) / 2.0)).as("score"))
+      .orderBy(col(foldCol))
+  }
+
   val registry: Map[String, MetricSpec] = {
     val base = Seq(
       MetricSpec("mean_squared_error", greaterIsBetter = false, mse),

@@ -135,6 +135,16 @@ final class SequentialCVPipeline(
     }
   }
 
+  /** Step access by index or name (`pipe[i]` / `named_steps`,
+    * `pipeline.py:454-467,997-1018`).
+    */
+  def step(i: Int): (String, Estimator[_ <: Model[_]]) = steps(i)
+  def namedSteps: Map[String, Estimator[_ <: Model[_]]] = steps.toMap
+
+  /** Unfitted sub-pipeline over a step range (`pipe[a:b]`). */
+  def subPipeline(from: Int, until: Int): SequentialCVPipeline =
+    new SequentialCVPipeline(steps.slice(from, until), cvSteps.slice(from, until), returnGroup)
+
   /** The LAST step's cv — defines n_splits for scoring and search
     * (`model_selection.py:612-631`).
     */

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cv.CrossVal
+import graft.metrics.Metrics
+
+/** Real `spark.ml` estimator integration + the remaining metric families.
+  *
+  * q_cv_linreg proves the cross-val machinery drives stock Spark ML end to
+  * end: VectorAssembler → LinearRegression(normal solver, regParam=0) per
+  * fold equals closed-form OLS, which the DuckDB oracle computes from sums.
+  */
+object MlQueries extends QueryPack {
+
+  import PanelQueries.{events, panelSplit, prelude}
+
+  /** events + deterministic regression feature x = event_id mod 100. */
+  private def withX(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).withColumn("x", pmod(col("event_id"), lit(100)).cast("double"))
+
+  private def cvLinReg(spark: SparkSession, dir: String): DataFrame = {
+    val df = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features")
+      .transform(withX(spark, dir))
+    val ps = panelSplit(df)
+    val lr = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol("features").setLabelCol("value")
+      .setSolver("normal").setRegParam(0.0)
+    val (preds, _) = CrossVal.crossValFitPredict(lr, df, ps, labelCol = "value")
+    Metrics.perFoldScores(preds, "mean_squared_error", "value", "prediction")
+      .select(col("fold"), round(col("score"), 4).as("score"))
+  }
+
+  private def clusteringScores(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+      .withColumn("label", pmod(col("event_id"), lit(3)))
+      .withColumn("cluster", floor(col("value") / 25.0).cast("long"))
+    val ps = panelSplit(df)
+    val folds = ps.folds.map { f =>
+      df.filter(f.testPredicate(ps.periodsCol, None)).withColumn("fold", lit(f.index))
+    }.reduce(_ unionByName _).cache()
+    val ari = Metrics.adjustedRandIndex(folds, "label", "cluster")
+      .select(col("fold"), lit("adjusted_rand").as("metric"), round(col("score"), 6).as("score"))
+    val nmi = Metrics.normalizedMutualInfo(folds, "label", "cluster")
+      .select(col("fold"), lit("normalized_mutual_info").as("metric"), round(col("score"), 6).as("score"))
+    ari.unionByName(nmi)
+  }
+
+  private def avgPrecision(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir).withColumn("label", (col("event_id") % 2).cast("double"))
+    val ps = panelSplit(df)
+    val folds = ps.folds.map { f =>
+      df.filter(f.testPredicate(ps.periodsCol, None)).withColumn("fold", lit(f.index))
+    }.reduce(_ unionByName _)
+    Metrics.averagePrecision(folds, "label", "value", tieCol = Some("event_id"))
+      .select(col("fold"), round(col("score"), 6).as("score"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cv_linreg" -> (cvLinReg _),
+    "q_metrics_clustering" -> (clusteringScores _),
+    "q_metric_avg_precision" -> (avgPrecision _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_cv_linreg" ->
+      s"""$prelude,
+         |evx AS (SELECT ev.*, CAST(ev.event_id % 100 AS DOUBLE) AS x FROM ev),
+         |train AS (SELECT b.split AS fold,
+         |            (count(*) * sum(x * value) - sum(x) * sum(value))
+         |              / (count(*) * sum(x * x) - sum(x) * sum(x)) AS slope,
+         |            avg(value) - (count(*) * sum(x * value) - sum(x) * sum(value))
+         |              / (count(*) * sum(x * x) - sum(x) * sum(x)) * avg(x) AS intercept
+         |          FROM evx JOIN bounds b ON evx.pos < b.test_start GROUP BY b.split)
+         |SELECT b.split AS fold,
+         |       round(avg(power(evx.value - (tr.intercept + tr.slope * evx.x), 2)), 4) AS score
+         |FROM evx JOIN bounds b ON evx.pos = b.test_start
+         |JOIN train tr ON tr.fold = b.split
+         |GROUP BY b.split
+         |""".stripMargin,
+    "q_metrics_clustering" ->
+      s"""$prelude,
+         |test AS (SELECT b.split AS fold, ev.event_id % 3 AS l,
+         |                CAST(floor(ev.value / 25.0) AS BIGINT) AS c
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start),
+         |cont AS (SELECT fold, l, c, CAST(count(*) AS DOUBLE) AS nij FROM test GROUP BY fold, l, c),
+         |ra AS (SELECT fold, sum(ai * (ai - 1) / 2.0) AS sum_ai2 FROM
+         |        (SELECT fold, l, sum(nij) AS ai FROM cont GROUP BY fold, l) GROUP BY fold),
+         |rb AS (SELECT fold, sum(bj * (bj - 1) / 2.0) AS sum_bj2 FROM
+         |        (SELECT fold, c, sum(nij) AS bj FROM cont GROUP BY fold, c) GROUP BY fold),
+         |rc AS (SELECT fold, sum(nij * (nij - 1) / 2.0) AS sum_nij2, sum(nij) AS n FROM cont GROUP BY fold),
+         |ari AS (SELECT rc.fold,
+         |          (sum_nij2 - sum_ai2 * sum_bj2 / (n * (n - 1) / 2.0))
+         |          / ((sum_ai2 + sum_bj2) / 2.0 - sum_ai2 * sum_bj2 / (n * (n - 1) / 2.0)) AS score
+         |        FROM rc JOIN ra ON rc.fold = ra.fold JOIN rb ON rc.fold = rb.fold),
+         |nn2 AS (SELECT fold, sum(nij) AS n FROM cont GROUP BY fold),
+         |ai2 AS (SELECT fold, l, sum(nij) AS ai FROM cont GROUP BY fold, l),
+         |bj2 AS (SELECT fold, c, sum(nij) AS bj FROM cont GROUP BY fold, c),
+         |mi AS (SELECT cont.fold,
+         |         sum((nij / n.n) * ln(nij * n.n / (ai2.ai * bj2.bj))) AS mi
+         |       FROM cont JOIN nn2 n ON cont.fold = n.fold
+         |       JOIN ai2 ON cont.fold = ai2.fold AND cont.l = ai2.l
+         |       JOIN bj2 ON cont.fold = bj2.fold AND cont.c = bj2.c
+         |       GROUP BY cont.fold),
+         |hu AS (SELECT ai2.fold, -sum((ai / n.n) * ln(ai / n.n)) AS hu
+         |       FROM ai2 JOIN nn2 n ON ai2.fold = n.fold GROUP BY ai2.fold),
+         |hv AS (SELECT bj2.fold, -sum((bj / n.n) * ln(bj / n.n)) AS hv
+         |       FROM bj2 JOIN nn2 n ON bj2.fold = n.fold GROUP BY bj2.fold),
+         |nmi AS (SELECT mi.fold, mi.mi / ((hu.hu + hv.hv) / 2.0) AS score
+         |        FROM mi JOIN hu ON mi.fold = hu.fold JOIN hv ON mi.fold = hv.fold)
+         |SELECT fold, 'adjusted_rand' AS metric, round(score, 6) AS score FROM ari
+         |UNION ALL
+         |SELECT fold, 'normalized_mutual_info' AS metric, round(score, 6) AS score FROM nmi
+         |""".stripMargin,
+    "q_metric_avg_precision" ->
+      s"""$prelude,
+         |test AS (SELECT b.split AS fold, ev.event_id, CAST(ev.event_id % 2 AS DOUBLE) AS y, ev.value AS s
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start),
+         |ranked AS (SELECT fold, y,
+         |             row_number() OVER (PARTITION BY fold ORDER BY s DESC, event_id) AS k,
+         |             sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY fold ORDER BY s DESC, event_id ROWS UNBOUNDED PRECEDING) AS cp
+         |           FROM test)
+         |SELECT fold,
+         |       round(sum(CASE WHEN y = 1 THEN CAST(cp AS DOUBLE) / k END)
+         |             / sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 6) AS score
+         |FROM ranked GROUP BY fold
+         |""".stripMargin,
+  )
+}

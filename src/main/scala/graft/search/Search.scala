@@ -20,7 +20,9 @@ final case class CandidateResult(
     stdScore: Map[String, Double],
     var rank: Map[String, Int],
     failed: Boolean,
-    error: Option[String])
+    error: Option[String],
+    fitTimeSec: Double = 0.0,
+    scoreTimeSec: Double = 0.0)
 
 /** Hyper-parameter search over a `SequentialCVPipeline` — the Spark
   * re-expression of the reference's `BaseSearch`/`GridSearch`/
@@ -66,10 +68,14 @@ abstract class BaseSearch(
     val tasks: Seq[() => CandidateResult] = cands.zipWithIndex.map { case (params, i) => () =>
       Try {
         val cand = pipeline.copyWith(params)
+        val t0 = System.nanoTime()
         cand.fit(df)
-        scorers.map { case (name, sc) => name -> sc.score(cand, df, labelCol) }.toMap
+        val t1 = System.nanoTime()
+        val scores = scorers.map { case (name, sc) => name -> sc.score(cand, df, labelCol) }.toMap
+        (scores, (t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
       } match {
-        case Success(scores) => mkResult(i, params, scores, failed = false, None)
+        case Success((scores, ft, st)) =>
+          mkResult(i, params, scores, failed = false, None).copy(fitTimeSec = ft, scoreTimeSec = st)
         case Failure(e) =>
           System.err.println(s"[search] candidate $i failed: ${e.getMessage}; filling errorScore")
           val fill = scoring.map(_ -> Seq.fill(pipeline.nScoreSplits)(errorScore)).toMap
@@ -120,7 +126,9 @@ abstract class BaseSearch(
     def suffix(m: String) = if (scoring.size == 1) "score" else m
     val fields = Seq(
       StructField("candidate", IntegerType, nullable = false),
-      StructField("params", StringType, nullable = false)) ++
+      StructField("params", StringType, nullable = false),
+      StructField("mean_fit_time", DoubleType, nullable = false),
+      StructField("mean_score_time", DoubleType, nullable = false)) ++
       scoring.flatMap { m =>
         (0 until nSplits).map(i => StructField(s"split${i}_test_${suffix(m)}", DoubleType)) ++
           Seq(
@@ -132,7 +140,7 @@ abstract class BaseSearch(
       val paramStr = r.params.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString(";")
       Row.fromSeq(
-        Seq[Any](r.index, paramStr) ++
+        Seq[Any](r.index, paramStr, r.fitTimeSec, r.scoreTimeSec) ++
           scoring.flatMap { m =>
             (0 until nSplits).map(i => r.splitScores(m).lift(i).getOrElse(Double.NaN): Any) ++
               Seq[Any](r.meanScore(m), r.stdScore(m), r.rank(m))

@@ -39,6 +39,7 @@ class SearchSpec extends SparkTestBase {
     // cv_results frame shape
     val res = gs.cvResults(spark)
     assert(res.columns.toSet == Set("candidate", "params",
+      "mean_fit_time", "mean_score_time",
       "split0_test_score", "split1_test_score", "split2_test_score",
       "mean_test_score", "std_test_score", "rank_test_score"))
     assert(res.count() == 3)
