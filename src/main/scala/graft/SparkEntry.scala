@@ -22,6 +22,7 @@ object SparkEntry {
     ExtensionQueries,
     RelationalQueries,
     MlQueries,
+    VariantQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

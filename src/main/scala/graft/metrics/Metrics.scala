@@ -114,6 +114,59 @@ object Metrics {
           / (col("__npos") * col("__nneg"))).as("score"))
   }
 
+  /** Multiclass averaged precision/recall/F1 from the per-class confusion
+    * counts (`groupBy(fold, class)` over one-vs-rest tallies) — the
+    * reference's averaged scorer variants (`metrics.py:713-724`).
+    *
+    * @param average "macro" (unweighted class mean), "micro" (global
+    *                counts), or "weighted" (support-weighted class mean)
+    * Output: (fold, precision, recall, f1).
+    */
+  def multiclassScores(
+      preds: DataFrame,
+      labelCol: String,
+      predictionCol: String,
+      average: String,
+      foldCol: String = "fold"): DataFrame = {
+    require(Seq("macro", "micro", "weighted").contains(average), s"bad average '$average'")
+    val l = col(labelCol)
+    val p = col(predictionCol)
+    // per (fold, class): tp, predicted-count, actual-count — via two tagged passes
+    val perClass = preds.select(col(foldCol), l.as("cls"), p.as("pred"))
+      .groupBy(col(foldCol), col("cls"))
+      .agg(
+        sum(when(col("cls") === col("pred"), 1).otherwise(0)).cast("double").as("tp"),
+        count(lit(1)).cast("double").as("support"))
+      .join(
+        preds.groupBy(col(foldCol), p.as("cls"))
+          .agg(count(lit(1)).cast("double").as("predicted")),
+        Seq(foldCol, "cls"), "full_outer")
+      .na.fill(0.0, Seq("tp", "support", "predicted"))
+    val prec = when(col("predicted") === 0, 0.0).otherwise(col("tp") / col("predicted"))
+    val rec = when(col("support") === 0, 0.0).otherwise(col("tp") / col("support"))
+    val f1c = when(prec + rec === 0, 0.0).otherwise(lit(2.0) * prec * rec / (prec + rec))
+    average match {
+      case "macro" =>
+        perClass.groupBy(col(foldCol))
+          .agg(avg(prec).as("precision"), avg(rec).as("recall"), avg(f1c).as("f1"))
+          .orderBy(col(foldCol))
+      case "weighted" =>
+        perClass.groupBy(col(foldCol))
+          .agg(
+            (sum(prec * col("support")) / sum(col("support"))).as("precision"),
+            (sum(rec * col("support")) / sum(col("support"))).as("recall"),
+            (sum(f1c * col("support")) / sum(col("support"))).as("f1"))
+          .orderBy(col(foldCol))
+      case "micro" =>
+        // micro precision == recall == f1 == accuracy for single-label multiclass
+        perClass.groupBy(col(foldCol))
+          .agg((sum(col("tp")) / sum(col("support"))).as("precision"))
+          .withColumn("recall", col("precision"))
+          .withColumn("f1", col("precision"))
+          .orderBy(col(foldCol))
+    }
+  }
+
   /** Average precision (area under the precision-recall curve, step
     * integration like sklearn): AP = (1/n⁺) Σ_{positive k} precision@k over
     * the score-descending ranking. Ties broken by the ranking order; pass a

@@ -58,10 +58,28 @@ object MlQueries extends QueryPack {
       .select(col("fold"), round(col("score"), 6).as("score"))
   }
 
+  private def multiclassScores(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+      .withColumn("label", pmod(col("event_id"), lit(3)))
+      .withColumn("pred", pmod(floor(col("value") / 30.0).cast("long"), lit(3)))
+    val ps = panelSplit(df)
+    val folds = ps.folds.map { f =>
+      df.filter(f.testPredicate(ps.periodsCol, None)).withColumn("fold", lit(f.index))
+    }.reduce(_ unionByName _).cache()
+    Seq("macro", "micro", "weighted").map { avg =>
+      Metrics.multiclassScores(folds, "label", "pred", avg)
+        .select(col("fold"), lit(avg).as("average"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }.reduce(_ unionByName _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cv_linreg" -> (cvLinReg _),
     "q_metrics_clustering" -> (clusteringScores _),
     "q_metric_avg_precision" -> (avgPrecision _),
+    "q_metrics_multiclass" -> (multiclassScores _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -113,6 +131,38 @@ object MlQueries extends QueryPack {
          |SELECT fold, 'adjusted_rand' AS metric, round(score, 6) AS score FROM ari
          |UNION ALL
          |SELECT fold, 'normalized_mutual_info' AS metric, round(score, 6) AS score FROM nmi
+         |""".stripMargin,
+    "q_metrics_multiclass" ->
+      s"""$prelude,
+         |test AS (SELECT b.split AS fold,
+         |                ((ev.event_id % 3) + 3) % 3 AS l,
+         |                ((CAST(floor(ev.value / 30.0) AS BIGINT) % 3) + 3) % 3 AS p
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start),
+         |cls AS (SELECT fold, l AS cls,
+         |               CAST(sum(CASE WHEN l = p THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+         |               CAST(count(*) AS DOUBLE) AS support
+         |        FROM test GROUP BY fold, l),
+         |prd AS (SELECT fold, p AS cls, CAST(count(*) AS DOUBLE) AS predicted FROM test GROUP BY fold, p),
+         |pc AS (SELECT coalesce(cls.fold, prd.fold) AS fold, coalesce(cls.cls, prd.cls) AS cls,
+         |              coalesce(tp, 0) AS tp, coalesce(support, 0) AS support,
+         |              coalesce(predicted, 0) AS predicted
+         |       FROM cls FULL OUTER JOIN prd ON cls.fold = prd.fold AND cls.cls = prd.cls),
+         |m AS (SELECT fold, cls, support, tp,
+         |             CASE WHEN predicted = 0 THEN 0 ELSE tp / predicted END AS prec,
+         |             CASE WHEN support = 0 THEN 0 ELSE tp / support END AS rec
+         |      FROM pc),
+         |m2 AS (SELECT *, CASE WHEN prec + rec = 0 THEN 0 ELSE 2 * prec * rec / (prec + rec) END AS f1c FROM m)
+         |SELECT fold, 'macro' AS average, round(avg(prec), 6) AS "precision",
+         |       round(avg(rec), 6) AS recall, round(avg(f1c), 6) AS f1
+         |FROM m2 GROUP BY fold
+         |UNION ALL
+         |SELECT fold, 'micro', round(sum(tp) / sum(support), 6),
+         |       round(sum(tp) / sum(support), 6), round(sum(tp) / sum(support), 6)
+         |FROM m2 GROUP BY fold
+         |UNION ALL
+         |SELECT fold, 'weighted', round(sum(prec * support) / sum(support), 6),
+         |       round(sum(rec * support) / sum(support), 6), round(sum(f1c * support) / sum(support), 6)
+         |FROM m2 GROUP BY fold
          |""".stripMargin,
     "q_metric_avg_precision" ->
       s"""$prelude,
