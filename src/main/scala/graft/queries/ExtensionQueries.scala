@@ -37,10 +37,35 @@ object ExtensionQueries extends QueryPack {
   private def streamQ(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.streamPeriodAgg(spark, dir)
 
+  /** Sessionization via flatMapGroupsWithState (12h gap). */
+  private def sessionQ(spark: SparkSession, dir: String): DataFrame =
+    StreamingOps.sessionize(spark, dir, gapHours = 12,
+      queryName = s"stream_sessions_${math.abs(dir.hashCode)}")
+
+  /** Period-partitioned sink + partition-pruned fold scan: write events
+    * partitioned by day under target/, re-read with fold 0's train filter —
+    * the physical layout for fold membership at 100 TB. Fails loudly if the
+    * filter did NOT reach the scan as a partition filter.
+    */
+  private def partitionedScanQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionedSink
+    val ev = PanelQueries.events(spark, dir).select("event_id", "value", "period")
+    val path = s"target/partitioned/events_${math.abs(dir.hashCode)}"
+    val reloaded = PartitionedSink.writeAndReload(ev, "period", path)
+    val ps = graft.cv.PanelSplit(reloaded, "period", nSplits = PanelQueries.N_SPLITS, testSize = 1)
+    val fold0Train = reloaded.filter(ps.folds.head.trainPredicate("period", None))
+      .select(col("event_id"), col("period").cast("date").as("period"), col("value"))
+    require(PartitionedSink.isPartitionPruned(fold0Train, "period"),
+      "fold filter did not prune partitions")
+    fold0Train
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (decodeQ _),
     "q_multimodal_features" -> (featuresQ _),
     "q_stream_period_agg" -> (streamQ _),
+    "q_stream_sessionize" -> (sessionQ _),
+    "q_partitioned_fold_scan" -> (partitionedScanQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -63,5 +88,24 @@ object ExtensionQueries extends QueryPack {
         |  round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1
         |""".stripMargin,
+    "q_stream_sessionize" ->
+      """WITH x AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > CAST(12 AS BIGINT) * 3600 * 1000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |s AS (SELECT user_id, ts_us,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+        |      FROM x)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY user_id, session_idx
+        |""".stripMargin,
+    "q_partitioned_fold_scan" ->
+      s"""${PanelQueries.prelude}
+         |SELECT event_id, period, value FROM ev
+         |WHERE pos < (SELECT n FROM nn) - ${PanelQueries.N_SPLITS}
+         |""".stripMargin,
   )
 }

@@ -26,7 +26,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Composed-builtin cosine (zip_with + aggregate) — reference semantics. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused single-pass cosine via the custom Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — same sequential double math,
+    * no intermediate array, inlined in whole-stage codegen. Callers must
+    * register once per session; the operators below do it for you.
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors of each query vector over the corpus.
     * Query side is expected tiny (broadcast); ranking is per-query with a
@@ -40,11 +49,12 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -86,13 +96,14 @@ object Similarity {
       nPlanes: Int,
       dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", srpBucket(col("qv"), nPlanes, dim))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", srpBucket(col("cv"), nPlanes, dim))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -109,6 +120,7 @@ object Similarity {
       vecCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val v = df.select(col(idCol).as("id"), col(blockCol).as("block"),
       asDouble(col(vecCol)).as("v"))
     val a = v.select(col("id").as("id_a"), col("block"), col("v").as("va"))
@@ -118,7 +130,7 @@ object Similarity {
     val b = v.select(col("id").as("id_b"), col("block"), col("v").as("vb"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim", round(cosineFast(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
   }

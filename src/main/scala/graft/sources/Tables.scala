@@ -17,7 +17,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     var df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df = df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     df
   }
 

@@ -12,6 +12,65 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingOps {
 
+  /** Event projected for sessionization: micros keep the gap arithmetic in
+    * exact integer math (identical in the DuckDB oracle via epoch_us).
+    */
+  final case class UserEvent(user_id: Long, ts_us: Long)
+  final case class UserSession(
+      user_id: Long, session_idx: Int, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Stateful sessionization over the event stream:
+    * `groupByKey(user).flatMapGroupsWithState` — a session breaks when the
+    * gap between consecutive events exceeds `gapHours`. With
+    * `Trigger.AvailableNow` the whole history arrives as one batch per
+    * group; on a live stream the same function holds the open session in
+    * `GroupState` across batches.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapHours: Int = 12,
+      queryName: String = "stream_sessions"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+
+    var stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (rawSchema("ts").dataType == LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val gapUs = gapHours.toLong * 3600L * 1000000L
+    val events = stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[UserEvent]
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[List[Long]]) =>
+          // fold this batch's events into the carried timestamps, sessionize
+          val ts = (state.getOption.getOrElse(Nil) ++ it.map(_.ts_us)).sorted
+          state.update(ts) // keep everything; AvailableNow = single batch
+          var idx = -1
+          var prev = Long.MinValue
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          ts.foreach { t =>
+            if (prev == Long.MinValue || t - prev > gapUs) idx += 1
+            out += ((idx, t))
+            prev = t
+          }
+          out.groupBy(_._1).map { case (i, xs) =>
+            UserSession(uid, i, xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max)
+          }.toSeq.sortBy(_.session_idx).iterator
+      }
+
+    val query = sessions.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Watermarked per-day aggregate of a streaming events source:
     * readStream → window(1 day) → count/sum/avg. `Trigger.AvailableNow`
     * drains the source and terminates, so the same code path serves both
@@ -30,7 +89,7 @@ object StreamingOps {
     var stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     if (rawSchema("ts").dataType == LongType)
-      stream = stream.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     val agg = stream
       .withWatermark("ts", "1 day")
