@@ -27,11 +27,18 @@ final case class Scorer(
     val out0 = pipeline.transform(df)
     val hasCv = pipeline.lastCv.isDefined
     val out = if (hasCv) out0 else out0.withColumn("fold", lit(0))
-    val perFold =
-      if (metricName == "roc_auc")
+    val Averaged = "(precision|recall|f1)_(macro|micro|weighted)".r
+    val perFold = metricName match {
+      case "roc_auc" =>
         Metrics.rocAuc(out, labelCol, responseCol).orderBy(col("fold"))
-      else
+      case "average_precision" =>
+        Metrics.averagePrecision(out, labelCol, responseCol)
+      case Averaged(stat, avg) =>
+        Metrics.multiclassScores(out, labelCol, responseCol, avg)
+          .select(col("fold"), col(stat).as("score"))
+      case _ =>
         Metrics.perFoldScores(out, metricName, labelCol, responseCol)
+    }
     perFold.collect().map(_.getDouble(1) * sign).toSeq
   }
 }
@@ -49,8 +56,13 @@ object Scorers {
       else
         s"neg_$name" -> Scorer(s"neg_$name", name, -1.0, response)
     }
-    base ++ Map(
-      "roc_auc" -> Scorer("roc_auc", "roc_auc", 1.0, "probability"))
+    val averaged = for {
+      stat <- Seq("precision", "recall", "f1")
+      avg <- Seq("macro", "micro", "weighted")
+    } yield s"${stat}_$avg" -> Scorer(s"${stat}_$avg", s"${stat}_$avg", 1.0, "prediction")
+    base ++ averaged.toMap ++ Map(
+      "roc_auc" -> Scorer("roc_auc", "roc_auc", 1.0, "probability"),
+      "average_precision" -> Scorer("average_precision", "average_precision", 1.0, "probability"))
   }
 
   /** `get_scorer` (`metrics.py:401-430`): resolve by name or fail with the

@@ -50,6 +50,16 @@ class DedupSpec extends SparkTestBase {
     assert(byDoc(0L) == byDoc(1L)) // same shingle set -> same signature
   }
 
+  test("aggregator-based signatures equal the explode formulation exactly") {
+    val df = corpus
+    val viaAgg = Dedup.minhashSignaturesAgg(df, "doc_id", "text", n = 1, k = 16)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("i"), r.getAs[Long]("minh"))).toSet
+    val viaExplode = Dedup.minhashSignaturesExploded(df, "doc_id", "text", n = 1, k = 16)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("i"), r.getAs[Long]("minh"))).toSet
+    assert(viaAgg == viaExplode)
+    assert(viaAgg.size == 4 * 16)
+  }
+
   test("simhash: identical texts equal; near-dup within small hamming distance; unrelated far") {
     val hashes = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap

@@ -70,6 +70,24 @@ class SearchSpec extends SparkTestBase {
       Set("neg_mean_squared_error", "neg_mean_absolute_error"))
   }
 
+  test("named averaged scorers (f1_macro etc.) drive through search end to end") {
+    // binary-ish multiclass: y in {0,1}, ThresholdClassifier prediction
+    val rows = for (p <- 1 to 10; i <- 0 to 3) yield (p * 10 + i, p, (i / 2).toDouble, i.toDouble)
+    val df = rows.toDF("id", "period", "y", "x")
+    val cv = graft.cv.PanelSplit(df, "period", nSplits = 3, testSize = 1)
+    val pipe = new SequentialCVPipeline(
+      Seq("clf" -> est(new graft.ml.ThresholdClassifier()
+        .setFeatureCol("x").setLabelCol("y"))), Seq(Some(cv)))
+    val gs = new GridSearch(pipe, Map("clf__predictionCol" -> Seq("prediction")),
+      scoring = Seq("f1_macro", "precision_weighted", "recall_micro"), labelCol = "y")
+    gs.fit(df)
+    val r = gs.results.head
+    assert(r.splitScores.keySet == Set("f1_macro", "precision_weighted", "recall_micro"))
+    assert(r.splitScores.values.forall(s => s.size == 3 && s.forall(v => v >= 0.0 && v <= 1.0)))
+    // x = i, threshold = mean(i) = 1.5 -> pred = (i>1.5) = i/2 = y -> perfect scores
+    assert(r.meanScore("recall_micro") == 1.0)
+  }
+
   test("RandomizedSearch: exhaustive when grid <= nIter, seeded subset otherwise") {
     val df = panel
     val rsAll = new RandomizedSearch(pipe(df),
