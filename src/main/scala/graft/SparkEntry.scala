@@ -23,6 +23,7 @@ object SparkEntry {
     RelationalQueries,
     MlQueries,
     VariantQueries,
+    ScaleQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

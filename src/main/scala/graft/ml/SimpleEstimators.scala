@@ -100,9 +100,15 @@ class ThresholdClassifier(override val uid: String) extends Estimator[ThresholdC
 
 class ThresholdClassifierModel(override val uid: String, val threshold: Double)
     extends Model[ThresholdClassifierModel] with SimpleParams {
+  /** Positive-class probability: logistic of the distance to the threshold
+    * (scale 10) — a deterministic `predict_proba` analog so probabilistic
+    * scorers (log_loss, Brier, AUC) have a real response column.
+    */
   override def transform(ds: Dataset[_]): DataFrame =
     ds.withColumn($(predictionCol),
       when(col($(featureCol)) > lit(threshold), 1.0d).otherwise(0.0d))
+      .withColumn("probability",
+        lit(1.0) / (lit(1.0) + exp(-(col($(featureCol)) - lit(threshold)) / lit(10.0))))
   override def copy(extra: ParamMap): ThresholdClassifierModel =
     copyValues(new ThresholdClassifierModel(uid, threshold)).setParent(parent)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cv.{CrossVal, PanelSplit}
+import graft.metrics.Metrics
+import graft.ml.{MeanRegressor, ThresholdClassifier}
+import graft.ops.Skew
+import graft.sources.Tables
+
+/** Scale-pattern queries: salted skew-aware aggregation, probabilistic
+  * scoring (log-loss/Brier over a real probability response), and the
+  * panel-CV workflow on the largest table (lineitem, 83 monthly periods).
+  */
+object ScaleQueries extends QueryPack {
+
+  /** Salted two-stage stats by event_type — identical results to the plain
+    * GROUP BY oracle; the plan spreads each hot key over 16 partial groups.
+    */
+  private def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedStats(PanelQueries.events(spark, dir), Seq("event_type"), "value")
+      .select(col("event_type"), col("n"),
+        round(col("sum_value"), 4).as("sum_value"),
+        round(col("min_value"), 6).as("min_value"),
+        round(col("max_value"), 6).as("max_value"))
+
+  /** Per-fold log-loss + Brier of the ThresholdClassifier's probability
+    * response (logistic distance to the fold's threshold).
+    */
+  private def probScores(spark: SparkSession, dir: String): DataFrame = {
+    val df = PanelQueries.events(spark, dir)
+      .withColumn("label", (col("event_id") % 2).cast("double"))
+    val ps = PanelQueries.panelSplit(df)
+    val est = new ThresholdClassifier().setFeatureCol("value").setLabelCol("label")
+    val (preds, _) = CrossVal.crossValFitPredict(est, df, ps, labelCol = "label")
+    val cached = preds.cache()
+    Seq("log_loss", "brier_score").map { m =>
+      Metrics.perFoldScores(cached, m, "label", "probability")
+        .select(col("fold"), lit(m).as("metric"), round(col("score"), 6).as("score"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Monthly panel CV over lineitem (~600k rows at sf0.1, 83 periods):
+    * per-fold MSE of the mean regressor on l_extendedprice, nSplits=6.
+    */
+  private def cvLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.cached(spark, dir, "lineitem")
+      .withColumn("period", to_date(date_trunc("month", col("l_shipdate"))))
+    val ps = PanelSplit(df, "period", nSplits = 6, testSize = 1)
+    val est = new MeanRegressor().setLabelCol("l_extendedprice")
+    val (preds, _) = CrossVal.crossValFitPredict(est, df, ps, labelCol = "l_extendedprice")
+    Metrics.perFoldScores(preds, "mean_squared_error", "l_extendedprice", "prediction")
+      .select(col("fold"), round(col("score"), 4).as("score"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (saltedAgg _),
+    "q_metric_log_loss" -> (probScores _),
+    "q_cv_lineitem" -> (cvLineitem _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(min(value), 6) AS min_value,
+        |  round(max(value), 6) AS max_value
+        |FROM events GROUP BY event_type
+        |""".stripMargin,
+    "q_metric_log_loss" ->
+      s"""${PanelQueries.prelude},
+         |train AS (SELECT b.split AS fold, avg(ev.value) AS thr
+         |          FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split),
+         |test AS (SELECT b.split AS fold, CAST(ev.event_id % 2 AS DOUBLE) AS y,
+         |                greatest(least(1.0 / (1.0 + exp(-(ev.value - tr.thr) / 10.0)), 1 - 1e-15), 1e-15) AS p
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |         JOIN train tr ON tr.fold = b.split)
+         |SELECT fold, metric, round(score, 6) AS score FROM (
+         |  SELECT fold, 'log_loss' AS metric,
+         |         -avg(y * ln(p) + (1 - y) * ln(1 - p)) AS score FROM test GROUP BY fold
+         |  UNION ALL
+         |  SELECT fold, 'brier_score', avg(power(y - p, 2)) FROM test GROUP BY fold)
+         |""".stripMargin,
+    "q_cv_lineitem" ->
+      """WITH p AS (SELECT DISTINCT CAST(date_trunc('month', l_shipdate) AS DATE) AS period FROM lineitem),
+        |r AS (SELECT period, row_number() OVER (ORDER BY period) - 1 AS pos FROM p),
+        |nn AS (SELECT count(*) AS n FROM p),
+        |bounds AS (SELECT i AS split, (SELECT n FROM nn) - (6 - i) AS test_start
+        |           FROM (VALUES (0),(1),(2),(3),(4),(5)) t(i)),
+        |li AS (SELECT l.l_extendedprice AS y, r.pos
+        |       FROM lineitem l JOIN r ON CAST(date_trunc('month', l.l_shipdate) AS DATE) = r.period),
+        |train AS (SELECT b.split AS fold, avg(li.y) AS mu
+        |          FROM li JOIN bounds b ON li.pos < b.test_start GROUP BY b.split)
+        |SELECT b.split AS fold, round(avg(power(li.y - tr.mu, 2)), 4) AS score
+        |FROM li JOIN bounds b ON li.pos = b.test_start
+        |JOIN train tr ON tr.fold = b.split
+        |GROUP BY b.split
+        |""".stripMargin,
+  )
+}
