@@ -24,6 +24,7 @@ object SparkEntry {
     MlQueries,
     VariantQueries,
     ScaleQueries,
+    WorkflowQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window
