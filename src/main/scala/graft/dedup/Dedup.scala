@@ -29,9 +29,15 @@ object Dedup {
         i => concat_ws(" ", slice(t, i + 1, lit(n)))))
   }
 
-  /** Jaccard similarity of two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Jaccard similarity of two distinct-element arrays. |A∪B| is derived as
+    * |A|+|B|−|A∩B| instead of materializing the union array — one hash-set
+    * build per pair instead of two plus an allocation. (Spark's common
+    * subexpression elimination computes `array_intersect` once.)
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
 
   /** Near-duplicate pairs by n-gram shingle Jaccard within a blocking key.
     * Blocking bounds the quadratic verify (at scale: block = LSH bucket,
