@@ -83,6 +83,24 @@ class SequentialCVPipelineSpec extends SparkTestBase {
       df.select("y").as[Double].collect().toSet)
   }
 
+  test("save/load round-trips structure and fitted state (pickling analog)") {
+    val df = identityPanel
+    val cv = PanelSplit(df, "period", nSplits = 3, testSize = 1)
+    val pipe = new SequentialCVPipeline(
+      Seq("mu" -> est(new MeanRegressor().setLabelCol("y"))), Seq(Some(cv)))
+    pipe.fit(df)
+    val before = pipe.transform(df).select("id", "prediction")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft_pipe_${System.nanoTime()}.bin").getPath
+    pipe.save(path)
+    val loaded = SequentialCVPipeline.load(path)
+    assert(loaded.isFitted && loaded.nScoreSplits == 3)
+    val after = loaded.transform(df).select("id", "prediction")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(before == after)
+    new java.io.File(path).delete()
+  }
+
   test("copyWith applies step__param overrides to the right step only") {
     val pipe = new SequentialCVPipeline(
       Seq("mu" -> est(new MeanRegressor().setLabelCol("y"))), Seq(None))

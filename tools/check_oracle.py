@@ -45,7 +45,9 @@ for name, sql in sorted(oracle.items()):
         a, b = g[c], w[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             import numpy as np
-            if not np.allclose(a.astype(float), b.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True):
+            # exact: every query rounds floats on both sides, so bitwise
+            # equality is achievable and is what the driver's hash needs
+            if not np.array_equal(a.astype(float).values, b.astype(float).values, equal_nan=True):
                 ok = False; print(f"FAIL {name}: col {c} differs, e.g. {a.head(3).tolist()} vs {b.head(3).tolist()}")
         else:
             if not (a.astype(str).values == b.astype(str).values).all():
