@@ -181,6 +181,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Connected components over the near-duplicate pair graph — the final
+    * step of a real dedup pipeline (one canonical doc per cluster).
+    * Iterative min-label propagation: each node repeatedly adopts the
+    * minimum label among itself and its neighbors until fixpoint — the
+    * standard large-scale CC algorithm (hash-partitioned joins, no driver
+    * graph). Converges in O(component diameter) rounds; near-dup clusters
+    * are dense, so a handful. Throws if `maxIters` is hit unconverged.
+    *
+    * @param nodes DataFrame with an `id` column (every doc, incl. singletons)
+    * @param pairs DataFrame with `id_a`, `id_b` edges
+    * @return (id, cluster) where cluster = min id reachable
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    // localCheckpoint each round: iterative DataFrame algorithms grow their
+    // logical plan exponentially otherwise (every iteration embeds all
+    // previous) — lineage truncation is mandatory at any scale
+    var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // candidate label via neighbors: min over (own, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nlbl"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlbl")).as("minNeighbor"))
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("minNeighbor"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIters iterations")
+    labels
+  }
+
   /** 32-bit SimHash over tokens: bit b of the signature is the sign of
     * Σ_tokens (±1 depending on bit b of the token's 60-bit hash).
     * Computed as explode(tokens) × 32 bit positions → conditional sum —

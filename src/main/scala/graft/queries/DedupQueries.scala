@@ -36,6 +36,11 @@ object DedupQueries extends QueryPack {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", N, K, BANDS, THR)),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source", N, THR)
+      Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+    }),
   )
 
   /** Shared oracle fragments. */
@@ -51,8 +56,11 @@ object DedupQueries extends QueryPack {
        |       FROM shx CROSS JOIN p),
        |sig AS (SELECT doc_id, i, CAST(min(h) AS BIGINT) AS minh FROM hx GROUP BY doc_id, i)""".stripMargin
 
-  private val jaccardExpr =
-    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)), 6)"
+  /** Raw jaccard (threshold filters must use the UNROUNDED value, exactly
+    * like the Spark side; rounding happens only in the output projection).
+    */
+  private val jaccardRaw =
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -62,9 +70,9 @@ object DedupQueries extends QueryPack {
         |""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, $sh AS sh FROM documents),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardExpr AS sim
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardRaw AS sim
          |          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $THR
+         |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= $THR
          |""".stripMargin,
     "q_dedup_minhash_sig" ->
       s"""WITH ${sigCte("WHERE doc_id < 50")}
@@ -79,9 +87,21 @@ object DedupQueries extends QueryPack {
          |         FROM band a JOIN band b
          |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
          |t AS (SELECT doc_id, $sh AS sh FROM documents),
-         |ver AS (SELECT c.id_a, c.id_b, $jaccardExpr AS sim
+         |ver AS (SELECT c.id_a, c.id_b, $jaccardRaw AS sim
          |        FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b)
-         |SELECT id_a, id_b, sim FROM ver WHERE sim >= $THR
+         |SELECT id_a, id_b, round(sim, 6) AS sim FROM ver WHERE sim >= $THR
+         |""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, source, $sh AS sh FROM documents),
+         |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |          FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
+         |          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $THR),
+         |cc(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src)
+         |SELECT id, min(lbl) AS cluster FROM cc GROUP BY id
          |""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($sh) AS s FROM documents),

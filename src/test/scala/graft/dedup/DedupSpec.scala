@@ -60,6 +60,24 @@ class DedupSpec extends SparkTestBase {
     assert(viaAgg.size == 4 * 16)
   }
 
+  test("connectedComponents: chains collapse to min id, singletons keep their own") {
+    val nodes = (0L to 6L).toDF("id")
+    // chain 0-1-2, pair 3-4, singletons 5, 6
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 6L))
+  }
+
+  test("connectedComponents: long chain needs multiple propagation rounds") {
+    val n = 12
+    val nodes = (0L until n.toLong).toDF("id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(_.getAs[Long]("cluster")).distinct
+    assert(cc.toSeq == Seq(0L))
+  }
+
   test("simhash: identical texts equal; near-dup within small hamming distance; unrelated far") {
     val hashes = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
