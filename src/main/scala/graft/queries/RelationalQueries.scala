@@ -49,6 +49,18 @@ object RelationalQueries extends QueryPack {
       val w = Window.partitionBy("month").orderBy(col("day_rev").desc, col("day"))
       daily.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
     }),
+    // per-user event analytics: lag/lead/running-sum/ntile window functions
+    "q_rel_user_window" -> ((s, dir) => {
+      val ev = graft.sources.Tables.cached(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      ev.select(
+        col("event_id"), col("user_id"),
+        round(lag(col("value"), 1).over(w), 6).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 6).as("next_value"),
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).as("running_value"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"))
+    }),
     // nation-level customer order stats: two broadcast joins up a snowflake
     "q_rel_nation_orders" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
@@ -91,6 +103,16 @@ object RelationalQueries extends QueryPack {
         |SELECT month, day, day_rev,
         |       CAST(row_number() OVER (PARTITION BY month ORDER BY day_rev DESC, day) AS INT) AS rnk
         |FROM daily QUALIFY rnk <= 3
+        |""".stripMargin,
+    "q_rel_user_window" ->
+      """SELECT event_id, user_id,
+        |  round(lag(value, 1) OVER w, 6) AS prev_value,
+        |  round(lead(value, 1) OVER w, 6) AS next_value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |""".stripMargin,
     "q_rel_nation_orders" ->
       """SELECT n_name, count(*) AS n_orders,

@@ -17,6 +17,7 @@ object SimilarityQueries extends QueryPack {
   private val DIM = 64
   private val K = 5
   private val PLANES = 4
+  private val NLISTS = 8
   private val NEARDUP_THR = 0.25
   private val NQUERIES = 10
 
@@ -36,6 +37,11 @@ object SimilarityQueries extends QueryPack {
     }),
     "q_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", "label", NEARDUP_THR)),
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, NLISTS, DIM)
+    }),
   )
 
   private val dv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -45,6 +51,12 @@ object SimilarityQueries extends QueryPack {
   /** SRP plane literal for the oracle — identical doubles to Scala's. */
   private def planeSql(j: Int): String =
     "[" + Similarity.hyperplane(j, DIM).map(d => f"$d%.17g").mkString(", ") + "]"
+
+  /** IVF centroid literals — identical doubles to Scala's. */
+  private def centroidValues: String =
+    (0 until NLISTS).map { c =>
+      "(" + c + ", [" + Similarity.ivfCentroid(c, DIM).map(d => f"$d%.17g").mkString(", ") + "])"
+    }.mkString(", ")
 
   private def bucketSql(v: String): String =
     (0 until PLANES).map { j =>
@@ -69,6 +81,28 @@ object SimilarityQueries extends QueryPack {
          |      FROM (SELECT vec_id, $dv AS cv FROM embeddings)),
          |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
          |      FROM c JOIN q ON c.bucket = q.bucket WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH cents(c, cent) AS (VALUES $centroidValues),
+         |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents),
+         |assign AS (SELECT vec_id,
+         |                  (array_agg(c ORDER BY s DESC, c ASC))[1] AS c1,
+         |                  (array_agg(c ORDER BY s DESC, c ASC))[2] AS c2
+         |           FROM scored GROUP BY vec_id),
+         |corpus AS (SELECT v.vec_id AS neighbor_id, v.dv AS cv, a.c1 AS list
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id),
+         |probes AS (SELECT v.vec_id AS query_id, v.dv AS qv, a.c1 AS list
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES
+         |           UNION ALL
+         |           SELECT v.vec_id, v.dv, a.c2
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES),
+         |s AS (SELECT DISTINCT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |      FROM corpus JOIN probes USING (list) WHERE query_id <> neighbor_id),
          |r AS (SELECT query_id, neighbor_id, sim,
          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |      FROM s)

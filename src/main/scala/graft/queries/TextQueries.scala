@@ -35,6 +35,9 @@ object TextQueries extends QueryPack {
       col("doc_id"),
       fingerprint(col("text")).as("fp"),
       bagFingerprint(col("text")).as("bag_fp"))),
+    "q_rolling_fingerprint" -> ((s, dir) =>
+      rollingFingerprint(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -82,5 +85,22 @@ object TextQueries extends QueryPack {
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS bag_fp
          |FROM documents
          |""".stripMargin,
+    "q_rolling_fingerprint" -> {
+      import graft.text.TextFunctions.{rollPowers, ROLL_P}
+      val pw = rollPowers(1024).zipWithIndex
+        .map { case (bp, pos) => s"($pos, $bp)" }.mkString(", ")
+      s"""WITH pw(pos, bp) AS (VALUES $pw),
+         |tk AS (SELECT doc_id,
+         |              generate_subscripts($toks, 1) - 1 AS pos,
+         |              unnest($toks) AS tok
+         |       FROM documents),
+         |h AS (SELECT doc_id, pos,
+         |             CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) % $ROLL_P AS h
+         |      FROM tk)
+         |SELECT h.doc_id,
+         |       CAST(sum(h.h * pw.bp % $ROLL_P) % $ROLL_P AS BIGINT) AS fingerprint
+         |FROM h JOIN pw ON pw.pos = h.pos GROUP BY h.doc_id
+         |""".stripMargin
+    },
   )
 }

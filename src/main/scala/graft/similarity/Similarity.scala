@@ -111,6 +111,71 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Deterministic IVF coarse centroids: centroid c, dimension d =
+    * cos(1 + c·dim + d) — fixed, engine-independent (the IVF analog of the
+    * SRP hyperplanes; a production system would k-means these).
+    */
+  def ivfCentroid(c: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => math.cos(1.0 + c * dim + d))
+
+  /** Centroid ranking as a sorted array of (−score, index) structs:
+    * element 1 is the nearest list, element 2 the runner-up. Linear-size
+    * expression — a naive conditional fold duplicates subtrees
+    * exponentially (2^nLists) and OOMs codegen; array_sort keeps each dot
+    * product computed exactly once. Ties → lowest index (sort by c asc
+    * after −score).
+    */
+  def ivfRanking(v: Column, nLists: Int, dim: Int): Column = {
+    val scored = (0 until nLists).map { c =>
+      val cent = array(ivfCentroid(c, dim).map(lit): _*)
+      struct((-dot(v, cent)).as("negs"), lit(c).as("c"))
+    }
+    array_sort(array(scored: _*))
+  }
+
+  /** IVF list assignment: index of the nearest centroid by dot product
+    * (ties → lowest index). Computed map-side; `groupBy(list)` co-locates
+    * vectors per inverted list at scale.
+    */
+  def ivfList(v: Column, nLists: Int, dim: Int): Column =
+    element_at(ivfRanking(v, nLists, dim), 1).getField("c")
+
+  /** IVF-bucketed ANN: queries probe their own + the runner-up centroid's
+    * inverted lists (nprobe=2), exact cosine top-k within the probed lists.
+    * The scale path: corpus scan is replaced by |probed lists| / nLists of
+    * the data.
+    * Output: (query_id, neighbor_id, sim, rnk).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("list", ivfList(col("cv"), nLists, dim))
+    // query probes: best and second-best centroid (nprobe = 2)
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q0.withColumn("list", ivfList(col("qv"), nLists, dim))
+      .unionByName(q0.withColumn("list", ivfSecondList(col("qv"), nLists, dim)))
+    val scored = c.join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** Index of the second-nearest centroid (same tie-break discipline). */
+  def ivfSecondList(v: Column, nLists: Int, dim: Int): Column =
+    element_at(ivfRanking(v, nLists, dim), 2).getField("c")
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
     * (label here; an SRP bucket at scale): pairs with cosine >= threshold.
     */

@@ -90,4 +90,36 @@ object TextFunctions {
     */
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  val ROLL_P: Long = 2147483647L
+  val ROLL_B: Long = 31L
+
+  /** Precomputed B^pos mod p for positions 0..maxPos — shared verbatim with
+    * the SQL oracle so both engines do identical modular arithmetic.
+    */
+  def rollPowers(maxPos: Int): IndexedSeq[Long] = {
+    val out = new Array[Long](maxPos + 1)
+    out(0) = 1L
+    var i = 1
+    while (i <= maxPos) { out(i) = out(i - 1) * ROLL_B % ROLL_P; i += 1 }
+    out.toIndexedSeq
+  }
+
+  /** Position-weighted polynomial rolling hash of a document's token
+    * stream: fp = Σ_pos H(token_pos)·B^pos mod p. Order-SENSITIVE (unlike
+    * [[bagFingerprint]]) — reordered duplicates hash differently, shifted
+    * content shifts every term. Computed distributed: posexplode tokens,
+    * broadcast-join the tiny powers table, sum-aggregate.
+    */
+  def rollingFingerprint(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      maxPos: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val powers = rollPowers(maxPos).zipWithIndex.map { case (bp, pos) => (pos, bp) }.toDF("pos", "bp")
+    df.select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("h", pmod(hash60(col("tok")), lit(ROLL_P)))
+      .join(broadcast(powers), "pos")
+      .groupBy(col("id"))
+      .agg(pmod(sum(col("h") * col("bp") % ROLL_P), lit(ROLL_P)).as("fingerprint"))
+  }
 }
