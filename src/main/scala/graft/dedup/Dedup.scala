@@ -209,13 +209,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nlbl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("minNeighbor"))
+      // carry a change flag through the checkpoint: counting changes is then
+      // a filter on materialized data, not another join against old labels
       val updated = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("minNeighbor"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("minNeighbor"), col("cluster"))).as("cluster"),
+          (coalesce(col("minNeighbor"), col("cluster")) < col("cluster")).as("chg"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("id"), col("cluster"))
       converged = changed == 0
       iter += 1
     }
