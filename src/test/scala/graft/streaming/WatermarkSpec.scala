@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** True multi-batch watermark semantics: with append mode, a window only
+  * emits once the watermark passes its end, and events arriving later than
+  * the watermark are dropped — the behavior `streamPeriodAgg`'s
+  * single-batch AvailableNow path cannot show.
+  */
+class WatermarkSpec extends SparkTestBase {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  test("late events beyond the watermark are dropped; closed windows emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: two events on Jan 1, one on Jan 2 -> watermark to Jan 2 23:00
+    input.addData((ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 11:00:00"), 2.0),
+      (ts("2024-01-02 23:59:00"), 4.0))
+    q.processAllAvailable()
+    // batch 2: advance event time to Jan 4 -> Jan 1 + Jan 2 windows close
+    input.addData((ts("2024-01-04 01:00:00"), 8.0))
+    q.processAllAvailable()
+    // batch 3: a LATE Jan-1 event, far behind the watermark -> dropped
+    input.addData((ts("2024-01-01 12:00:00"), 100.0))
+    q.processAllAvailable()
+    // batch 4: advance far so remaining windows close
+    input.addData((ts("2024-01-07 00:00:00"), 16.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("wm_test")
+      .select(to_date(col("w.start")).as("d"), col("n"), col("s"))
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // Jan 1 window emitted with ONLY the on-time events; the late 100.0 never appears
+    assert(out("2024-01-01") == (2L, 3.0))
+    assert(out("2024-01-02") == (1L, 4.0))
+  }
+}
