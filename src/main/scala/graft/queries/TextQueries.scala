@@ -38,6 +38,10 @@ object TextQueries extends QueryPack {
     "q_rolling_fingerprint" -> ((s, dir) =>
       rollingFingerprint(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
+    "q_text_tokens" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      round(punctRatio(col("text")), 6).as("punct_ratio"))),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -83,6 +87,14 @@ object TextQueries extends QueryPack {
     "q_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS bag_fp
+         |FROM documents
+         |""".stripMargin,
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${graft.text.TextFunctions.BPE_PATTERN}')) AS n_bpe_tokens,
+         |  round(CASE WHEN length(replace(text, ' ', '')) = 0 THEN 0
+         |        ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |             / length(replace(text, ' ', '')) END, 6) AS punct_ratio
          |FROM documents
          |""".stripMargin,
     "q_rolling_fingerprint" -> {

@@ -91,6 +91,25 @@ object TextFunctions {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * non-alphanumeric symbols — the pre-tokenization pattern BPE vocabs
+    * split on. Same pattern semantics in Java regex (Spark) and RE2
+    * (DuckDB oracle).
+    */
+  val BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BPE_PATTERN), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Fraction of non-space characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, " ", ""))
+    val punct = length(regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    when(nonSpace === 0, 0.0).otherwise(punct.cast("double") / nonSpace)
+  }
+
   val ROLL_P: Long = 2147483647L
   val ROLL_B: Long = 31L
 
