@@ -1,0 +1,59 @@
+package graft.metrics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for registry metrics not covered by the gate
+  * queries (MSLE family, deviances, clamping), plus sign-convention checks.
+  */
+class MetricsSpec extends SparkTestBase {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def score(metric: String, pairs: Seq[(Double, Double)]): Double = {
+    val df = pairs.zipWithIndex.map { case ((y, p), i) => (0, y, p) }.toDF("fold", "label", "prediction")
+    Metrics.perFoldScoreSeq(df, metric, "label", "prediction").head
+  }
+
+  test("mean_squared_log_error and rmsle") {
+    val pairs = Seq((3.0, 2.5), (0.5, 0.0), (2.0, 2.0), (7.0, 8.0))
+    val expected = pairs.map { case (y, p) =>
+      math.pow(math.log1p(y) - math.log1p(p), 2) }.sum / 4
+    assert(math.abs(score("mean_squared_log_error", pairs) - expected) < 1e-12)
+    assert(math.abs(score("root_mean_squared_log_error", pairs) - math.sqrt(expected)) < 1e-12)
+  }
+
+  test("mean poisson and gamma deviance (sklearn formulas)") {
+    val pairs = Seq((2.0, 1.5), (0.0, 0.5), (3.0, 3.0))
+    val poisson = pairs.map { case (y, p) =>
+      2.0 * ((if (y > 0) y * math.log(y / p) else 0.0) - y + p) }.sum / 3
+    assert(math.abs(score("mean_poisson_deviance", pairs) - poisson) < 1e-12)
+    val gPairs = Seq((2.0, 1.5), (1.0, 0.5), (3.0, 3.0)) // strictly positive
+    val gamma = gPairs.map { case (y, p) =>
+      2.0 * (math.log(p / y) + y / p - 1.0) }.sum / 3
+    assert(math.abs(score("mean_gamma_deviance", gPairs) - gamma) < 1e-12)
+  }
+
+  test("log_loss clamps probabilities at 1e-15") {
+    // p = 0 would be -inf without clamping
+    val pairs = Seq((1.0, 0.0), (0.0, 1.0))
+    val eps = 1e-15
+    // mirror the float arithmetic: 1-(1-eps) is NOT exactly eps in doubles
+    val expected = -(math.log(eps) + math.log(1.0 - (1.0 - eps))) / 2
+    assert(math.abs(score("log_loss", pairs) - expected) < 1e-9)
+  }
+
+  test("neg_* scorers flip sign; greater-is-better metrics resolve raw") {
+    val pairs = Seq((1.0, 2.0), (3.0, 3.0))
+    assert(score("neg_mean_absolute_error", pairs) == -score("mean_absolute_error", pairs))
+    assert(score("r2", pairs) == score("r2", pairs))
+    assertThrows[IllegalArgumentException](Metrics.resolve("not_a_metric"))
+  }
+
+  test("explained_variance vs r2 differ under biased predictions") {
+    // constant bias: EV = 1 (residual variance 0), r2 < 1
+    val pairs = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0))
+    assert(math.abs(score("explained_variance", pairs) - 1.0) < 1e-12)
+    assert(score("r2", pairs) < 1.0)
+  }
+}
