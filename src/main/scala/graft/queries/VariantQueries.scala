@@ -68,10 +68,48 @@ object VariantQueries extends QueryPack {
     preds.select(col("event_id"), col("fold"), round(col("value2_imp"), 6).as("value2_imp"))
   }
 
+  /** Per-entity out-of-fold scoring: fold × user MSE of the mean regressor
+    * — the group-wise metric view panel users need (entities are implicit
+    * in the reference; first-class grouping here).
+    */
+  private def cvMseByUser(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+    val ps = PanelQueries.panelSplit(df)
+    val (preds, _) = graft.cv.CrossVal.crossValFitPredict(
+      new graft.ml.MeanRegressor().setLabelCol("value"), df, ps, labelCol = "value")
+    preds.groupBy(col("fold"), col("user_id"))
+      .agg(round(avg(pow(col("value") - col("prediction"), 2)), 6).as("score"),
+        count(lit(1)).as("n"))
+  }
+
+  /** dropSplits at the gate: a target that is constant over the last two
+    * days makes the folds testing those days degenerate (1 distinct y);
+    * output = surviving fold spec (split, role, period).
+    */
+  private def dropSplitsQ(spark: SparkSession, dir: String): DataFrame = {
+    val df0 = events(spark, dir)
+    val lastDays = df0.select(col("period")).distinct()
+      .orderBy(col("period").desc).limit(2).collect().map(_.get(0))
+    val df = df0.withColumn("y2",
+      when(col("period").isin(lastDays: _*), lit(42.0)).otherwise(col("value")))
+    val ps = PanelQueries.panelSplit(df).dropSplits(df, "y2")
+    val rows = ps.folds.flatMap { f =>
+      f.trainPeriods.map(p => Row(f.index, "train", p)) ++
+        f.testPeriods.map(p => Row(f.index, "test", p))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("split", IntegerType, nullable = false),
+      StructField("role", StringType, nullable = false),
+      StructField("period", DateType, nullable = false))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fold_periods_variant" -> (foldPeriodsVariant _),
     "q_snapshot_split" -> (snapshotSplit _),
     "q_cv_impute" -> (cvImpute _),
+    "q_cv_mse_by_user" -> (cvMseByUser _),
+    "q_drop_splits" -> (dropSplitsQ _),
   )
 
   import PanelQueries.prelude
@@ -106,6 +144,31 @@ object VariantQueries extends QueryPack {
          |FROM ev JOIN bounds b ON ev.pos < b.test_start
          |JOIN snapv ON snapv.split = b.split
          |WHERE CAST(ev.period + (ev.event_id % 2) * INTERVAL 1 DAY AS DATE) = snapv.snap_val
+         |""".stripMargin,
+    "q_cv_mse_by_user" ->
+      s"""$prelude,
+         |train AS (SELECT b.split AS fold, avg(ev.value) AS mu
+         |          FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split)
+         |SELECT b.split AS fold, ev.user_id,
+         |       round(avg(power(ev.value - tr.mu, 2)), 6) AS score,
+         |       count(*) AS n
+         |FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |JOIN train tr ON tr.fold = b.split
+         |GROUP BY b.split, ev.user_id
+         |""".stripMargin,
+    "q_drop_splits" ->
+      s"""$prelude,
+         |evy AS (SELECT ev.*, CASE WHEN ev.pos >= (SELECT n FROM nn) - 2 THEN 42.0 ELSE ev.value END AS y2 FROM ev),
+         |stats AS (SELECT b.split,
+         |            sum(CASE WHEN evy.pos < b.test_start THEN 1 ELSE 0 END) AS tr_n,
+         |            sum(CASE WHEN evy.pos = b.test_start THEN 1 ELSE 0 END) AS te_n,
+         |            count(DISTINCT CASE WHEN evy.pos < b.test_start THEN evy.y2 END) AS tr_u,
+         |            count(DISTINCT CASE WHEN evy.pos = b.test_start THEN evy.y2 END) AS te_u
+         |          FROM evy CROSS JOIN bounds b GROUP BY b.split),
+         |keep AS (SELECT stats.split, b.test_start FROM stats JOIN bounds b ON b.split = stats.split
+         |         WHERE tr_n > 0 AND te_n > 0 AND tr_u <> 1 AND te_u <> 1)
+         |SELECT k.split, CASE WHEN r.pos < k.test_start THEN 'train' ELSE 'test' END AS role, r.period
+         |FROM r JOIN keep k ON r.pos < k.test_start + 1
          |""".stripMargin,
     "q_cv_impute" ->
       s"""$prelude,
