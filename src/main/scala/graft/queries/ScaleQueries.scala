@@ -54,10 +54,45 @@ object ScaleQueries extends QueryPack {
       .select(col("fold"), round(col("score"), 4).as("score"))
   }
 
+  /** Deterministic hash sampling — reproducible train/holdout splits at any
+    * scale: keep rows whose 60-bit content hash lands in the first `pct`
+    * buckets of 100. No RNG state, no seed coordination across executors;
+    * the sample is a pure function of the key.
+    */
+  private def hashSample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = PanelQueries.events(spark, dir)
+    ev.filter(pmod(graft.text.TextFunctions.hash60(col("event_id").cast("string")), lit(100)) < 10)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"), round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** The curation pipeline end to end — what this engine exists for:
+    * near-dup clusters → one canonical doc per cluster → quality filter →
+    * corpus stats per language. Composes dedup (Jaccard + connected
+    * components), text quality, and aggregation in one plan.
+    */
+  private def curation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.TextFunctions
+    val docs = graft.sources.Tables.cached(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 1, threshold = 0.8)
+    val clusters = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+    val canonical = clusters.filter(col("id") === col("cluster")).select(col("id").as("doc_id"))
+    docs.join(canonical, "doc_id")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.3)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 6).as("avg_quality"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (saltedAgg _),
     "q_metric_log_loss" -> (probScores _),
     "q_cv_lineitem" -> (cvLineitem _),
+    "q_sample_hash" -> (hashSample _),
+    "q_curation_pipeline" -> (curation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -81,6 +116,37 @@ object ScaleQueries extends QueryPack {
          |         -avg(y * ln(p) + (1 - y) * ln(1 - p)) AS score FROM test GROUP BY fold
          |  UNION ALL
          |  SELECT fold, 'brier_score', avg(power(y - p, 2)) FROM test GROUP BY fold)
+         |""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT event_type, count(*) AS n_sampled, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 10
+        |GROUP BY event_type
+        |""".stripMargin,
+    "q_curation_pipeline" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS sh FROM documents),
+         |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |          FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
+         |          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         |cc(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src),
+         |clusters AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id),
+         |canonical AS (SELECT id AS doc_id FROM clusters WHERE id = cluster),
+         |q AS (SELECT d.doc_id, d.lang, d.n_chars,
+         |        CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS n,
+         |        CAST(len(list_distinct(string_split(d.text, ' '))) AS DOUBLE) AS nd,
+         |        CAST(len(list_filter(string_split(d.text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE) AS nstop
+         |      FROM documents d JOIN canonical USING (doc_id)),
+         |scored AS (SELECT doc_id, lang, n_chars,
+         |             greatest(least((least(n / 100.0, 1.0) + nd / n - nstop / n) / 2.0, 1.0), 0.0) AS quality
+         |           FROM q)
+         |SELECT lang, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM scored WHERE quality >= 0.3
+         |GROUP BY lang
          |""".stripMargin,
     "q_cv_lineitem" ->
       """WITH p AS (SELECT DISTINCT CAST(date_trunc('month', l_shipdate) AS DATE) AS period FROM lineitem),
