@@ -97,15 +97,25 @@ final class PanelSplit private (
   def genSnapshots(df: DataFrame, periodCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val pc = periodCol.getOrElse(periodsCol)
-    // distinct (fold-period, snapshot-period) pairs actually present — tiny
-    val presentPairs: Seq[(Any, Any)] =
-      df.select(col(periodsCol), col(pc)).distinct().collect()
-        .map(r => (r.get(0), r.get(1))).toSeq
+    // distinct (fold-period, snapshot-period, snapshot-filter value) triples
+    // actually present — tiny. The third element carries the snapshot column
+    // so the per-fold max is taken over the SNAPSHOT-FILTERED rows, matching
+    // the reference (`cross_validation.py:407-414` computes the max over the
+    // selected rows, which in snapshot mode are already vintage-filtered).
+    val snapExpr = snapshotCol.map(col).getOrElse(lit(null))
+    val presentTriples: Seq[(Any, Any, Any)] =
+      df.select(col(periodsCol), col(pc), snapExpr).distinct().collect()
+        .map(r => (r.get(0), r.get(1), r.get(2))).toSeq
 
     import scala.jdk.CollectionConverters._
     val rows = folds.flatMap { f =>
       val foldPeriods = (f.trainPeriods ++ f.testPeriods).distinct
-      val present = presentPairs.filter { case (p, _) => foldPeriods.contains(p) }
+      val present = presentTriples.filter { case (p, _, s) =>
+        foldPeriods.contains(p) && ((snapshotCol, f.snapshot) match {
+          case (Some(_), Some(sv)) => s == sv
+          case _                   => true
+        })
+      }
       if (present.isEmpty) Nil
       else {
         val last = present.map(_._2).max(PanelSplit.anyOrdering)

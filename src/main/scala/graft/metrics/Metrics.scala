@@ -33,9 +33,12 @@ object Metrics {
   private def expr_percentile(c: Column): Column =
     call_function("percentile", c, lit(0.5))
   private def r2(l: Column, p: Column) = {
-    val ssRes = sum(pow(l - p, 2))
-    val ssTot = sum(pow(l, 2)) - pow(sum(l), 2) / count(l)
-    lit(1.0) - ssRes / ssTot
+    // Centered, numerically stable form: the uncentered expansion
+    // sum(y²) − sum(y)²/n cancels ~9 significant digits at sum(y)~1e7 and
+    // flips last-ulp under parallel summation order. var_pop uses stable
+    // central-moment merges in both Spark and DuckDB, so the oracle compare
+    // is reproducible across runs.
+    lit(1.0) - avg(pow(l - p, 2)) / var_pop(l)
   }
   private def explainedVariance(l: Column, p: Column) = {
     // 1 - Var(y - yhat) / Var(y), population variances
@@ -168,22 +171,26 @@ object Metrics {
   }
 
   /** Average precision (area under the precision-recall curve, step
-    * integration like sklearn): AP = (1/n⁺) Σ_{positive k} precision@k over
-    * the score-descending ranking. Ties broken by the ranking order; pass a
-    * distinct-valued score column for determinism.
+    * integration like sklearn): AP = Σ_n (R_n − R_{n−1}) P_n over DISTINCT
+    * thresholds in score-descending order. Grouping ties at the threshold
+    * level (exactly sklearn's `precision_recall_curve` semantics) makes the
+    * result tie-invariant — no tie-break column needed, deterministic under
+    * any partition-parallel ordering.
     */
   def averagePrecision(preds: DataFrame, labelCol: String, scoreCol: String,
-      foldCol: String = "fold", tieCol: Option[String] = None): DataFrame = {
+      foldCol: String = "fold"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val order = col(scoreCol).desc +: tieCol.map(col(_).asc).toSeq
-    val w = Window.partitionBy(foldCol).orderBy(order: _*)
-    val ranked = preds
-      .withColumn("__k", row_number().over(w))
-      .withColumn("__cum_pos", sum(when(col(labelCol) === 1, 1).otherwise(0)).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-    ranked.groupBy(col(foldCol))
-      .agg((sum(when(col(labelCol) === 1, col("__cum_pos").cast("double") / col("__k"))) /
-        sum(when(col(labelCol) === 1, 1).otherwise(0))).as("score"))
+    val byThr = preds.groupBy(col(foldCol), col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol) === 1, 1).otherwise(0)).cast("double").as("__pos"),
+        count(lit(1)).cast("double").as("__cnt"))
+    val w = Window.partitionBy(foldCol).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byThr
+      .withColumn("__cum_pos", sum(col("__pos")).over(w))
+      .withColumn("__cum_cnt", sum(col("__cnt")).over(w))
+      .groupBy(col(foldCol))
+      .agg((sum(col("__pos") * col("__cum_pos") / col("__cum_cnt")) / sum(col("__pos"))).as("score"))
       .orderBy(col(foldCol))
   }
 

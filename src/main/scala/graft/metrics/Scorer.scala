@@ -26,7 +26,15 @@ final case class Scorer(
   def score(pipeline: SequentialCVPipeline, df: DataFrame, labelCol: String): Seq[Double] = {
     val out0 = pipeline.transform(df)
     val hasCv = pipeline.lastCv.isDefined
-    val out = if (hasCv) out0 else out0.withColumn("fold", lit(0))
+    scoreTransformed(if (hasCv) out0 else out0.withColumn("fold", lit(0)), labelCol)
+  }
+
+  /** Score an already-transformed, fold-tagged frame — the cached-response
+    * path (reference `metrics.py:173-194`): search transforms once per
+    * candidate, persists, and every scorer reads from the same frame instead
+    * of re-running the per-fold pipeline per metric.
+    */
+  def scoreTransformed(out: DataFrame, labelCol: String): Seq[Double] = {
     val Averaged = "(precision|recall|f1)_(macro|micro|weighted)".r
     val perFold = metricName match {
       case "roc_auc" =>

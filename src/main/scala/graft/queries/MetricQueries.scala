@@ -94,8 +94,8 @@ object MetricQueries extends QueryPack {
          |        avg(abs(y - p)) AS mae,
          |        avg(abs(y - p) / greatest(abs(y), 1e-15)) AS mape,
          |        median(abs(y - p)) AS medae,
-         |        1 - sum(power(y - p, 2)) / (sum(y * y) - power(sum(y), 2) / count(*)) AS r2,
-         |        1 - (avg(power(y - p, 2)) - power(avg(y - p), 2)) / (avg(y * y) - power(avg(y), 2)) AS ev_score,
+         |        1 - avg(power(y - p, 2)) / var_pop(y) AS r2,
+         |        1 - var_pop(y - p) / var_pop(y) AS ev_score,
          |        max(abs(y - p)) AS maxerr
          |      FROM test GROUP BY fold)
          |SELECT fold, metric, round(score, 6) AS score FROM (

@@ -54,7 +54,7 @@ object MlQueries extends QueryPack {
     val folds = ps.folds.map { f =>
       df.filter(f.testPredicate(ps.periodsCol, None)).withColumn("fold", lit(f.index))
     }.reduce(_ unionByName _)
-    Metrics.averagePrecision(folds, "label", "value", tieCol = Some("event_id"))
+    Metrics.averagePrecision(folds, "label", "value")
       .select(col("fold"), round(col("score"), 6).as("score"))
   }
 
@@ -166,17 +166,18 @@ object MlQueries extends QueryPack {
          |""".stripMargin,
     "q_metric_avg_precision" ->
       s"""$prelude,
-         |test AS (SELECT b.split AS fold, ev.event_id, CAST(ev.event_id % 2 AS DOUBLE) AS y, ev.value AS s
+         |test AS (SELECT b.split AS fold, CAST(ev.event_id % 2 AS DOUBLE) AS y, ev.value AS s
          |         FROM ev JOIN bounds b ON ev.pos = b.test_start),
-         |ranked AS (SELECT fold, y,
-         |             row_number() OVER (PARTITION BY fold ORDER BY s DESC, event_id) AS k,
-         |             sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
-         |               OVER (PARTITION BY fold ORDER BY s DESC, event_id ROWS UNBOUNDED PRECEDING) AS cp
-         |           FROM test)
-         |SELECT fold,
-         |       round(sum(CASE WHEN y = 1 THEN CAST(cp AS DOUBLE) / k END)
-         |             / sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 6) AS score
-         |FROM ranked GROUP BY fold
+         |thr AS (SELECT fold, s,
+         |          CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS pos,
+         |          CAST(count(*) AS DOUBLE) AS cnt
+         |        FROM test GROUP BY fold, s),
+         |cum AS (SELECT fold, pos,
+         |          sum(pos) OVER (PARTITION BY fold ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_pos,
+         |          sum(cnt) OVER (PARTITION BY fold ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_cnt
+         |        FROM thr)
+         |SELECT fold, round(sum(pos * cum_pos / cum_cnt) / sum(pos), 6) AS score
+         |FROM cum GROUP BY fold
          |""".stripMargin,
   )
 }

@@ -71,7 +71,15 @@ abstract class BaseSearch(
         val t0 = System.nanoTime()
         cand.fit(df)
         val t1 = System.nanoTime()
-        val scores = scorers.map { case (name, sc) => name -> sc.score(cand, df, labelCol) }.toMap
+        // Cached response (reference metrics.py:173-194): one transform per
+        // candidate, persisted; every scorer reads the same frame — m metrics
+        // cost 1 transform job set, not m.
+        val out0 = cand.transform(df)
+        val out = if (cand.lastCv.isDefined) out0 else out0.withColumn("fold", org.apache.spark.sql.functions.lit(0))
+        out.persist()
+        val scores =
+          try scorers.map { case (name, sc) => name -> sc.scoreTransformed(out, labelCol) }.toMap
+          finally out.unpersist()
         (scores, (t1 - t0) / 1e9, (System.nanoTime() - t1) / 1e9)
       } match {
         case Success((scores, ft, st)) =>
@@ -97,8 +105,12 @@ abstract class BaseSearch(
       }.toMap
     }
     results = evaluated
-    bestIndex = results.filter(!_.meanScore(primaryMetric).isNaN)
-      .minBy(_.rank(primaryMetric)).index
+    val viable = results.filter(!_.meanScore(primaryMetric).isNaN)
+    if (viable.isEmpty)
+      throw new IllegalStateException(
+        s"Every candidate produced NaN for refit metric '$primaryMetric' " +
+          s"(${results.size} candidates, ${results.count(_.failed)} failed); cannot select best.")
+    bestIndex = viable.minBy(_.rank(primaryMetric)).index
     if (refit) {
       val best = pipeline.copyWith(results(bestIndex).params)
       best.fit(df)
