@@ -39,9 +39,12 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Near-duplicate pairs by n-gram shingle Jaccard within a blocking key.
-    * Blocking bounds the quadratic verify (at scale: block = LSH bucket,
-    * here also exposed with a plain attribute block for the SQL oracle).
+  /** Near-duplicate pairs by n-gram shingle Jaccard within a blocking key —
+    * the BOUNDED-VERIFY primitive: correct whenever the caller can guarantee
+    * the blocking key caps block size (a pre-computed LSH bucket, a tenant id
+    * with known fan-in). NOT the scale path on an open-ended corpus: a static
+    * attribute block grows O(n) ⇒ O(n²) pairs per block. Pipelines
+    * (clusters, curation) feed from [[minhashLshPairs]] instead.
     * Output: (id_a, id_b, sim) with id_a < id_b, sim >= threshold.
     */
   def ngramJaccardPairs(

@@ -68,14 +68,17 @@ object ScaleQueries extends QueryPack {
 
   /** The curation pipeline end to end — what this engine exists for:
     * near-dup clusters → one canonical doc per cluster → quality filter →
-    * corpus stats per language. Composes dedup (Jaccard + connected
-    * components), text quality, and aggregation in one plan.
+    * corpus stats per language. Composes dedup (MinHash-LSH pair generation
+    * + connected components), text quality, and aggregation in one plan.
+    * The pair head is LSH-bucketed, not attribute-blocked: candidate volume
+    * is bounded by band-bucket population at any corpus size.
     */
   private def curation(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     import graft.text.TextFunctions
     val docs = graft.sources.Tables.cached(spark, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", n = 1, threshold = 0.8)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 1, k = 16, nBands = 4,
+      threshold = DedupQueries.CLUSTER_THR)
     val clusters = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     val canonical = clusters.filter(col("id") === col("cluster")).select(col("id").as("doc_id"))
     docs.join(canonical, "doc_id")
@@ -124,11 +127,7 @@ object ScaleQueries extends QueryPack {
         |GROUP BY event_type
         |""".stripMargin,
     "q_curation_pipeline" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS sh FROM documents),
-         |edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
-         |          FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
-         |          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      s"""WITH RECURSIVE ${DedupQueries.lshEdgesCtes(DedupQueries.CLUSTER_THR)},
          |cc(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION

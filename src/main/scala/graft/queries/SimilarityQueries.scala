@@ -36,7 +36,9 @@ object SimilarityQueries extends QueryPack {
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, PLANES, DIM)
     }),
     "q_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", "label", NEARDUP_THR)),
+      // SRP-bucket blocking (scale path) — bucket population shrinks with
+      // nPlanes instead of growing O(n) like a static attribute block
+      Similarity.cosineNearDupPairsSrp(emb(s, dir), "vec_id", "embedding", PLANES, DIM, NEARDUP_THR)),
     "q_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(
@@ -109,9 +111,10 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
          |""".stripMargin,
     "q_cosine_neardup" ->
-      s"""WITH v AS (SELECT vec_id, label, $dv AS dv FROM embeddings),
+      s"""WITH v AS (SELECT vec_id, dv, ${bucketSql("dv")} AS block
+         |           FROM (SELECT vec_id, $dv AS dv FROM embeddings)),
          |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.dv", "b.dv")} AS sim
-         |          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |          FROM v a JOIN v b ON a.block = b.block AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $NEARDUP_THR
          |""".stripMargin,
   )

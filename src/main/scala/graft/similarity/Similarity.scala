@@ -176,8 +176,36 @@ object Similarity {
   def ivfSecondList(v: Column, nLists: Int, dim: Int): Column =
     element_at(ivfRanking(v, nLists, dim), 2).getField("c")
 
-  /** Embedding-cosine near-duplicate pairs within a blocking column
-    * (label here; an SRP bucket at scale): pairs with cosine >= threshold.
+  /** Embedding-cosine near-duplicate pairs within the SRP bucket — the
+    * scale path. Expected bucket population is corpus/2^nPlanes and is
+    * tunable with more planes, unlike a static attribute key whose block
+    * grows O(n) with the corpus (⇒ O(n²) pairs per block). High-cosine
+    * pairs share all plane signs with probability Π_j(1 − θ/π), so recall
+    * at a near-dup threshold stays high for small nPlanes.
+    */
+  def cosineNearDupPairsSrp(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int,
+      dim: Int,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("block", srpBucket(col("v"), nPlanes, dim))
+    val a = v.select(col("id").as("id_a"), col("block"), col("v").as("va"))
+    val b = v.select(col("id").as("id_b"), col("block"), col("v").as("vb"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosineFast(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a STATIC blocking column —
+    * the bounded-verify baseline (oracle-checkable, good when the key is
+    * known to cap block size). For open-ended corpora use
+    * [[cosineNearDupPairsSrp]]: a static key's blocks grow O(n).
     */
   def cosineNearDupPairs(
       df: DataFrame,
