@@ -94,6 +94,42 @@ object Metrics {
   }
   private def brier(l: Column, p: Column) = avg(pow(l - p, 2))
 
+  /** D² of the Brier score: 1 − brier(y,p) / brier(y, prevalence). The null
+    * model predicts the fold's empirical positive rate, whose Brier score is
+    * exactly var_pop(y) — so this is the stable centered-R² form applied to
+    * probabilities (sklearn `d2_brier_score`, reference `metrics.py:589`).
+    */
+  private def d2Brier(l: Column, p: Column) = {
+    val den = var_pop(l)
+    when(den === 0, 0.0).otherwise(lit(1.0) - brier(l, p) / den)
+  }
+
+  /** D² of the log loss: 1 − logloss(y,p) / H(prevalence) where the null
+    * model's log loss is the label entropy (sklearn `d2_log_loss_score`).
+    */
+  private def d2LogLoss(l: Column, p: Column) = {
+    val q = avg(l)
+    val h = -(q * log(q) + (lit(1.0) - q) * log(lit(1.0) - q))
+    when(q === 0 || q === 1, 0.0).otherwise(lit(1.0) - logLoss(l, p) / h)
+  }
+
+  /** Class likelihood ratios (sklearn `class_likelihood_ratios` with
+    * `replace_undefined_by=1.0`, reference `metrics.py:599-610`):
+    * LR+ = TPR/FPR, LR− = FNR/TNR; any zero denominator → 1.0.
+    */
+  private def positiveLikelihoodRatio(l: Column, p: Column) = {
+    val (a, b, c, d) = (tp(l, p), fp(l, p), fn(l, p), tn(l, p))
+    val tpr = a / (a + c)
+    val fpr = b / (b + d)
+    when(a + c === 0 || b + d === 0 || b === 0, 1.0).otherwise(tpr / fpr)
+  }
+  private def negativeLikelihoodRatio(l: Column, p: Column) = {
+    val (a, b, c, d) = (tp(l, p), fp(l, p), fn(l, p), tn(l, p))
+    val fnr = c / (a + c)
+    val tnr = d / (b + d)
+    when(a + c === 0 || b + d === 0 || d === 0, 1.0).otherwise(fnr / tnr)
+  }
+
   /** ROC-AUC via the Mann-Whitney rank statistic, tie-corrected (equivalent
     * to sklearn's trapezoid AUC): AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)
     * with average ranks over the score column. Not a plain aggregate (needs a
@@ -117,13 +153,18 @@ object Metrics {
           / (col("__npos") * col("__nneg"))).as("score"))
   }
 
-  /** Multiclass averaged precision/recall/F1 from the per-class confusion
-    * counts (`groupBy(fold, class)` over one-vs-rest tallies) — the
-    * reference's averaged scorer variants (`metrics.py:713-724`).
+  /** Multiclass averaged precision/recall/F1/jaccard from the per-class
+    * confusion counts (`groupBy(fold, class)` over one-vs-rest tallies) —
+    * the reference's averaged scorer variants (`metrics.py:713-724`).
     *
     * @param average "macro" (unweighted class mean), "micro" (global
-    *                counts), or "weighted" (support-weighted class mean)
-    * Output: (fold, precision, recall, f1).
+    *                counts), "weighted" (support-weighted class mean), or
+    *                "samples" (per-sample mean; single-label rows make every
+    *                per-sample stat the 0/1 exact-match indicator, so all
+    *                four collapse to accuracy — documented divergence from
+    *                sklearn, which rejects non-multilabel input for this
+    *                average)
+    * Output: (fold, precision, recall, f1, jaccard).
     */
   def multiclassScores(
       preds: DataFrame,
@@ -131,9 +172,18 @@ object Metrics {
       predictionCol: String,
       average: String,
       foldCol: String = "fold"): DataFrame = {
-    require(Seq("macro", "micro", "weighted").contains(average), s"bad average '$average'")
+    require(Seq("macro", "micro", "weighted", "samples").contains(average), s"bad average '$average'")
     val l = col(labelCol)
     val p = col(predictionCol)
+    if (average == "samples") {
+      val acc = avg(when(l === p, 1.0).otherwise(0.0))
+      return preds.groupBy(col(foldCol))
+        .agg(acc.as("precision"))
+        .withColumn("recall", col("precision"))
+        .withColumn("f1", col("precision"))
+        .withColumn("jaccard", col("precision"))
+        .orderBy(col(foldCol))
+    }
     // per (fold, class): tp, predicted-count, actual-count — via two tagged passes
     val perClass = preds.select(col(foldCol), l.as("cls"), p.as("pred"))
       .groupBy(col(foldCol), col("cls"))
@@ -148,24 +198,31 @@ object Metrics {
     val prec = when(col("predicted") === 0, 0.0).otherwise(col("tp") / col("predicted"))
     val rec = when(col("support") === 0, 0.0).otherwise(col("tp") / col("support"))
     val f1c = when(prec + rec === 0, 0.0).otherwise(lit(2.0) * prec * rec / (prec + rec))
+    val jacDen = col("predicted") + col("support") - col("tp")
+    val jac = when(jacDen === 0, 0.0).otherwise(col("tp") / jacDen)
     average match {
       case "macro" =>
         perClass.groupBy(col(foldCol))
-          .agg(avg(prec).as("precision"), avg(rec).as("recall"), avg(f1c).as("f1"))
+          .agg(avg(prec).as("precision"), avg(rec).as("recall"), avg(f1c).as("f1"),
+            avg(jac).as("jaccard"))
           .orderBy(col(foldCol))
       case "weighted" =>
         perClass.groupBy(col(foldCol))
           .agg(
             (sum(prec * col("support")) / sum(col("support"))).as("precision"),
             (sum(rec * col("support")) / sum(col("support"))).as("recall"),
-            (sum(f1c * col("support")) / sum(col("support"))).as("f1"))
+            (sum(f1c * col("support")) / sum(col("support"))).as("f1"),
+            (sum(jac * col("support")) / sum(col("support"))).as("jaccard"))
           .orderBy(col(foldCol))
       case "micro" =>
-        // micro precision == recall == f1 == accuracy for single-label multiclass
+        // micro precision == recall == f1 == accuracy for single-label
+        // multiclass; micro jaccard = Σtp / (Σpred + Σsupp − Σtp)
         perClass.groupBy(col(foldCol))
-          .agg((sum(col("tp")) / sum(col("support"))).as("precision"))
+          .agg((sum(col("tp")) / sum(col("support"))).as("precision"),
+            (sum(col("tp")) / (sum(col("predicted")) + sum(col("support")) - sum(col("tp")))).as("jaccard"))
           .withColumn("recall", col("precision"))
           .withColumn("f1", col("precision"))
+          .select(col(foldCol), col("precision"), col("recall"), col("f1"), col("jaccard"))
           .orderBy(col(foldCol))
     }
   }
@@ -242,6 +299,219 @@ object Metrics {
       .orderBy(col(foldCol))
   }
 
+  /** D² of the absolute error: 1 − Σ|y−p| / Σ|y−median(y)| per fold
+    * (sklearn `d2_absolute_error_score`). The fold median is a first
+    * aggregate pass joined back — not expressible as one aggregate.
+    */
+  def d2AbsoluteError(preds: DataFrame, labelCol: String, predictionCol: String,
+      foldCol: String = "fold"): DataFrame = {
+    val med = preds.groupBy(col(foldCol))
+      .agg(expr_percentile(col(labelCol).cast("double")).as("__med"))
+    preds.join(med, Seq(foldCol))
+      .groupBy(col(foldCol))
+      .agg({
+        val num = sum(abs(col(labelCol).cast("double") - col(predictionCol).cast("double")))
+        val den = sum(abs(col(labelCol).cast("double") - col("__med")))
+        when(den === 0, 0.0).otherwise(lit(1.0) - num / den).as("score")
+      })
+      .orderBy(col(foldCol))
+  }
+
+  /** The full supervised clustering-metric family from one contingency-table
+    * plan: per-fold columns (rand, mutual_info, homogeneity, completeness,
+    * v_measure, fowlkes_mallows) — all decomposable aggregates over
+    * `groupBy(fold, label, cluster)` counts, shared with ARI/NMI
+    * (sklearn formulas; reference registry `metrics.py:655-668`).
+    */
+  def clusteringMetrics(preds: DataFrame, labelCol: String, clusterCol: String,
+      foldCol: String = "fold"): DataFrame = {
+    def c2(x: Column) = x * (x - 1) / 2.0
+    val cont = preds.groupBy(col(foldCol), col(labelCol).as("l"), col(clusterCol).as("c"))
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val ai = cont.groupBy(col(foldCol), col("l")).agg(sum(col("nij")).as("ai"))
+    val bj = cont.groupBy(col(foldCol), col("c")).agg(sum(col("nij")).as("bj"))
+    val n = cont.groupBy(col(foldCol)).agg(sum(col("nij")).as("n"))
+    val cells = cont.groupBy(col(foldCol)).agg(sum(c2(col("nij"))).as("tk"))
+    val rows = ai.groupBy(col(foldCol)).agg(sum(c2(col("ai"))).as("pk"))
+    val colsAgg = bj.groupBy(col(foldCol)).agg(sum(c2(col("bj"))).as("qk"))
+    val mi = cont.join(ai, Seq(foldCol, "l")).join(bj, Seq(foldCol, "c")).join(n, Seq(foldCol))
+      .groupBy(col(foldCol))
+      .agg(sum((col("nij") / col("n")) * log(col("nij") * col("n") / (col("ai") * col("bj")))).as("mi"))
+    val hu = ai.join(n, Seq(foldCol)).groupBy(col(foldCol))
+      .agg((-sum((col("ai") / col("n")) * log(col("ai") / col("n")))).as("hu"))
+    val hv = bj.join(n, Seq(foldCol)).groupBy(col(foldCol))
+      .agg((-sum((col("bj") / col("n")) * log(col("bj") / col("n")))).as("hv"))
+    val base = n.join(cells, Seq(foldCol)).join(rows, Seq(foldCol)).join(colsAgg, Seq(foldCol))
+      .join(mi, Seq(foldCol)).join(hu, Seq(foldCol)).join(hv, Seq(foldCol))
+    val h = when(col("hu") === 0, 1.0).otherwise(col("mi") / col("hu"))
+    val c = when(col("hv") === 0, 1.0).otherwise(col("mi") / col("hv"))
+    base.select(
+      col(foldCol),
+      ((c2(col("n")) + lit(2.0) * col("tk") - col("pk") - col("qk")) / c2(col("n"))).as("rand"),
+      col("mi").as("mutual_info"),
+      h.as("homogeneity"),
+      c.as("completeness"),
+      when(h + c === 0, 0.0).otherwise(lit(2.0) * h * c / (h + c)).as("v_measure"),
+      when(col("pk") * col("qk") === 0, 0.0)
+        .otherwise(col("tk") / sqrt(col("pk") * col("qk"))).as("fowlkes_mallows"))
+      .orderBy(col(foldCol))
+  }
+
+  /** Adjusted Mutual Information (arithmetic-mean normalization, sklearn
+    * default): (MI − E[MI]) / (mean(H(U),H(V)) − E[MI]). The expected MI
+    * under the permutation model is the hypergeometric triple sum
+    * (sklearn `expected_mutual_information`), computed DISTRIBUTED: the
+    * (class × cluster) marginal grid explodes the inner n_ij range into
+    * rows, each term evaluated from a log-factorial lookup joined from a
+    * cumulative-sum table — no driver combinatorics, fully oracle-able.
+    */
+  def adjustedMutualInfo(preds: DataFrame, labelCol: String, clusterCol: String,
+      foldCol: String = "fold"): DataFrame = {
+    val spark = preds.sparkSession
+    val cont = preds.groupBy(col(foldCol), col(labelCol).as("l"), col(clusterCol).as("c"))
+      .agg(count(lit(1)).cast("double").as("nij"))
+    val ai = cont.groupBy(col(foldCol), col("l")).agg(sum(col("nij")).as("ai"))
+    val bj = cont.groupBy(col(foldCol), col("c")).agg(sum(col("nij")).as("bj"))
+    val n = cont.groupBy(col(foldCol)).agg(sum(col("nij")).as("n"))
+    val mi = cont.join(ai, Seq(foldCol, "l")).join(bj, Seq(foldCol, "c")).join(n, Seq(foldCol))
+      .groupBy(col(foldCol))
+      .agg(sum((col("nij") / col("n")) * log(col("nij") * col("n") / (col("ai") * col("bj")))).as("mi"))
+    val hu = ai.join(n, Seq(foldCol)).groupBy(col(foldCol))
+      .agg((-sum((col("ai") / col("n")) * log(col("ai") / col("n")))).as("hu"))
+    val hv = bj.join(n, Seq(foldCol)).groupBy(col(foldCol))
+      .agg((-sum((col("bj") / col("n")) * log(col("bj") / col("n")))).as("hv"))
+
+    // log-factorial table 0..maxN via cumulative sum of ln k — both engines
+    // build it the same way (sequential ln sums), so cross-engine drift is
+    // bounded by ulp accumulation, invisible at round-6
+    val maxN = n.agg(max(col("n"))).head().getDouble(0).toLong
+    val lf = spark.range(0, maxN + 1).toDF("k")
+      .withColumn("lnfact", coalesce(sum(log(col("k").cast("double")))
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), lit(0.0)))
+    def lfJoin(df: DataFrame, valueCol: Column, outName: String): DataFrame =
+      df.join(broadcast(lf.select(col("k").cast("double").as(s"__k_$outName"), col("lnfact").as(outName))),
+        valueCol === col(s"__k_$outName")).drop(s"__k_$outName")
+
+    // marginal grid: one row per (fold, ai, bj) pair, inner sum exploded
+    val grid = ai.join(bj, Seq(foldCol)).join(n, Seq(foldCol))
+      .withColumn("start", greatest(lit(1.0), col("ai") + col("bj") - col("n")))
+      .withColumn("end", least(col("ai"), col("bj")))
+      .filter(col("start") <= col("end"))
+      .withColumn("__nij_l", explode(sequence(col("start").cast("long"), col("end").cast("long"))))
+      .withColumn("nij", col("__nij_l").cast("double"))
+    val withLf = Seq[(String, Column)](
+      ("lf_n", col("n")), ("lf_ai", col("ai")), ("lf_bj", col("bj")),
+      ("lf_nai", col("n") - col("ai")), ("lf_nbj", col("n") - col("bj")),
+      ("lf_nij", col("nij")), ("lf_ainij", col("ai") - col("nij")),
+      ("lf_bjnij", col("bj") - col("nij")),
+      ("lf_rest", col("n") - col("ai") - col("bj") + col("nij")))
+      .foldLeft(grid) { case (df, (name, v)) => lfJoin(df, v, name) }
+    val emi = withLf
+      .withColumn("term",
+        (col("nij") / col("n")) * log(col("n") * col("nij") / (col("ai") * col("bj"))) *
+          exp(col("lf_ai") + col("lf_bj") + col("lf_nai") + col("lf_nbj")
+            - col("lf_n") - col("lf_nij") - col("lf_ainij") - col("lf_bjnij") - col("lf_rest")))
+      .groupBy(col(foldCol)).agg(sum(col("term")).as("emi"))
+
+    mi.join(emi, Seq(foldCol)).join(hu, Seq(foldCol)).join(hv, Seq(foldCol))
+      .select(col(foldCol), {
+        val denom = (col("hu") + col("hv")) / 2.0 - col("emi")
+        when(col("hu") + col("hv") === 0, 1.0)
+          .otherwise((col("mi") - col("emi")) / denom).as("score")
+      })
+      .orderBy(col(foldCol))
+  }
+
+  /** Top-k accuracy over an array-of-class-scores column: the true label's
+    * index is among the k highest scores (ties → lower index, like a stable
+    * argsort). Pure array expressions — no UDF, codegen-friendly.
+    */
+  def topKAccuracy(preds: DataFrame, labelCol: String, scoresCol: String, k: Int,
+      foldCol: String = "fold"): DataFrame = {
+    val ranked = array_sort(zip_with(
+      col(scoresCol),
+      sequence(lit(0), size(col(scoresCol)) - 1),
+      (s, i) => struct((-s).as("negs"), i.as("c"))))
+    val hit = exists(slice(ranked, 1, k), x => x.getField("c") === col(labelCol).cast("int"))
+    preds.groupBy(col(foldCol))
+      .agg(avg(when(hit, 1.0).otherwise(0.0)).as("score"))
+      .orderBy(col(foldCol))
+  }
+
+  /** One-vs-rest multiclass ROC-AUC over an array-of-class-scores column
+    * (sklearn `roc_auc_score(multi_class="ovr")`): per class c, the binary
+    * rank-statistic AUC of (label==c) against scores[c]; averaged macro
+    * (unweighted) or weighted by class support.
+    */
+  def rocAucOvr(preds: DataFrame, labelCol: String, scoresCol: String,
+      weighted: Boolean, foldCol: String = "fold"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expanded = preds
+      .withColumn("cls", explode(sequence(lit(0), size(col(scoresCol)) - 1)))
+      .withColumn("bin", when(col(labelCol).cast("int") === col("cls"), 1.0).otherwise(0.0))
+      .withColumn("s", element_at(col(scoresCol), col("cls") + 1))
+    val w = Window.partitionBy(col(foldCol), col("cls")).orderBy(col("s"))
+    val ranked = expanded
+      .withColumn("__r_lo", rank().over(w))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(foldCol), col("cls"), col("s"))))
+      .withColumn("__avg_rank", col("__r_lo") + (col("__cnt") - 1) / 2.0)
+    val perClass = ranked.groupBy(col(foldCol), col("cls"))
+      .agg(
+        sum(when(col("bin") === 1, col("__avg_rank"))).as("spr"),
+        sum(col("bin")).as("np"),
+        sum(lit(1.0) - col("bin")).as("nn"))
+      .withColumn("auc", (col("spr") - col("np") * (col("np") + 1) / 2.0) / (col("np") * col("nn")))
+    val agg0 =
+      if (weighted) perClass.groupBy(col(foldCol)).agg((sum(col("auc") * col("np")) / sum(col("np"))).as("score"))
+      else perClass.groupBy(col(foldCol)).agg(avg(col("auc")).as("score"))
+    agg0.orderBy(col(foldCol))
+  }
+
+  /** One-vs-one multiclass ROC-AUC (sklearn `multi_class="ovo"`): for each
+    * unordered class pair (a,b), restrict to rows of those classes and
+    * average AUC(a positive, scores[a]) with AUC(b positive, scores[b]);
+    * pair scores averaged macro or weighted by pair prevalence.
+    */
+  def rocAucOvo(preds: DataFrame, labelCol: String, scoresCol: String,
+      weighted: Boolean, foldCol: String = "fold"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = preds.sparkSession
+    import spark.implicits._
+    val nClasses = preds.select(max(size(col(scoresCol)))).head().getInt(0)
+    val pairs = (for { a <- 0 until nClasses; b <- (a + 1) until nClasses } yield (a, b)).toDF("ca", "cb")
+    val sub = preds.join(broadcast(pairs),
+        col(labelCol).cast("int") === col("ca") || col(labelCol).cast("int") === col("cb"))
+      .withColumn("sa", element_at(col(scoresCol), col("ca") + 1))
+      .withColumn("sb", element_at(col(scoresCol), col("cb") + 1))
+      .withColumn("isa", when(col(labelCol).cast("int") === col("ca"), 1.0).otherwise(0.0))
+    def aucOf(scoreCol: String, posCol: Column): DataFrame = {
+      val w = Window.partitionBy(col(foldCol), col("ca"), col("cb")).orderBy(col(scoreCol))
+      sub
+        .withColumn("__r_lo", rank().over(w))
+        .withColumn("__cnt", count(lit(1)).over(
+          Window.partitionBy(col(foldCol), col("ca"), col("cb"), col(scoreCol))))
+        .withColumn("__avg_rank", col("__r_lo") + (col("__cnt") - 1) / 2.0)
+        .groupBy(col(foldCol), col("ca"), col("cb"))
+        .agg(
+          sum(when(posCol === 1, col("__avg_rank"))).as("spr"),
+          sum(posCol).as("np"),
+          sum(lit(1.0) - posCol).as("nn"),
+          count(lit(1)).cast("double").as("npair"))
+        .withColumn("auc", (col("spr") - col("np") * (col("np") + 1) / 2.0) / (col("np") * col("nn")))
+    }
+    val aucA = aucOf("sa", col("isa"))
+      .select(col(foldCol), col("ca"), col("cb"), col("auc").as("auc_a"), col("npair"))
+    val aucB = aucOf("sb", lit(1.0) - col("isa"))
+      .select(col(foldCol), col("ca"), col("cb"), col("auc").as("auc_b"))
+    val pairScores = aucA.join(aucB, Seq(foldCol, "ca", "cb"))
+      .withColumn("pauc", (col("auc_a") + col("auc_b")) / 2.0)
+    val agg0 =
+      if (weighted) pairScores.groupBy(col(foldCol)).agg((sum(col("pauc") * col("npair")) / sum(col("npair"))).as("score"))
+      else pairScores.groupBy(col(foldCol)).agg(avg(col("pauc")).as("score"))
+    agg0.orderBy(col(foldCol))
+  }
+
   val registry: Map[String, MetricSpec] = {
     val base = Seq(
       MetricSpec("mean_squared_error", greaterIsBetter = false, mse),
@@ -264,7 +534,11 @@ object Metrics {
       MetricSpec("jaccard", greaterIsBetter = true, jaccard),
       MetricSpec("matthews_corrcoef", greaterIsBetter = true, mcc),
       MetricSpec("log_loss", greaterIsBetter = false, logLoss),
-      MetricSpec("brier_score", greaterIsBetter = false, brier))
+      MetricSpec("brier_score", greaterIsBetter = false, brier),
+      MetricSpec("d2_brier_score", greaterIsBetter = true, d2Brier),
+      MetricSpec("d2_log_loss_score", greaterIsBetter = true, d2LogLoss),
+      MetricSpec("positive_likelihood_ratio", greaterIsBetter = true, positiveLikelihoodRatio),
+      MetricSpec("negative_likelihood_ratio", greaterIsBetter = false, negativeLikelihoodRatio))
     base.map(m => m.name -> m).toMap
   }
 

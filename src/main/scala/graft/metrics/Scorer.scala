@@ -35,12 +35,35 @@ final case class Scorer(
     * of re-running the per-fold pipeline per metric.
     */
   def scoreTransformed(out: DataFrame, labelCol: String): Seq[Double] = {
-    val Averaged = "(precision|recall|f1)_(macro|micro|weighted)".r
+    val Averaged = "(precision|recall|f1|jaccard)_(macro|micro|weighted|samples)".r
+    val ClusterCombined = "(rand|mutual_info|homogeneity|completeness|v_measure|fowlkes_mallows)_score".r
     val perFold = metricName match {
       case "roc_auc" =>
         Metrics.rocAuc(out, labelCol, responseCol).orderBy(col("fold"))
+      case "roc_auc_ovr" =>
+        Metrics.rocAucOvr(out, labelCol, responseCol, weighted = false)
+      case "roc_auc_ovr_weighted" =>
+        Metrics.rocAucOvr(out, labelCol, responseCol, weighted = true)
+      case "roc_auc_ovo" =>
+        Metrics.rocAucOvo(out, labelCol, responseCol, weighted = false)
+      case "roc_auc_ovo_weighted" =>
+        Metrics.rocAucOvo(out, labelCol, responseCol, weighted = true)
+      case "top_k_accuracy" =>
+        // sklearn default k=2 (reference metrics.py:616-620)
+        Metrics.topKAccuracy(out, labelCol, responseCol, k = 2)
       case "average_precision" =>
         Metrics.averagePrecision(out, labelCol, responseCol)
+      case "d2_absolute_error_score" =>
+        Metrics.d2AbsoluteError(out, labelCol, responseCol)
+      case "adjusted_rand_score" =>
+        Metrics.adjustedRandIndex(out, labelCol, responseCol)
+      case "normalized_mutual_info_score" =>
+        Metrics.normalizedMutualInfo(out, labelCol, responseCol)
+      case "adjusted_mutual_info_score" =>
+        Metrics.adjustedMutualInfo(out, labelCol, responseCol)
+      case ClusterCombined(stat) =>
+        Metrics.clusteringMetrics(out, labelCol, responseCol)
+          .select(col("fold"), col(stat).as("score"))
       case Averaged(stat, avg) =>
         Metrics.multiclassScores(out, labelCol, responseCol, avg)
           .select(col("fold"), col(stat).as("score"))
@@ -57,20 +80,35 @@ object Scorers {
     * plus sign-flipped `neg_*` for the greater-is-better=false family.
     */
   lazy val registry: Map[String, Scorer] = {
+    val probResponse = Set("log_loss", "brier_score", "d2_brier_score", "d2_log_loss_score")
     val base = Metrics.registry.map { case (name, spec) =>
-      val response = if (name == "log_loss" || name == "brier_score") "probability" else "prediction"
+      val response = if (probResponse(name)) "probability" else "prediction"
       if (spec.greaterIsBetter)
         name -> Scorer(name, name, 1.0, response)
       else
         s"neg_$name" -> Scorer(s"neg_$name", name, -1.0, response)
     }
     val averaged = for {
-      stat <- Seq("precision", "recall", "f1")
-      avg <- Seq("macro", "micro", "weighted")
+      stat <- Seq("precision", "recall", "f1", "jaccard")
+      avg <- Seq("macro", "micro", "weighted", "samples")
     } yield s"${stat}_$avg" -> Scorer(s"${stat}_$avg", s"${stat}_$avg", 1.0, "prediction")
-    base ++ averaged.toMap ++ Map(
+    // supervised clustering metrics score the predicted cluster assignment
+    val clustering = Seq(
+      "adjusted_rand_score", "rand_score", "mutual_info_score",
+      "adjusted_mutual_info_score", "normalized_mutual_info_score",
+      "homogeneity_score", "completeness_score", "v_measure_score",
+      "fowlkes_mallows_score")
+      .map(n => n -> Scorer(n, n, 1.0, "prediction"))
+    // multiclass rank metrics read an array-of-class-scores response column
+    // ("probabilities" by convention — utils/_response.py response dispatch)
+    val arrayResponse = Seq(
+      "roc_auc_ovr", "roc_auc_ovo", "roc_auc_ovr_weighted", "roc_auc_ovo_weighted",
+      "top_k_accuracy")
+      .map(n => n -> Scorer(n, n, 1.0, "probabilities"))
+    base ++ averaged.toMap ++ clustering.toMap ++ arrayResponse.toMap ++ Map(
       "roc_auc" -> Scorer("roc_auc", "roc_auc", 1.0, "probability"),
-      "average_precision" -> Scorer("average_precision", "average_precision", 1.0, "probability"))
+      "average_precision" -> Scorer("average_precision", "average_precision", 1.0, "probability"),
+      "d2_absolute_error_score" -> Scorer("d2_absolute_error_score", "d2_absolute_error_score", 1.0, "prediction"))
   }
 
   /** `get_scorer` (`metrics.py:401-430`): resolve by name or fail with the

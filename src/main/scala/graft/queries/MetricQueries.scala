@@ -42,7 +42,7 @@ object MetricQueries extends QueryPack {
 
   private val clfMetrics = Seq(
     "accuracy", "balanced_accuracy", "precision", "recall", "f1", "jaccard",
-    "matthews_corrcoef")
+    "matthews_corrcoef", "positive_likelihood_ratio", "negative_likelihood_ratio")
 
   private def classificationScores(spark: SparkSession, dir: String): DataFrame = {
     val df = events(spark, dir)
@@ -74,10 +74,61 @@ object MetricQueries extends QueryPack {
       .select(col("fold"), round(col("score"), 6).as("score"))
   }
 
+  /** D² family: d2_absolute_error on the regression preds (two-pass fold
+    * median), d2_brier / d2_log_loss on the probability response — the
+    * reference's D² scorers (`metrics.py:588-591`).
+    */
+  private def d2Scores(spark: SparkSession, dir: String): DataFrame = {
+    val regPreds = regressionPreds(spark, dir)
+    val d2abs = Metrics.d2AbsoluteError(regPreds, "value", "prediction")
+      .select(col("fold"), lit("d2_absolute_error_score").as("metric"),
+        round(col("score"), 6).as("score"))
+    val df = events(spark, dir)
+      .withColumn("label", (col("event_id") % 2).cast("double"))
+    val ps = panelSplit(df)
+    val est = new ThresholdClassifier().setFeatureCol("value").setLabelCol("label")
+    val (preds, _) = CrossVal.crossValFitPredict(est, df, ps, labelCol = "label")
+    val cached = preds.cache()
+    val prob = Seq("d2_brier_score", "d2_log_loss_score").map { m =>
+      Metrics.perFoldScores(cached, m, "label", "probability")
+        .select(col("fold"), lit(m).as("metric"), round(col("score"), 6).as("score"))
+    }.reduce(_ unionByName _)
+    d2abs.unionByName(prob)
+  }
+
+  /** Multiclass rank metrics over a deterministic 3-class score array
+    * (s_c = 1/(1+|value/30 − c|)): ROC-AUC one-vs-rest and one-vs-one
+    * (macro + weighted) and top-k accuracy at k=1,2 — the reference's
+    * `roc_auc_ovr/ovo(_weighted)` and `top_k_accuracy` scorers
+    * (`metrics.py:616-648`).
+    */
+  private def multiclassAuc(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+      .withColumn("label", pmod(col("event_id"), lit(3)))
+      .withColumn("scores", array((0 until 3).map(c =>
+        lit(1.0) / (lit(1.0) + abs(col("value") / 30.0 - c))): _*))
+    val ps = panelSplit(df)
+    val folds = ps.folds.map { f =>
+      df.filter(f.testPredicate(ps.periodsCol, None)).withColumn("fold", lit(f.index))
+    }.reduce(_ unionByName _).cache()
+    val parts = Seq(
+      ("roc_auc_ovr", Metrics.rocAucOvr(folds, "label", "scores", weighted = false)),
+      ("roc_auc_ovr_weighted", Metrics.rocAucOvr(folds, "label", "scores", weighted = true)),
+      ("roc_auc_ovo", Metrics.rocAucOvo(folds, "label", "scores", weighted = false)),
+      ("roc_auc_ovo_weighted", Metrics.rocAucOvo(folds, "label", "scores", weighted = true)),
+      ("top_k_accuracy_1", Metrics.topKAccuracy(folds, "label", "scores", 1)),
+      ("top_k_accuracy_2", Metrics.topKAccuracy(folds, "label", "scores", 2)))
+    parts.map { case (m, d) =>
+      d.select(col("fold"), lit(m).as("metric"), round(col("score"), 6).as("score"))
+    }.reduce(_ unionByName _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_metrics_regression" -> (regressionScores _),
     "q_metrics_classification" -> (classificationScores _),
     "q_metric_roc_auc" -> (aucScores _),
+    "q_metrics_d2" -> (d2Scores _),
+    "q_metric_auc_multiclass" -> (multiclassAuc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -132,7 +183,103 @@ object MetricQueries extends QueryPack {
          |  UNION ALL SELECT fold, 'jaccard', CASE WHEN tp + fp + fn = 0 THEN 0 ELSE tp / (tp + fp + fn) END FROM cm
          |  UNION ALL SELECT fold, 'matthews_corrcoef',
          |    CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN 0
-         |         ELSE (tp*tn - fp*fn) / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END FROM cm)
+         |         ELSE (tp*tn - fp*fn) / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END FROM cm
+         |  UNION ALL SELECT fold, 'positive_likelihood_ratio',
+         |    CASE WHEN tp + fn = 0 OR fp + tn = 0 OR fp = 0 THEN 1.0
+         |         ELSE (tp / (tp + fn)) / (fp / (fp + tn)) END FROM cm
+         |  UNION ALL SELECT fold, 'negative_likelihood_ratio',
+         |    CASE WHEN tp + fn = 0 OR fp + tn = 0 OR tn = 0 THEN 1.0
+         |         ELSE (fn / (tp + fn)) / (tn / (fp + tn)) END FROM cm)
+         |""".stripMargin,
+    "q_metrics_d2" ->
+      s"""$prelude,
+         |train AS (SELECT b.split AS fold, avg(ev.value) AS mu
+         |          FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split),
+         |test AS (SELECT b.split AS fold, ev.value AS y, tr.mu AS p
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |         JOIN train tr ON tr.fold = b.split),
+         |med AS (SELECT fold, median(y) AS med FROM test GROUP BY fold),
+         |d2a AS (SELECT t.fold,
+         |          CASE WHEN sum(abs(t.y - m.med)) = 0 THEN 0.0
+         |               ELSE 1 - sum(abs(t.y - t.p)) / sum(abs(t.y - m.med)) END AS score
+         |        FROM test t JOIN med m ON t.fold = m.fold GROUP BY t.fold),
+         |ptrain AS (SELECT b.split AS fold, avg(ev.value) AS thr
+         |           FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split),
+         |ptest AS (SELECT b.split AS fold, CAST(ev.event_id % 2 AS DOUBLE) AS y,
+         |                 greatest(least(1.0 / (1.0 + exp(-(ev.value - tr.thr) / 10.0)), 1 - 1e-15), 1e-15) AS p
+         |          FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |          JOIN ptrain tr ON tr.fold = b.split),
+         |d2b AS (SELECT fold,
+         |          CASE WHEN var_pop(y) = 0 THEN 0.0
+         |               ELSE 1 - avg(power(y - p, 2)) / var_pop(y) END AS score
+         |        FROM ptest GROUP BY fold),
+         |d2l AS (SELECT fold,
+         |          CASE WHEN avg(y) = 0 OR avg(y) = 1 THEN 0.0
+         |               ELSE 1 - (-avg(y * ln(p) + (1 - y) * ln(1 - p)))
+         |                    / (-(avg(y) * ln(avg(y)) + (1 - avg(y)) * ln(1 - avg(y)))) END AS score
+         |        FROM ptest GROUP BY fold)
+         |SELECT fold, metric, round(score, 6) AS score FROM (
+         |  SELECT fold, 'd2_absolute_error_score' AS metric, score FROM d2a
+         |  UNION ALL SELECT fold, 'd2_brier_score', score FROM d2b
+         |  UNION ALL SELECT fold, 'd2_log_loss_score', score FROM d2l)
+         |""".stripMargin,
+    "q_metric_auc_multiclass" ->
+      s"""$prelude,
+         |test AS (SELECT b.split AS fold, CAST(ev.event_id % 3 AS INT) AS l,
+         |                1.0 / (1.0 + abs(ev.value / 30.0 - 0)) AS s0,
+         |                1.0 / (1.0 + abs(ev.value / 30.0 - 1)) AS s1,
+         |                1.0 / (1.0 + abs(ev.value / 30.0 - 2)) AS s2
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start),
+         |ovr_base AS (
+         |  SELECT fold, 0 AS cls, CASE WHEN l = 0 THEN 1.0 ELSE 0.0 END AS bin, s0 AS s FROM test
+         |  UNION ALL SELECT fold, 1, CASE WHEN l = 1 THEN 1.0 ELSE 0.0 END, s1 FROM test
+         |  UNION ALL SELECT fold, 2, CASE WHEN l = 2 THEN 1.0 ELSE 0.0 END, s2 FROM test),
+         |ovr_rank AS (SELECT fold, cls, bin,
+         |               rank() OVER (PARTITION BY fold, cls ORDER BY s) AS r_lo,
+         |               count(*) OVER (PARTITION BY fold, cls, s) AS cnt
+         |             FROM ovr_base),
+         |ovr_auc AS (SELECT fold, cls,
+         |              (sum(CASE WHEN bin = 1 THEN r_lo + (cnt - 1) / 2.0 END)
+         |                - sum(bin) * (sum(bin) + 1) / 2.0) / (sum(bin) * sum(1.0 - bin)) AS auc,
+         |              sum(bin) AS np
+         |            FROM ovr_rank GROUP BY fold, cls),
+         |pairs(ca, cb) AS (VALUES (0, 1), (0, 2), (1, 2)),
+         |sub AS (SELECT t.fold, p.ca, p.cb,
+         |               CASE p.ca WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END AS sa,
+         |               CASE p.cb WHEN 0 THEN s0 WHEN 1 THEN s1 ELSE s2 END AS sb,
+         |               CASE WHEN t.l = p.ca THEN 1.0 ELSE 0.0 END AS isa
+         |        FROM test t JOIN pairs p ON t.l = p.ca OR t.l = p.cb),
+         |rka AS (SELECT fold, ca, cb, isa,
+         |          rank() OVER (PARTITION BY fold, ca, cb ORDER BY sa) AS r_lo,
+         |          count(*) OVER (PARTITION BY fold, ca, cb, sa) AS cnt
+         |        FROM sub),
+         |auc_a AS (SELECT fold, ca, cb,
+         |            (sum(CASE WHEN isa = 1 THEN r_lo + (cnt - 1) / 2.0 END)
+         |              - sum(isa) * (sum(isa) + 1) / 2.0) / (sum(isa) * sum(1.0 - isa)) AS auc_a,
+         |            CAST(count(*) AS DOUBLE) AS npair
+         |          FROM rka GROUP BY fold, ca, cb),
+         |rkb AS (SELECT fold, ca, cb, 1.0 - isa AS isb,
+         |          rank() OVER (PARTITION BY fold, ca, cb ORDER BY sb) AS r_lo,
+         |          count(*) OVER (PARTITION BY fold, ca, cb, sb) AS cnt
+         |        FROM sub),
+         |auc_b AS (SELECT fold, ca, cb,
+         |            (sum(CASE WHEN isb = 1 THEN r_lo + (cnt - 1) / 2.0 END)
+         |              - sum(isb) * (sum(isb) + 1) / 2.0) / (sum(isb) * sum(1.0 - isb)) AS auc_b
+         |          FROM rkb GROUP BY fold, ca, cb),
+         |ovo AS (SELECT a.fold, (a.auc_a + b.auc_b) / 2.0 AS pauc, a.npair
+         |        FROM auc_a a JOIN auc_b b ON a.fold = b.fold AND a.ca = b.ca AND a.cb = b.cb),
+         |tk AS (SELECT fold, l, [s0, s1, s2] AS sc FROM test),
+         |tkpos AS (SELECT fold,
+         |            len(list_filter(range(0, 3), j ->
+         |              sc[j + 1] > sc[l + 1] OR (sc[j + 1] = sc[l + 1] AND j < l))) AS pos_
+         |          FROM tk)
+         |SELECT fold, metric, round(score, 6) AS score FROM (
+         |  SELECT fold, 'roc_auc_ovr' AS metric, avg(auc) AS score FROM ovr_auc GROUP BY fold
+         |  UNION ALL SELECT fold, 'roc_auc_ovr_weighted', sum(auc * np) / sum(np) FROM ovr_auc GROUP BY fold
+         |  UNION ALL SELECT fold, 'roc_auc_ovo', avg(pauc) FROM ovo GROUP BY fold
+         |  UNION ALL SELECT fold, 'roc_auc_ovo_weighted', sum(pauc * npair) / sum(npair) FROM ovo GROUP BY fold
+         |  UNION ALL SELECT fold, 'top_k_accuracy_1', avg(CASE WHEN pos_ < 1 THEN 1.0 ELSE 0.0 END) FROM tkpos GROUP BY fold
+         |  UNION ALL SELECT fold, 'top_k_accuracy_2', avg(CASE WHEN pos_ < 2 THEN 1.0 ELSE 0.0 END) FROM tkpos GROUP BY fold)
          |""".stripMargin,
     "q_metric_roc_auc" ->
       s"""$prelude,

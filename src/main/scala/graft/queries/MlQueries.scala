@@ -45,7 +45,28 @@ object MlQueries extends QueryPack {
       .select(col("fold"), lit("adjusted_rand").as("metric"), round(col("score"), 6).as("score"))
     val nmi = Metrics.normalizedMutualInfo(folds, "label", "cluster")
       .select(col("fold"), lit("normalized_mutual_info").as("metric"), round(col("score"), 6).as("score"))
-    ari.unionByName(nmi)
+    val combined = Metrics.clusteringMetrics(folds, "label", "cluster")
+    val more = Seq("rand", "mutual_info", "homogeneity", "completeness",
+      "v_measure", "fowlkes_mallows").map { m =>
+      combined.select(col("fold"), lit(m).as("metric"), round(col(m), 6).as("score"))
+    }.reduce(_ unionByName _)
+    ari.unionByName(nmi).unionByName(more)
+  }
+
+  /** Adjusted Mutual Information over the same deterministic clustering —
+    * exercises the distributed expected-MI (hypergeometric triple sum over
+    * a log-factorial table) end to end against an identical SQL oracle.
+    */
+  private def amiScores(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+      .withColumn("label", pmod(col("event_id"), lit(3)))
+      .withColumn("cluster", floor(col("value") / 25.0).cast("long"))
+    val ps = panelSplit(df)
+    val folds = ps.folds.map { f =>
+      df.filter(f.testPredicate(ps.periodsCol, None)).withColumn("fold", lit(f.index))
+    }.reduce(_ unionByName _)
+    Metrics.adjustedMutualInfo(folds, "label", "cluster")
+      .select(col("fold"), round(col("score"), 6).as("score"))
   }
 
   private def avgPrecision(spark: SparkSession, dir: String): DataFrame = {
@@ -66,18 +87,20 @@ object MlQueries extends QueryPack {
     val folds = ps.folds.map { f =>
       df.filter(f.testPredicate(ps.periodsCol, None)).withColumn("fold", lit(f.index))
     }.reduce(_ unionByName _).cache()
-    Seq("macro", "micro", "weighted").map { avg =>
+    Seq("macro", "micro", "weighted", "samples").map { avg =>
       Metrics.multiclassScores(folds, "label", "pred", avg)
         .select(col("fold"), lit(avg).as("average"),
           round(col("precision"), 6).as("precision"),
           round(col("recall"), 6).as("recall"),
-          round(col("f1"), 6).as("f1"))
+          round(col("f1"), 6).as("f1"),
+          round(col("jaccard"), 6).as("jaccard"))
     }.reduce(_ unionByName _)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cv_linreg" -> (cvLinReg _),
     "q_metrics_clustering" -> (clusteringScores _),
+    "q_metric_ami" -> (amiScores _),
     "q_metric_avg_precision" -> (avgPrecision _),
     "q_metrics_multiclass" -> (multiclassScores _),
   )
@@ -127,10 +150,87 @@ object MlQueries extends QueryPack {
          |hv AS (SELECT bj2.fold, -sum((bj / n.n) * ln(bj / n.n)) AS hv
          |       FROM bj2 JOIN nn2 n ON bj2.fold = n.fold GROUP BY bj2.fold),
          |nmi AS (SELECT mi.fold, mi.mi / ((hu.hu + hv.hv) / 2.0) AS score
-         |        FROM mi JOIN hu ON mi.fold = hu.fold JOIN hv ON mi.fold = hv.fold)
+         |        FROM mi JOIN hu ON mi.fold = hu.fold JOIN hv ON mi.fold = hv.fold),
+         |rand_m AS (SELECT rc.fold,
+         |             (rc.n * (rc.n - 1) / 2.0 + 2.0 * rc.sum_nij2 - ra.sum_ai2 - rb.sum_bj2)
+         |             / (rc.n * (rc.n - 1) / 2.0) AS score
+         |           FROM rc JOIN ra ON rc.fold = ra.fold JOIN rb ON rc.fold = rb.fold),
+         |hc AS (SELECT mi.fold, mi.mi AS mi,
+         |         CASE WHEN hu.hu = 0 THEN 1.0 ELSE mi.mi / hu.hu END AS h,
+         |         CASE WHEN hv.hv = 0 THEN 1.0 ELSE mi.mi / hv.hv END AS c
+         |       FROM mi JOIN hu ON mi.fold = hu.fold JOIN hv ON mi.fold = hv.fold),
+         |fm AS (SELECT rc.fold,
+         |         CASE WHEN ra.sum_ai2 * rb.sum_bj2 = 0 THEN 0.0
+         |              ELSE rc.sum_nij2 / sqrt(ra.sum_ai2 * rb.sum_bj2) END AS score
+         |       FROM rc JOIN ra ON rc.fold = ra.fold JOIN rb ON rc.fold = rb.fold)
          |SELECT fold, 'adjusted_rand' AS metric, round(score, 6) AS score FROM ari
          |UNION ALL
          |SELECT fold, 'normalized_mutual_info' AS metric, round(score, 6) AS score FROM nmi
+         |UNION ALL SELECT fold, 'rand', round(score, 6) FROM rand_m
+         |UNION ALL SELECT fold, 'mutual_info', round(mi, 6) FROM hc
+         |UNION ALL SELECT fold, 'homogeneity', round(h, 6) FROM hc
+         |UNION ALL SELECT fold, 'completeness', round(c, 6) FROM hc
+         |UNION ALL SELECT fold, 'v_measure',
+         |  round(CASE WHEN h + c = 0 THEN 0.0 ELSE 2.0 * h * c / (h + c) END, 6) FROM hc
+         |UNION ALL SELECT fold, 'fowlkes_mallows', round(score, 6) FROM fm
+         |""".stripMargin,
+    "q_metric_ami" ->
+      s"""$prelude,
+         |test AS (SELECT b.split AS fold, ev.event_id % 3 AS l,
+         |                CAST(floor(ev.value / 25.0) AS BIGINT) AS c
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start),
+         |cont AS (SELECT fold, l, c, CAST(count(*) AS DOUBLE) AS nij FROM test GROUP BY fold, l, c),
+         |ai AS (SELECT fold, l, sum(nij) AS ai FROM cont GROUP BY fold, l),
+         |bj AS (SELECT fold, c, sum(nij) AS bj FROM cont GROUP BY fold, c),
+         |cnn AS (SELECT fold, sum(nij) AS n FROM cont GROUP BY fold),
+         |mi AS (SELECT cont.fold, sum((nij / cnn.n) * ln(nij * cnn.n / (ai.ai * bj.bj))) AS mi
+         |       FROM cont JOIN cnn ON cont.fold = cnn.fold
+         |       JOIN ai ON cont.fold = ai.fold AND cont.l = ai.l
+         |       JOIN bj ON cont.fold = bj.fold AND cont.c = bj.c
+         |       GROUP BY cont.fold),
+         |hu AS (SELECT ai.fold, -sum((ai / cnn.n) * ln(ai / cnn.n)) AS hu
+         |       FROM ai JOIN cnn ON ai.fold = cnn.fold GROUP BY ai.fold),
+         |hv AS (SELECT bj.fold, -sum((bj / cnn.n) * ln(bj / cnn.n)) AS hv
+         |       FROM bj JOIN cnn ON bj.fold = cnn.fold GROUP BY bj.fold),
+         |mx AS (SELECT CAST(max(n) AS BIGINT) AS mn FROM cnn),
+         |ks AS (SELECT unnest(generate_series(0, mn)) AS k FROM mx),
+         |lf AS (SELECT k,
+         |         coalesce(sum(CASE WHEN k = 0 THEN NULL ELSE ln(CAST(k AS DOUBLE)) END)
+         |           OVER (ORDER BY k ROWS UNBOUNDED PRECEDING), 0.0) AS lnf
+         |       FROM ks),
+         |grid AS (SELECT ai.fold, ai.ai, bj.bj, cnn.n,
+         |                greatest(1.0, ai.ai + bj.bj - cnn.n) AS start,
+         |                least(ai.ai, bj.bj) AS endv
+         |         FROM ai JOIN bj ON ai.fold = bj.fold JOIN cnn ON ai.fold = cnn.fold
+         |         WHERE greatest(1.0, ai.ai + bj.bj - cnn.n) <= least(ai.ai, bj.bj)),
+         |terms0 AS (SELECT fold, ai, bj, n,
+         |             unnest(generate_series(CAST(start AS BIGINT), CAST(endv AS BIGINT))) AS nij0
+         |           FROM grid),
+         |terms AS (SELECT fold, ai, bj, n, CAST(nij0 AS DOUBLE) AS nij FROM terms0),
+         |withlf AS (SELECT t.*,
+         |             l1.lnf AS lf_n, l2.lnf AS lf_ai, l3.lnf AS lf_bj, l4.lnf AS lf_nai,
+         |             l5.lnf AS lf_nbj, l6.lnf AS lf_nij, l7.lnf AS lf_ainij,
+         |             l8.lnf AS lf_bjnij, l9.lnf AS lf_rest
+         |           FROM terms t
+         |           JOIN lf l1 ON l1.k = CAST(t.n AS BIGINT)
+         |           JOIN lf l2 ON l2.k = CAST(t.ai AS BIGINT)
+         |           JOIN lf l3 ON l3.k = CAST(t.bj AS BIGINT)
+         |           JOIN lf l4 ON l4.k = CAST(t.n - t.ai AS BIGINT)
+         |           JOIN lf l5 ON l5.k = CAST(t.n - t.bj AS BIGINT)
+         |           JOIN lf l6 ON l6.k = CAST(t.nij AS BIGINT)
+         |           JOIN lf l7 ON l7.k = CAST(t.ai - t.nij AS BIGINT)
+         |           JOIN lf l8 ON l8.k = CAST(t.bj - t.nij AS BIGINT)
+         |           JOIN lf l9 ON l9.k = CAST(t.n - t.ai - t.bj + t.nij AS BIGINT)),
+         |emi AS (SELECT fold,
+         |          sum((nij / n) * ln(n * nij / (ai * bj)) *
+         |              exp(lf_ai + lf_bj + lf_nai + lf_nbj
+         |                  - lf_n - lf_nij - lf_ainij - lf_bjnij - lf_rest)) AS emi
+         |        FROM withlf GROUP BY fold)
+         |SELECT mi.fold AS fold,
+         |       round(CASE WHEN hu.hu + hv.hv = 0 THEN 1.0
+         |                  ELSE (mi.mi - emi.emi) / ((hu.hu + hv.hv) / 2.0 - emi.emi) END, 6) AS score
+         |FROM mi JOIN emi ON mi.fold = emi.fold
+         |JOIN hu ON mi.fold = hu.fold JOIN hv ON mi.fold = hv.fold
          |""".stripMargin,
     "q_metrics_multiclass" ->
       s"""$prelude,
@@ -151,18 +251,33 @@ object MlQueries extends QueryPack {
          |             CASE WHEN predicted = 0 THEN 0 ELSE tp / predicted END AS prec,
          |             CASE WHEN support = 0 THEN 0 ELSE tp / support END AS rec
          |      FROM pc),
-         |m2 AS (SELECT *, CASE WHEN prec + rec = 0 THEN 0 ELSE 2 * prec * rec / (prec + rec) END AS f1c FROM m)
+         |m2 AS (SELECT *, CASE WHEN prec + rec = 0 THEN 0 ELSE 2 * prec * rec / (prec + rec) END AS f1c,
+         |              CASE WHEN predicted + support - tp = 0 THEN 0
+         |                   ELSE tp / (predicted + support - tp) END AS jc
+         |       FROM (SELECT fold, cls, support, tp, predicted,
+         |               CASE WHEN predicted = 0 THEN 0 ELSE tp / predicted END AS prec,
+         |               CASE WHEN support = 0 THEN 0 ELSE tp / support END AS rec
+         |             FROM pc))
          |SELECT fold, 'macro' AS average, round(avg(prec), 6) AS "precision",
-         |       round(avg(rec), 6) AS recall, round(avg(f1c), 6) AS f1
+         |       round(avg(rec), 6) AS recall, round(avg(f1c), 6) AS f1,
+         |       round(avg(jc), 6) AS jaccard
          |FROM m2 GROUP BY fold
          |UNION ALL
          |SELECT fold, 'micro', round(sum(tp) / sum(support), 6),
-         |       round(sum(tp) / sum(support), 6), round(sum(tp) / sum(support), 6)
+         |       round(sum(tp) / sum(support), 6), round(sum(tp) / sum(support), 6),
+         |       round(sum(tp) / (sum(predicted) + sum(support) - sum(tp)), 6)
          |FROM m2 GROUP BY fold
          |UNION ALL
          |SELECT fold, 'weighted', round(sum(prec * support) / sum(support), 6),
-         |       round(sum(rec * support) / sum(support), 6), round(sum(f1c * support) / sum(support), 6)
+         |       round(sum(rec * support) / sum(support), 6), round(sum(f1c * support) / sum(support), 6),
+         |       round(sum(jc * support) / sum(support), 6)
          |FROM m2 GROUP BY fold
+         |UNION ALL
+         |SELECT fold, 'samples', round(avg(CASE WHEN l = p THEN 1.0 ELSE 0.0 END), 6),
+         |       round(avg(CASE WHEN l = p THEN 1.0 ELSE 0.0 END), 6),
+         |       round(avg(CASE WHEN l = p THEN 1.0 ELSE 0.0 END), 6),
+         |       round(avg(CASE WHEN l = p THEN 1.0 ELSE 0.0 END), 6)
+         |FROM test GROUP BY fold
          |""".stripMargin,
     "q_metric_avg_precision" ->
       s"""$prelude,

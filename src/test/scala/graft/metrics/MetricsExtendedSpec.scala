@@ -1,0 +1,156 @@
+package graft.metrics
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for the round-2 registry additions: likelihood
+  * ratios, D² family, the full clustering-metric family (incl. AMI),
+  * top-k accuracy, multiclass OVR/OVO ROC-AUC, and jaccard/samples
+  * averages — plus full-parity registry resolution against the reference's
+  * 58 scorer names (`panelsplit/metrics.py:670-724`).
+  */
+class MetricsExtendedSpec extends SparkTestBase {
+  private lazy val sp = spark
+  import sp.implicits._
+
+  private def score(metric: String, pairs: Seq[(Double, Double)]): Double = {
+    val df = pairs.map { case (y, p) => (0, y, p) }.toDF("fold", "label", "prediction")
+    Metrics.perFoldScoreSeq(df, metric, "label", "prediction").head
+  }
+
+  test("registry resolves all 58 reference scorer names") {
+    val referenceNames = Seq(
+      "explained_variance", "r2", "neg_max_error", "matthews_corrcoef",
+      "neg_median_absolute_error", "neg_mean_absolute_error",
+      "neg_mean_absolute_percentage_error", "neg_mean_squared_error",
+      "neg_mean_squared_log_error", "neg_root_mean_squared_error",
+      "neg_root_mean_squared_log_error", "neg_mean_poisson_deviance",
+      "neg_mean_gamma_deviance", "d2_absolute_error_score", "d2_brier_score",
+      "d2_log_loss_score", "accuracy", "top_k_accuracy", "roc_auc",
+      "roc_auc_ovr", "roc_auc_ovo", "roc_auc_ovr_weighted",
+      "roc_auc_ovo_weighted", "balanced_accuracy", "average_precision",
+      "neg_log_loss", "neg_brier_score", "positive_likelihood_ratio",
+      "neg_negative_likelihood_ratio", "adjusted_rand_score", "rand_score",
+      "homogeneity_score", "completeness_score", "v_measure_score",
+      "mutual_info_score", "adjusted_mutual_info_score",
+      "normalized_mutual_info_score", "fowlkes_mallows_score") ++
+      (for {
+        stat <- Seq("precision", "recall", "f1", "jaccard")
+        avg <- Seq("", "_macro", "_micro", "_samples", "_weighted")
+      } yield s"$stat$avg")
+    assert(referenceNames.size == 58)
+    referenceNames.foreach(n => Scorers.get(n)) // throws on any miss
+    assert(Scorers.registry.size == 58)
+  }
+
+  test("class likelihood ratios (hand-computed confusion matrix)") {
+    // tp=2 fp=1 fn=1 tn=2 -> tpr=2/3, fpr=1/3, LR+ = 2; fnr=1/3, tnr=2/3, LR- = 0.5
+    val pairs = Seq((1.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0), (0.0, 0.0))
+    assert(math.abs(score("positive_likelihood_ratio", pairs) - 2.0) < 1e-12)
+    assert(math.abs(score("negative_likelihood_ratio", pairs) - 0.5) < 1e-12)
+    // degenerate: fp=0 -> undefined -> 1.0 (replace_undefined_by)
+    val clean = Seq((1.0, 1.0), (0.0, 0.0))
+    assert(score("positive_likelihood_ratio", clean) == 1.0)
+  }
+
+  test("d2_brier and d2_log_loss against direct formulas") {
+    val pairs = Seq((1.0, 0.9), (0.0, 0.2), (1.0, 0.7), (0.0, 0.4))
+    val ys = pairs.map(_._1); val ps = pairs.map(_._2)
+    val n = ys.size
+    val q = ys.sum / n
+    val brier = pairs.map { case (y, p) => math.pow(y - p, 2) }.sum / n
+    val varPop = ys.map(y => math.pow(y - q, 2)).sum / n
+    assert(math.abs(score("d2_brier_score", pairs) - (1 - brier / varPop)) < 1e-12)
+    val ll = -pairs.map { case (y, p) => y * math.log(p) + (1 - y) * math.log(1 - p) }.sum / n
+    val h = -(q * math.log(q) + (1 - q) * math.log(1 - q))
+    assert(math.abs(score("d2_log_loss_score", pairs) - (1 - ll / h)) < 1e-9)
+  }
+
+  test("d2_absolute_error against direct formula (fold median null model)") {
+    val df = Seq((0, 1.0, 2.0), (0, 3.0, 2.0), (0, 5.0, 4.0), (0, 7.0, 8.0))
+      .toDF("fold", "y", "p")
+    val got = Metrics.d2AbsoluteError(df, "y", "p").head().getDouble(1)
+    val med = 4.0 // median of 1,3,5,7
+    val num = Seq(1.0 - 2.0, 3.0 - 2.0, 5.0 - 4.0, 7.0 - 8.0).map(math.abs).sum
+    val den = Seq(1.0, 3.0, 5.0, 7.0).map(y => math.abs(y - med)).sum
+    assert(math.abs(got - (1 - num / den)) < 1e-12)
+  }
+
+  test("clustering family on a hand contingency") {
+    // labels: 0,0,1,1 ; clusters: 0,1,0,1 -> independent-ish table, all nij=1
+    val indep = Seq((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1)).toDF("fold", "label", "cluster")
+    val m = Metrics.clusteringMetrics(indep, "label", "cluster").head()
+    // n=4: C(4,2)=6 pairs; tk=0 (all nij=1), pk=qk=2*C(2,2)=2
+    assert(math.abs(m.getAs[Double]("rand") - (6.0 + 0 - 2 - 2) / 6.0) < 1e-12)
+    assert(math.abs(m.getAs[Double]("mutual_info")) < 1e-12) // independent
+    assert(math.abs(m.getAs[Double]("homogeneity")) < 1e-12)
+    assert(math.abs(m.getAs[Double]("completeness")) < 1e-12)
+    assert(m.getAs[Double]("v_measure") == 0.0)
+    assert(m.getAs[Double]("fowlkes_mallows") == 0.0) // tk = 0
+
+    // perfect match: labels == clusters
+    val perfect = Seq((0, 0, 0), (0, 0, 0), (0, 1, 1), (0, 1, 1)).toDF("fold", "label", "cluster")
+    val pm = Metrics.clusteringMetrics(perfect, "label", "cluster").head()
+    assert(math.abs(pm.getAs[Double]("rand") - 1.0) < 1e-12)
+    assert(math.abs(pm.getAs[Double]("homogeneity") - 1.0) < 1e-12)
+    assert(math.abs(pm.getAs[Double]("completeness") - 1.0) < 1e-12)
+    assert(math.abs(pm.getAs[Double]("v_measure") - 1.0) < 1e-12)
+    assert(math.abs(pm.getAs[Double]("fowlkes_mallows") - 1.0) < 1e-12)
+    assert(math.abs(pm.getAs[Double]("mutual_info") - math.log(2.0)) < 1e-12) // H = ln 2
+  }
+
+  test("adjusted mutual info: perfect labeling scores 1, independent scores ~0") {
+    val perfect = Seq((0, 0, 0), (0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 2, 2), (0, 2, 2))
+      .toDF("fold", "label", "cluster")
+    val ami = Metrics.adjustedMutualInfo(perfect, "label", "cluster").head().getDouble(1)
+    assert(math.abs(ami - 1.0) < 1e-9)
+    // empirically independent 2×2 table (nij=2, ai=bj=4, n=8): MI=0, so
+    // AMI = -EMI/(H̄-EMI); hand-computed EMI=0.079604 → AMI = -0.12974472...
+    // (the chance correction makes independence NEGATIVE, unlike NMI's 0)
+    val indep = Seq((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+      (0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1)).toDF("fold", "label", "cluster")
+    val amiI = Metrics.adjustedMutualInfo(indep, "label", "cluster").head().getDouble(1)
+    assert(math.abs(amiI - (-0.12974472642510546)) < 1e-9)
+  }
+
+  test("top-k accuracy with ties resolves to the lower index") {
+    // scores [0.5, 0.5, 0.2]: rank order = idx0, idx1, idx2
+    val df = Seq(
+      (0, 0, Seq(0.5, 0.5, 0.2)), // label 0 at position 0 -> top-1 hit
+      (0, 1, Seq(0.5, 0.5, 0.2)), // label 1 at position 1 -> top-1 miss, top-2 hit
+      (0, 2, Seq(0.1, 0.3, 0.9))  // label 2 at position 0 -> top-1 hit
+    ).toDF("fold", "label", "scores")
+    assert(Metrics.topKAccuracy(df, "label", "scores", 1).head().getDouble(1) === 2.0 / 3)
+    assert(Metrics.topKAccuracy(df, "label", "scores", 2).head().getDouble(1) === 1.0)
+  }
+
+  test("OVR ROC-AUC on 2 classes with complementary scores equals binary AUC") {
+    val rows = Seq(
+      (0, 1.0, 0.9), (0, 0.0, 0.4), (0, 1.0, 0.7), (0, 0.0, 0.6), (0, 1.0, 0.2))
+    val bin = rows.toDF("fold", "label", "probability")
+    val binAuc = Metrics.rocAuc(bin, "label", "probability").head().getDouble(1)
+    val arr = rows.map { case (f, y, p) => (f, y.toInt, Seq(1 - p, p)) }
+      .toDF("fold", "label", "scores")
+    val ovr = Metrics.rocAucOvr(arr, "label", "scores", weighted = false).head().getDouble(1)
+    val ovrW = Metrics.rocAucOvr(arr, "label", "scores", weighted = true).head().getDouble(1)
+    val ovo = Metrics.rocAucOvo(arr, "label", "scores", weighted = false).head().getDouble(1)
+    assert(math.abs(ovr - binAuc) < 1e-12)  // AUC(class1)=AUC(class0) by symmetry
+    assert(math.abs(ovo - binAuc) < 1e-12)
+    // weighted differs from macro only under class imbalance of the AUCs
+    assert(ovrW >= 0 && ovrW <= 1)
+  }
+
+  test("jaccard averages and samples average") {
+    // 3-class: labels 0,0,1,2 preds 0,1,1,1
+    val df = Seq((0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 2, 1)).toDF("fold", "label", "prediction")
+    val macroRow = Metrics.multiclassScores(df, "label", "prediction", "macro").head()
+    // per class jaccard: c0: tp=1, pred=1, supp=2 -> 1/2; c1: tp=1 pred=3 supp=1 -> 1/3; c2: 0
+    assert(math.abs(macroRow.getAs[Double]("jaccard") - (0.5 + 1.0 / 3) / 3) < 1e-12)
+    val micro = Metrics.multiclassScores(df, "label", "prediction", "micro").head()
+    // micro jaccard: sum tp=2, sum pred=4, sum supp=4 -> 2/6
+    assert(math.abs(micro.getAs[Double]("jaccard") - 2.0 / 6) < 1e-12)
+    val samples = Metrics.multiclassScores(df, "label", "prediction", "samples").head()
+    assert(samples.getAs[Double]("precision") == 0.5) // accuracy
+    assert(samples.getAs[Double]("jaccard") == 0.5)
+  }
+}
