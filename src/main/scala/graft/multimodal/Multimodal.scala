@@ -27,7 +27,11 @@ object Multimodal {
   /** Fixed feature dimension for the extract stub. */
   val FEATURE_DIM = 16
 
-  final case class MediaFeatures(id: Long, features: Array[Float])
+  /** Features accumulate in Double so the stub's arithmetic is exactly
+    * replicable cross-engine (DuckDB has no float32 math); a real embedding
+    * model would emit float32 and the gate would drop to a rows-only check.
+    */
+  final case class MediaFeatures(id: Long, features: Array[Double])
 
   /** STUB decode: deterministic pseudo-dimensions from the payload bytes —
     * width/height from byte length, channels from the first byte. A real
@@ -59,10 +63,10 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val f = new Array[Float](FEATURE_DIM)
+        val f = new Array[Double](FEATURE_DIM)
         var i = 0
         while (i < m.media.length) {
-          f(i % FEATURE_DIM) += java.lang.Byte.toUnsignedInt(m.media(i)) / 255.0f
+          f(i % FEATURE_DIM) += java.lang.Byte.toUnsignedInt(m.media(i)) / 255.0
           i += 1
         }
         MediaFeatures(m.id, f)

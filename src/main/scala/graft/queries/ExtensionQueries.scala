@@ -31,8 +31,8 @@ object ExtensionQueries extends QueryPack {
   private def featuresQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(media(spark, dir)).toDF()
       .select(col("id"),
-        round(aggregate(col("features"),
-          lit(0.0d), (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))
+        round(aggregate(col("features"), lit(0.0d), (acc, x) => acc + x), 4)
+          .as("feature_sum"))
 
   private def streamQ(spark: SparkSession, dir: String): DataFrame =
     StreamingOps.streamPeriodAgg(spark, dir)
@@ -78,9 +78,22 @@ object ExtensionQueries extends QueryPack {
         |  CAST(1 + ascii(substr(text, 1, 1)) % 3 AS INT) AS channels
         |FROM documents
         |""".stripMargin,
-    // q_multimodal_features: float accumulation order inside the stub is
-    // partition-local but per-record sequential — replicable in SQL, but
-    // float32 rounding differs from DuckDB's DOUBLE math; rows-only check.
+    // Replicates the stub's exact double arithmetic: per-bucket sequential
+    // accumulation of byte/255.0 in increasing position order (i % 16 = j),
+    // then a left fold over the 16 buckets — list_reduce preserves both
+    // orders, so the compare is bitwise at round-4.
+    "q_multimodal_features" ->
+      """SELECT doc_id AS id,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(range(0, 16), j ->
+        |      list_reduce(list_prepend(0.0,
+        |        list_transform(
+        |          list_filter(range(0, length(text)), i -> i % 16 = j),
+        |          i -> ascii(substr(text, i + 1, 1)) / 255.0)),
+        |        (a, b) -> a + b))),
+        |    (a, b) -> a + b), 4) AS feature_sum
+        |FROM documents
+        |""".stripMargin,
     "q_stream_period_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS period,
         |  count(*) AS n_events,
