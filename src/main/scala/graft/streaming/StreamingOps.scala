@@ -13,23 +13,90 @@ import org.apache.spark.sql.types.LongType
 object StreamingOps {
 
   /** Event projected for sessionization: micros keep the gap arithmetic in
-    * exact integer math (identical in the DuckDB oracle via epoch_us).
+    * exact integer math (identical in the DuckDB oracle via epoch_us); the
+    * timestamp column is carried for the event-time watermark.
     */
-  final case class UserEvent(user_id: Long, ts_us: Long)
+  final case class UserEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
   final case class UserSession(
       user_id: Long, session_idx: Int, n_events: Long, start_us: Long, end_us: Long)
 
-  /** Stateful sessionization over the event stream:
-    * `groupByKey(user).flatMapGroupsWithState` — a session breaks when the
-    * gap between consecutive events exceeds `gapHours`. With
-    * `Trigger.AvailableNow` the whole history arrives as one batch per
-    * group; on a live stream the same function holds the open session in
-    * `GroupState` across batches.
+  /** Bounded per-user session state: ONLY the open session (index, count,
+    * bounds) — O(1) per user, never the event history. `n_events == 0`
+    * marks a closed-by-timeout tombstone that preserves the session index
+    * for numbering continuity when the user reappears.
+    */
+  final case class OpenSession(session_idx: Int, n_events: Long, start_us: Long, last_us: Long)
+
+  /** Streaming sessionization transform with bounded state: closed sessions
+    * emit as soon as they close — either when a later event exceeds the gap
+    * inside a batch, or via event-time timeout once the watermark passes
+    * (last event + gap). `GroupState` holds a single [[OpenSession]];
+    * state size is independent of session length or history.
+    *
+    * Late events (behind the watermark) follow the standard stateful
+    * contract: they fold into the open session if one exists, but a session
+    * already closed by timeout stays closed.
+    */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      gapUs: Long): org.apache.spark.sql.Dataset[UserSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is closed.
+            // Keep a zero-count tombstone so a reappearing user continues
+            // the session numbering instead of restarting at 0.
+            val o = state.get
+            state.update(OpenSession(o.session_idx + 1, 0L, 0L, o.last_us))
+            Iterator(UserSession(uid, o.session_idx, o.n_events, o.start_us, o.last_us))
+          } else {
+            val ts = it.map(_.ts_us).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var open: Option[OpenSession] = state.getOption
+            ts.foreach { t =>
+              open match {
+                case Some(o) if o.n_events == 0L => // tombstone: start fresh at carried idx
+                  open = Some(OpenSession(o.session_idx, 1L, t, t))
+                case Some(o) if t - o.last_us > gapUs =>
+                  closed += UserSession(uid, o.session_idx, o.n_events, o.start_us, o.last_us)
+                  open = Some(OpenSession(o.session_idx + 1, 1L, t, t))
+                case Some(o) =>
+                  open = Some(o.copy(n_events = o.n_events + 1, last_us = math.max(o.last_us, t)))
+                case None =>
+                  open = Some(OpenSession(0, 1L, t, t))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              if (o.n_events > 0L) {
+                val timeoutMs = o.last_us / 1000L + gapUs / 1000L
+                state.setTimeoutTimestamp(math.max(timeoutMs, state.getCurrentWatermarkMs() + 1))
+              }
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Drain-mode sessionization over the events table: the streaming
+    * transform above under `Trigger.AvailableNow` emits every session the
+    * watermark can close (in-batch gaps + the final no-data batch's
+    * timeouts); the still-open tail sessions — at most one per user, since
+    * any earlier session's successor event forces its timeout before the
+    * final watermark — are recovered by a deterministic batch finalize:
+    * events after each user's last closed session form exactly the open
+    * session. Output is identical to the full-history batch oracle.
     */
   def sessionize(spark: SparkSession, dir: String, gapHours: Int = 12,
       queryName: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
 
@@ -39,36 +106,38 @@ object StreamingOps {
       stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
     val gapUs = gapHours.toLong * 3600L * 1000000L
-    val events = stream.select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[UserEvent]
+    val events = stream
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[UserEvent]
 
-    val sessions = events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Long], UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[UserEvent], state: GroupState[List[Long]]) =>
-          // fold this batch's events into the carried timestamps, sessionize
-          val ts = (state.getOption.getOrElse(Nil) ++ it.map(_.ts_us)).sorted
-          state.update(ts) // keep everything; AvailableNow = single batch
-          var idx = -1
-          var prev = Long.MinValue
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-          ts.foreach { t =>
-            if (prev == Long.MinValue || t - prev > gapUs) idx += 1
-            out += ((idx, t))
-            prev = t
-          }
-          out.groupBy(_._1).map { case (i, xs) =>
-            UserSession(uid, i, xs.size.toLong, xs.map(_._2).min, xs.map(_._2).max)
-          }.toSeq.sortBy(_.session_idx).iterator
-      }
-
-    val query = sessions.writeStream
+    val query = sessionizeStream(events, gapUs).writeStream
       .format("memory").queryName(queryName)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.table(queryName)
+
+    // batch finalize: per user, the event tail after the last closed session
+    // is the (single) still-open session
+    val closed = spark.table(queryName)
+    val lastClosed = closed.groupBy(col("user_id"))
+      .agg(max(col("end_us")).as("__last_end"), max(col("session_idx")).as("__last_idx"))
+    val batchEvents = {
+      var df = spark.read.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (rawSchema("ts").dataType == LongType)
+        df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    }
+    val open = batchEvents.join(lastClosed, Seq("user_id"), "left")
+      .filter(col("__last_end").isNull || col("ts_us") > col("__last_end"))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(first(col("__last_idx")) + 1, lit(0)).cast("int").as("session_idx"),
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+    closed.unionByName(open.select("user_id", "session_idx", "n_events", "start_us", "end_us"))
   }
 
   /** Watermarked per-day aggregate of a streaming events source:

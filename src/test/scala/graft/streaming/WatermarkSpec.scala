@@ -49,4 +49,46 @@ class WatermarkSpec extends SparkTestBase {
     assert(out("2024-01-01") == (2L, 3.0))
     assert(out("2024-01-02") == (1L, 4.0))
   }
+
+  test("sessionize: closed sessions emit across micro-batches with O(1) state") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[StreamingOps.UserEvent]
+    val gapUs = 12L * 3600L * 1000000L
+    val q = StreamingOps.sessionizeStream(events, gapUs).toDF()
+      .writeStream.format("memory").queryName("session_mb")
+      .outputMode(OutputMode.Append()).start()
+
+    // batch 1: user 1, two events 30min apart — session 0 stays open in
+    // state (a single OpenSession record, NOT the event list)
+    input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    assert(spark.table("session_mb").count() == 0) // nothing closed yet
+
+    // batch 2: user 1 reappears 22.5h later — gap exceeded, session 0
+    // closes IN-BATCH and emits; session 1 opens
+    input.addData((1L, ts("2024-01-02 09:00:00")))
+    q.processAllAvailable()
+    val afterB2 = spark.table("session_mb").collect()
+    assert(afterB2.length == 1)
+    assert(afterB2.head.getLong(0) == 1L && afterB2.head.getInt(1) == 0)
+    assert(afterB2.head.getLong(2) == 2L) // 2 events
+    assert(afterB2.head.getLong(3) == us("2024-01-01 10:00:00"))
+    assert(afterB2.head.getLong(4) == us("2024-01-01 10:30:00"))
+
+    // batch 3: a DIFFERENT user far in the future advances the watermark
+    // past session 1's (last + gap) — session 1 closes by EVENT-TIME
+    // TIMEOUT, without user 1 sending anything
+    input.addData((2L, ts("2024-01-03 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("session_mb").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(all.contains((1L, 1, 1L)), s"timeout-closed session missing from $all")
+    assert(all.size == 2) // user 2's session is still open -> not emitted
+  }
 }
