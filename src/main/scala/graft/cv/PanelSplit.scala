@@ -190,6 +190,13 @@ final class PanelSplit private (
 
 object PanelSplit {
 
+  /** Reconstruct from an explicit fold list (persistence / tests). */
+  private[graft] def fromFolds(
+      folds: Vector[PeriodFold],
+      periodsCol: String,
+      snapshotCol: Option[String]): PanelSplit =
+    new PanelSplit(folds, periodsCol, snapshotCol)
+
   /** Ordering over the collected period values (Int / Long / Date / Timestamp
     * / String — anything Comparable), used only for tiny driver-side sets.
     */

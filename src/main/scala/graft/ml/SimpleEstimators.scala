@@ -2,10 +2,58 @@ package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param.{DoubleParam, Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Versioned JSON persistence for the Simple* stages. spark.ml's
+  * `DefaultParamsWriter` is `private[ml]`, so this is the same idea
+  * hand-rolled: one `metadata.json` per stage with format version, uid,
+  * class, the three shared string params, and a numeric payload map
+  * (fitted values / extra params).
+  */
+private[ml] object SimpleIO {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods._
+  import org.json4s.JsonDSL._
+
+  val VERSION = 1
+
+  def write(path: String, instance: SimpleParams with Identifiable,
+      payload: Map[String, Double]): Unit = {
+    val dir = new java.io.File(path); dir.mkdirs()
+    val json: JObject =
+      ("version" -> VERSION) ~
+        ("class" -> instance.getClass.getName) ~
+        ("uid" -> instance.uid) ~
+        ("featureCol" -> instance.getFeatureCol) ~
+        ("labelCol" -> instance.getLabelCol) ~
+        ("predictionCol" -> instance.getPredictionCol) ~
+        ("payload" -> payload)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "metadata.json").toPath, compact(render(json)))
+  }
+
+  /** (uid, featureCol, labelCol, predictionCol, payload) */
+  def read(path: String): (String, String, String, String, Map[String, Double]) = {
+    implicit val fmt: Formats = DefaultFormats
+    val j = parse(java.nio.file.Files.readString(
+      new java.io.File(path, "metadata.json").toPath))
+    val v = (j \ "version").extract[Int]
+    require(v == VERSION, s"unsupported Simple* stage format version $v")
+    ((j \ "uid").extract[String],
+      (j \ "featureCol").extract[String],
+      (j \ "labelCol").extract[String],
+      (j \ "predictionCol").extract[String],
+      (j \ "payload").extract[Map[String, Double]])
+  }
+
+  def writer(instance: SimpleParams with Identifiable, payload: Map[String, Double]): MLWriter =
+    new MLWriter {
+      override protected def saveImpl(path: String): Unit = write(path, instance, payload)
+    }
+}
 
 /** Minimal deterministic `spark.ml` estimators used to exercise the per-fold
   * fit/predict machinery with oracle-checkable (SQL-expressible) semantics —
@@ -23,6 +71,10 @@ trait SimpleParams extends org.apache.spark.ml.param.Params {
   def getPredictionCol: String = $(predictionCol)
   setDefault(featureCol -> "feature", labelCol -> "label", predictionCol -> "prediction")
 
+  private[ml] def setCols(f: String, l: String, pr: String): this.type = {
+    set(featureCol, f); set(labelCol, l); set(predictionCol, pr); this
+  }
+
   protected def withPrediction(schema: StructType): StructType =
     StructType(schema.fields :+ StructField($(predictionCol), DoubleType, nullable = true))
 }
@@ -31,7 +83,8 @@ trait SimpleParams extends org.apache.spark.ml.param.Params {
   * tests) for every row (sklearn `DummyRegressor(strategy="mean")`
   * equivalent).
   */
-class MeanRegressor(override val uid: String) extends Estimator[MeanRegressorModel] with SimpleParams {
+class MeanRegressor(override val uid: String)
+    extends Estimator[MeanRegressorModel] with SimpleParams with MLWritable {
   def this() = this(Identifiable.randomUID("meanReg"))
   final val shift: DoubleParam = new DoubleParam(this, "shift", "constant added to the fitted mean")
   setDefault(shift -> 0.0)
@@ -46,22 +99,43 @@ class MeanRegressor(override val uid: String) extends Estimator[MeanRegressorMod
   }
   override def copy(extra: ParamMap): MeanRegressor = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this, Map("shift" -> $(shift)))
+}
+
+object MeanRegressor extends MLReadable[MeanRegressor] {
+  override def read: MLReader[MeanRegressor] = new MLReader[MeanRegressor] {
+    override def load(path: String): MeanRegressor = {
+      val (uid, f, l, pr, payload) = SimpleIO.read(path)
+      new MeanRegressor(uid).setCols(f, l, pr).setShift(payload("shift"))
+    }
+  }
 }
 
 class MeanRegressorModel(override val uid: String, val mean: Double)
-    extends Model[MeanRegressorModel] with SimpleParams {
+    extends Model[MeanRegressorModel] with SimpleParams with MLWritable {
   override def transform(ds: Dataset[_]): DataFrame =
     ds.withColumn($(predictionCol), lit(mean))
   override def copy(extra: ParamMap): MeanRegressorModel =
     copyValues(new MeanRegressorModel(uid, mean)).setParent(parent)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this, Map("mean" -> mean))
+}
+
+object MeanRegressorModel extends MLReadable[MeanRegressorModel] {
+  override def read: MLReader[MeanRegressorModel] = new MLReader[MeanRegressorModel] {
+    override def load(path: String): MeanRegressorModel = {
+      val (uid, f, l, pr, payload) = SimpleIO.read(path)
+      new MeanRegressorModel(uid, payload("mean")).setCols(f, l, pr)
+    }
+  }
 }
 
 /** Predicts the feature column verbatim — proves out-of-fold plumbing returns
   * each row's own value (reference `X1ToYRegressor`,
   * `tests/test_pipeline.py:54-61`).
   */
-class IdentityRegressor(override val uid: String) extends Estimator[IdentityRegressorModel] with SimpleParams {
+class IdentityRegressor(override val uid: String)
+    extends Estimator[IdentityRegressorModel] with SimpleParams with MLWritable {
   def this() = this(Identifiable.randomUID("idReg"))
   def setFeatureCol(v: String): this.type = set(featureCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -70,22 +144,43 @@ class IdentityRegressor(override val uid: String) extends Estimator[IdentityRegr
     copyValues(new IdentityRegressorModel(uid).setParent(this))
   override def copy(extra: ParamMap): IdentityRegressor = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this, Map.empty)
+}
+
+object IdentityRegressor extends MLReadable[IdentityRegressor] {
+  override def read: MLReader[IdentityRegressor] = new MLReader[IdentityRegressor] {
+    override def load(path: String): IdentityRegressor = {
+      val (uid, f, l, pr, _) = SimpleIO.read(path)
+      new IdentityRegressor(uid).setCols(f, l, pr)
+    }
+  }
 }
 
 class IdentityRegressorModel(override val uid: String)
-    extends Model[IdentityRegressorModel] with SimpleParams {
+    extends Model[IdentityRegressorModel] with SimpleParams with MLWritable {
   override def transform(ds: Dataset[_]): DataFrame =
     ds.withColumn($(predictionCol), col($(featureCol)).cast(DoubleType))
   override def copy(extra: ParamMap): IdentityRegressorModel =
     copyValues(new IdentityRegressorModel(uid)).setParent(parent)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this, Map.empty)
+}
+
+object IdentityRegressorModel extends MLReadable[IdentityRegressorModel] {
+  override def read: MLReader[IdentityRegressorModel] = new MLReader[IdentityRegressorModel] {
+    override def load(path: String): IdentityRegressorModel = {
+      val (uid, f, l, pr, _) = SimpleIO.read(path)
+      new IdentityRegressorModel(uid).setCols(f, l, pr)
+    }
+  }
 }
 
 /** Binary classifier: predict 1.0 when feature > train-set mean of the
   * feature, else 0.0. Deterministic and SQL-expressible, so classification
   * metrics can be oracled end-to-end.
   */
-class ThresholdClassifier(override val uid: String) extends Estimator[ThresholdClassifierModel] with SimpleParams {
+class ThresholdClassifier(override val uid: String)
+    extends Estimator[ThresholdClassifierModel] with SimpleParams with MLWritable {
   def this() = this(Identifiable.randomUID("thrClf"))
   def setFeatureCol(v: String): this.type = set(featureCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -96,10 +191,20 @@ class ThresholdClassifier(override val uid: String) extends Estimator[ThresholdC
   }
   override def copy(extra: ParamMap): ThresholdClassifier = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this, Map.empty)
+}
+
+object ThresholdClassifier extends MLReadable[ThresholdClassifier] {
+  override def read: MLReader[ThresholdClassifier] = new MLReader[ThresholdClassifier] {
+    override def load(path: String): ThresholdClassifier = {
+      val (uid, f, l, pr, _) = SimpleIO.read(path)
+      new ThresholdClassifier(uid).setCols(f, l, pr)
+    }
+  }
 }
 
 class ThresholdClassifierModel(override val uid: String, val threshold: Double)
-    extends Model[ThresholdClassifierModel] with SimpleParams {
+    extends Model[ThresholdClassifierModel] with SimpleParams with MLWritable {
   /** Positive-class probability: logistic of the distance to the threshold
     * (scale 10) — a deterministic `predict_proba` analog so probabilistic
     * scorers (log_loss, Brier, AUC) have a real response column.
@@ -112,4 +217,14 @@ class ThresholdClassifierModel(override val uid: String, val threshold: Double)
   override def copy(extra: ParamMap): ThresholdClassifierModel =
     copyValues(new ThresholdClassifierModel(uid, threshold)).setParent(parent)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this, Map("threshold" -> threshold))
+}
+
+object ThresholdClassifierModel extends MLReadable[ThresholdClassifierModel] {
+  override def read: MLReader[ThresholdClassifierModel] = new MLReader[ThresholdClassifierModel] {
+    override def load(path: String): ThresholdClassifierModel = {
+      val (uid, f, l, pr, payload) = SimpleIO.read(path)
+      new ThresholdClassifierModel(uid, payload("threshold")).setCols(f, l, pr)
+    }
+  }
 }

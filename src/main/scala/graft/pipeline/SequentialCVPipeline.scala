@@ -181,33 +181,37 @@ final class SequentialCVPipeline(
   private def cloneEst(est: Estimator[_ <: Model[_]]): Estimator[_ <: Model[_]] =
     est.copy(ParamMap.empty).asInstanceOf[Estimator[_ <: Model[_]]]
 
-  /** Persist the whole pipeline (structure + fitted state) — the JVM analog
-    * of the reference's pickling support (`pipeline.py:1145-1244`). All
-    * spark.ml stages are `Serializable` (they ship in task closures), so
-    * plain Java serialization round-trips estimators, fold specs, and
-    * fitted models. Driver-side state only — size is O(models), not data.
+  private[pipeline] def restoreFitted(state: Seq[(String, Option[FittedStep])]): Unit =
+    fitted = Some(state)
+
+  /** Persist the pipeline (structure + fitted state) as a VERSIONED
+    * directory — each spark.ml stage saved with its own `MLWritable`
+    * format, fold specs as tagged JSON ([[PipelinePersistence]]), matching
+    * the reference's pickling durability goals (`pipeline.py:1145-1244`)
+    * without Java-serialization version brittleness. Driver-side state
+    * only — size is O(models), not data.
     */
-  def save(path: String): Unit = {
-    val f = new java.io.File(path)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    val oos = new java.io.ObjectOutputStream(new java.io.FileOutputStream(f))
-    try {
-      oos.writeObject((steps, cvSteps, returnGroup, fitted))
-    } finally oos.close()
-  }
+  def save(path: String): Unit = PipelinePersistence.save(this, path)
 }
 
 object SequentialCVPipeline {
-  /** Load a pipeline persisted with [[SequentialCVPipeline.save]]. */
+  /** Load a pipeline persisted with [[SequentialCVPipeline.save]]. Accepts
+    * the versioned directory format; single-file paths from the legacy
+    * whole-object Java serialization still load for back-compat.
+    */
   def load(path: String): SequentialCVPipeline = {
-    val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(path))
-    try {
-      val (steps, cvSteps, returnGroup, fitted) = ois.readObject()
-        .asInstanceOf[(Seq[(String, Estimator[_ <: Model[_]])], Seq[Option[graft.cv.PanelSplit]],
-          String, Option[Seq[(String, Option[FittedStep])]])]
-      val pipe = new SequentialCVPipeline(steps, cvSteps, returnGroup)
-      pipe.fitted = fitted
-      pipe
-    } finally ois.close()
+    val f = new java.io.File(path)
+    if (f.isDirectory) PipelinePersistence.load(path)
+    else { // legacy format (round-1 saves)
+      val ois = new java.io.ObjectInputStream(new java.io.FileInputStream(path))
+      try {
+        val (steps, cvSteps, returnGroup, fitted) = ois.readObject()
+          .asInstanceOf[(Seq[(String, Estimator[_ <: Model[_]])], Seq[Option[graft.cv.PanelSplit]],
+            String, Option[Seq[(String, Option[FittedStep])]])]
+        val pipe = new SequentialCVPipeline(steps, cvSteps, returnGroup)
+        fitted.foreach(s => pipe.restoreFitted(s))
+        pipe
+      } finally ois.close()
+    }
   }
 }

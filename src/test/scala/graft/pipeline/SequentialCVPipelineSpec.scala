@@ -4,6 +4,7 @@ import graft.SparkTestBase
 import graft.cv.PanelSplit
 import graft.ml.{IdentityRegressor, MeanRegressor}
 import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.sql.functions._
 
 class SequentialCVPipelineSpec extends SparkTestBase {
   private lazy val sp = spark
@@ -83,7 +84,7 @@ class SequentialCVPipelineSpec extends SparkTestBase {
       df.select("y").as[Double].collect().toSet)
   }
 
-  test("save/load round-trips structure and fitted state (pickling analog)") {
+  test("save/load round-trips structure and fitted state (versioned directory)") {
     val df = identityPanel
     val cv = PanelSplit(df, "period", nSplits = 3, testSize = 1)
     val pipe = new SequentialCVPipeline(
@@ -91,14 +92,56 @@ class SequentialCVPipelineSpec extends SparkTestBase {
     pipe.fit(df)
     val before = pipe.transform(df).select("id", "prediction")
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
-    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft_pipe_${System.nanoTime()}.bin").getPath
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft_pipe_${System.nanoTime()}").getPath
     pipe.save(path)
+    // versioned layout: a manifest + per-stage MLWritable dirs, NOT a blob
+    assert(new java.io.File(path, "manifest.json").isFile)
+    assert(new java.io.File(path, "step0/fold0/ml/metadata.json").isFile)
     val loaded = SequentialCVPipeline.load(path)
     assert(loaded.isFitted && loaded.nScoreSplits == 3)
     val after = loaded.transform(df).select("id", "prediction")
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
     assert(before == after)
-    new java.io.File(path).delete()
+  }
+
+  test("save/load delegates to spark.ml MLWritable stages (LinearRegression)") {
+    val df = identityPanel
+      .withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(array(col("y"))))
+    val cv = PanelSplit(df, "period", nSplits = 3, testSize = 1)
+    val lr = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol("features").setLabelCol("y").setSolver("normal").setRegParam(0.0)
+    val pipe = new SequentialCVPipeline(
+      Seq("lr" -> est(lr)), Seq(Some(cv)))
+    pipe.fit(df)
+    val before = pipe.transform(df).select("id", "prediction")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val path = new java.io.File(sys.props("java.io.tmpdir"), s"graft_pipe_lr_${System.nanoTime()}").getPath
+    pipe.save(path)
+    // the fold models are stock spark.ml LinearRegressionModel saves
+    assert(new java.io.File(path, "step0/fold0/ml/metadata").exists)
+    val loaded = SequentialCVPipeline.load(path)
+    val after = loaded.transform(df).select("id", "prediction")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(before == after)
+  }
+
+  test("round-2 fixture pipeline loads (cross-version durability)") {
+    val fixture = new java.io.File("src/test/resources/fixtures/pipeline_v1")
+    assume(fixture.isDirectory, "fixture not yet generated")
+    val loaded = SequentialCVPipeline.load(fixture.getPath)
+    assert(loaded.isFitted && loaded.nScoreSplits == 3)
+    // the fixture was fitted on identityPanel; its per-fold means are fixed
+    val out = loaded.transform(identityPanel).select("id", "prediction")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(out.nonEmpty)
+    // fixture cv: nSplits=3, testSize=1 over periods 1..25 → fold 0 trains
+    // on periods 1..22 and tests period 23; spot-check its fitted mean
+    val expected = identityPanel.filter(col("period") <= 22)
+      .agg(avg(col("y"))).head().getDouble(0)
+    val foldTestIds = identityPanel.filter(col("period") === 23)
+      .select("id").as[Int].collect()
+    foldTestIds.foreach { id => assert(math.abs(out(id) - expected) < 1e-9) }
   }
 
   test("copyWith applies step__param overrides to the right step only") {
