@@ -572,6 +572,19 @@ object Metrics {
       .orderBy(col(foldCol))
   }
 
+  /** Per-fold scores of an explicit (possibly user-supplied) [[MetricSpec]]
+    * — the callable-scorer path; raw metric value, no sign flip.
+    */
+  def perFoldScoresOf(
+      preds: DataFrame,
+      spec: MetricSpec,
+      labelCol: String = "label",
+      predictionCol: String = "prediction",
+      foldCol: String = "fold"): DataFrame =
+    preds.groupBy(col(foldCol))
+      .agg(spec.agg(col(labelCol).cast("double"), col(predictionCol).cast("double")).as("score"))
+      .orderBy(col(foldCol))
+
   /** Driver-side convenience: fold-ordered score vector. */
   def perFoldScoreSeq(
       preds: DataFrame,

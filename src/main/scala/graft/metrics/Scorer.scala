@@ -18,7 +18,11 @@ final case class Scorer(
       * regression) or "probability" (positive-class score) — the response
       * dispatch of `utils/_response.py:13-73`.
       */
-    responseCol: String) {
+    responseCol: String,
+    /** A user-supplied metric aggregate — the callable-scorer path
+      * (`metrics.py:452-550`): when set, it overrides registry dispatch.
+      */
+    custom: Option[Metrics.MetricSpec] = None) {
 
   /** Per-fold scores, fold-ordered; single-element when the pipeline's last
     * step has no CV (`metrics.py:352-398`).
@@ -67,6 +71,8 @@ final case class Scorer(
       case Averaged(stat, avg) =>
         Metrics.multiclassScores(out, labelCol, responseCol, avg)
           .select(col("fold"), col(stat).as("score"))
+      case _ if custom.isDefined =>
+        Metrics.perFoldScoresOf(out, custom.get, labelCol, responseCol)
       case _ =>
         Metrics.perFoldScores(out, metricName, labelCol, responseCol)
     }
@@ -118,12 +124,24 @@ object Scorers {
     registry.getOrElse(name, throw new IllegalArgumentException(
       s"Unknown scorer '$name'. Known: ${registry.keys.toSeq.sorted.mkString(", ")}"))
 
-  /** `check_scoring` (`metrics.py:452-550`): a single name or a list of
-    * names → ordered (name, Scorer) pairs; duplicates rejected.
+  /** Build a scorer from a user-supplied metric aggregate — the reference's
+    * callable-scoring path (`metrics.py:452-550`): sklearn users pass a
+    * callable or a {name: callable} dict; here the callable is a
+    * [[Metrics.MetricSpec]] whose `agg` is any Spark aggregate Column
+    * builder, so custom scorers stay distributed and codegen'd.
     */
-  def check(scoring: Seq[String]): Seq[(String, Scorer)] = {
+  def custom(spec: Metrics.MetricSpec, responseCol: String = "prediction"): Scorer =
+    Scorer(spec.name, spec.name,
+      if (spec.greaterIsBetter) 1.0 else -1.0, responseCol, Some(spec))
+
+  /** `check_scoring` (`metrics.py:452-550`): a single name or a list of
+    * names → ordered (name, Scorer) pairs; duplicates rejected. `extra`
+    * scorers (the dict-of-callables form) resolve before the registry.
+    */
+  def check(scoring: Seq[String],
+      extra: Map[String, Scorer] = Map.empty): Seq[(String, Scorer)] = {
     require(scoring.nonEmpty, "scoring must not be empty")
     require(scoring.distinct.size == scoring.size, s"duplicate scorers in $scoring")
-    scoring.map(n => n -> get(n))
+    scoring.map(n => n -> extra.getOrElse(n, get(n)))
   }
 }

@@ -45,11 +45,20 @@ abstract class BaseSearch(
     val refit: Boolean,
     val refitMetric: Option[String],
     val errorScore: Double,
-    val parallelism: Int) {
+    val parallelism: Int,
+    /** Dict-of-callables scoring (`metrics.py:452-550`): names here resolve
+      * to the given scorers before the registry — build with
+      * [[Scorers.custom]] from any user MetricSpec.
+      */
+    val extraScorers: Map[String, graft.metrics.Scorer] = Map.empty,
+    /** `error_score="raise"` (`_validation.py:88-166`): rethrow the first
+      * candidate failure instead of filling `errorScore` and warning.
+      */
+    val raiseOnError: Boolean = false) {
 
   protected def candidates(): Seq[Map[String, Any]]
 
-  val scorers: Seq[(String, graft.metrics.Scorer)] = Scorers.check(scoring)
+  val scorers: Seq[(String, graft.metrics.Scorer)] = Scorers.check(scoring, extraScorers)
   val primaryMetric: String = refitMetric.getOrElse(scoring.head)
   require(scoring.contains(primaryMetric),
     s"refit metric '$primaryMetric' must be one of $scoring") // model_selection.py:437-455
@@ -84,6 +93,8 @@ abstract class BaseSearch(
       } match {
         case Success((scores, ft, st)) =>
           mkResult(i, params, scores, failed = false, None).copy(fitTimeSec = ft, scoreTimeSec = st)
+        case Failure(e) if raiseOnError =>
+          throw new IllegalStateException(s"Candidate $i ($params) failed with error_score=raise", e)
         case Failure(e) =>
           System.err.println(s"[search] candidate $i failed: ${e.getMessage}; filling errorScore")
           val fill = scoring.map(_ -> Seq.fill(pipeline.nScoreSplits)(errorScore)).toMap
@@ -183,8 +194,11 @@ final class GridSearch(
     refit: Boolean = true,
     refitMetric: Option[String] = None,
     errorScore: Double = Double.NaN,
-    parallelism: Int = 1)
-  extends BaseSearch(pipeline, scoring, labelCol, refit, refitMetric, errorScore, parallelism) {
+    parallelism: Int = 1,
+    extraScorers: Map[String, graft.metrics.Scorer] = Map.empty,
+    raiseOnError: Boolean = false)
+  extends BaseSearch(pipeline, scoring, labelCol, refit, refitMetric, errorScore,
+    parallelism, extraScorers, raiseOnError) {
 
   def this(pipeline: SequentialCVPipeline, paramGrid: Map[String, Seq[Any]],
       scoring: String, labelCol: String) =
@@ -194,13 +208,41 @@ final class GridSearch(
     BaseSearch.cartesian(paramGrid)
 }
 
-/** Seeded sampling of `nIter` distinct settings; exhaustive when the grid is
-  * smaller than `nIter` (sklearn `ParameterSampler` without-replacement
-  * behavior, `model_selection.py:1517-1523`).
+/** A continuous sampling distribution for [[RandomizedSearch]] — the Spark
+  * analog of scipy `rvs` objects accepted by sklearn's `ParameterSampler`
+  * (`model_selection.py:1517-1523`). Deterministic given the sampler's rng.
+  */
+sealed trait ParamDistribution { def sample(rng: scala.util.Random): Any }
+
+/** Uniform double on [lo, hi). */
+final case class UniformDist(lo: Double, hi: Double) extends ParamDistribution {
+  require(hi > lo, s"UniformDist needs hi > lo, got [$lo, $hi)")
+  def sample(rng: scala.util.Random): Any = lo + rng.nextDouble() * (hi - lo)
+}
+
+/** Log-uniform double on [lo, hi) — scipy `loguniform`. */
+final case class LogUniformDist(lo: Double, hi: Double) extends ParamDistribution {
+  require(lo > 0 && hi > lo, s"LogUniformDist needs 0 < lo < hi, got [$lo, $hi)")
+  def sample(rng: scala.util.Random): Any =
+    math.exp(math.log(lo) + rng.nextDouble() * (math.log(hi) - math.log(lo)))
+}
+
+/** Uniform integer on [lo, hi] inclusive — scipy `randint` analog. */
+final case class IntUniformDist(lo: Int, hi: Int) extends ParamDistribution {
+  require(hi >= lo, s"IntUniformDist needs hi >= lo, got [$lo, $hi]")
+  def sample(rng: scala.util.Random): Any = lo + rng.nextInt(hi - lo + 1)
+}
+
+/** Seeded sampling of `nIter` settings. Mirrors sklearn `ParameterSampler`:
+  * an all-list space samples WITHOUT replacement (exhaustive when the grid
+  * is smaller than `nIter`, `model_selection.py:1517-1523`); a space
+  * containing any [[ParamDistribution]] draws `nIter` independent settings —
+  * distributions via their `sample`, lists uniformly WITH replacement —
+  * in sorted-key order from one seeded rng, so runs are reproducible.
   */
 final class RandomizedSearch(
     pipeline: SequentialCVPipeline,
-    val paramGrid: Map[String, Seq[Any]],
+    val paramSpace: Map[String, Any],
     val nIter: Int,
     val seed: Long = 0L,
     scoring: Seq[String],
@@ -208,13 +250,37 @@ final class RandomizedSearch(
     refit: Boolean = true,
     refitMetric: Option[String] = None,
     errorScore: Double = Double.NaN,
-    parallelism: Int = 1)
-  extends BaseSearch(pipeline, scoring, labelCol, refit, refitMetric, errorScore, parallelism) {
+    parallelism: Int = 1,
+    extraScorers: Map[String, graft.metrics.Scorer] = Map.empty,
+    raiseOnError: Boolean = false)
+  extends BaseSearch(pipeline, scoring, labelCol, refit, refitMetric, errorScore,
+    parallelism, extraScorers, raiseOnError) {
 
   protected def candidates(): Seq[Map[String, Any]] = {
-    val all = BaseSearch.cartesian(paramGrid)
-    if (all.size <= nIter) all
-    else new scala.util.Random(seed).shuffle(all).take(nIter)
+    val hasDist = paramSpace.values.exists(_.isInstanceOf[ParamDistribution])
+    if (!hasDist) {
+      val lists = paramSpace.map {
+        case (k, s: Seq[_]) => k -> s.asInstanceOf[Seq[Any]]
+        case (k, other) => throw new IllegalArgumentException(
+          s"Param '$k' must be a Seq or ParamDistribution, got ${other.getClass}")
+      }
+      val all = BaseSearch.cartesian(lists)
+      if (all.size <= nIter) all
+      else new scala.util.Random(seed).shuffle(all).take(nIter)
+    } else {
+      val rng = new scala.util.Random(seed)
+      val keys = paramSpace.keys.toSeq.sorted
+      (0 until nIter).map { _ =>
+        keys.map { k =>
+          k -> (paramSpace(k) match {
+            case d: ParamDistribution => d.sample(rng)
+            case s: Seq[_] => s(rng.nextInt(s.size))
+            case other => throw new IllegalArgumentException(
+              s"Param '$k' must be a Seq or ParamDistribution, got ${other.getClass}")
+          })
+        }.toMap
+      }
+    }
   }
 }
 

@@ -88,6 +88,61 @@ class SearchSpec extends SparkTestBase {
     assert(r.meanScore("recall_micro") == 1.0)
   }
 
+  test("error_score=raise fails fast with the candidate's error") {
+    val df = panel
+    val gs = new GridSearch(pipe(df),
+      Map("mu__bogus" -> Seq(1)),
+      scoring = Seq("neg_mean_squared_error"), labelCol = "y",
+      raiseOnError = true)
+    val e = intercept[IllegalStateException](gs.fit(df))
+    assert(e.getMessage.contains("error_score=raise"))
+    assert(e.getCause != null) // original failure preserved
+  }
+
+  test("custom callable scorer flows through search and cvResults") {
+    import org.apache.spark.sql.functions._
+    val df = panel
+    // user-defined metric: mean absolute error capped at 2.0 per row
+    val capped = graft.metrics.Metrics.MetricSpec(
+      "capped_mae", greaterIsBetter = false,
+      (l, p) => avg(least(abs(l - p), lit(2.0))))
+    val gs = new GridSearch(pipe(df),
+      Map("mu__shift" -> Seq(0.0, 100.0)),
+      scoring = Seq("capped_mae", "neg_mean_squared_error"), labelCol = "y",
+      extraScorers = Map("capped_mae" -> graft.metrics.Scorers.custom(capped)))
+    gs.fit(df)
+    // greaterIsBetter=false -> sign-flipped like neg_* scorers
+    assert(gs.results.forall(_.meanScore("capped_mae") <= 0.0))
+    // shift=100 saturates the cap: every |y - p| > 2 -> score exactly -2
+    val shifted = gs.results.find(_.params("mu__shift") == 100.0).get
+    assert(shifted.meanScore("capped_mae") == -2.0)
+    val cols = gs.cvResults(spark).columns.toSet
+    assert(cols.contains("mean_test_capped_mae") && cols.contains("rank_test_capped_mae"))
+    assert(gs.bestParams == Map("mu__shift" -> 0.0))
+  }
+
+  test("RandomizedSearch samples continuous distributions deterministically") {
+    val df = panel
+    def run() = {
+      val rs = new RandomizedSearch(pipe(df),
+        Map("mu__shift" -> UniformDist(0.0, 10.0)), nIter = 4, seed = 7L,
+        scoring = Seq("neg_mean_squared_error"), labelCol = "y")
+      rs.fit(df); rs
+    }
+    val (a, b) = (run(), run())
+    assert(a.results.size == 4)
+    val draws = a.results.map(_.params("mu__shift").asInstanceOf[Double])
+    assert(draws.forall(v => v >= 0.0 && v < 10.0))
+    assert(draws.distinct.size == 4) // continuous draws — no accidental repeats
+    assert(draws == b.results.map(_.params("mu__shift").asInstanceOf[Double])) // seeded
+    // log-uniform and int draws stay in range too
+    val rng = new scala.util.Random(1L)
+    val lg = Seq.fill(100)(LogUniformDist(0.01, 100.0).sample(rng).asInstanceOf[Double])
+    assert(lg.forall(v => v >= 0.01 && v < 100.0))
+    val is = Seq.fill(100)(IntUniformDist(3, 7).sample(rng).asInstanceOf[Int])
+    assert(is.forall(v => v >= 3 && v <= 7) && is.distinct.sorted == Seq(3, 4, 5, 6, 7))
+  }
+
   test("RandomizedSearch: exhaustive when grid <= nIter, seeded subset otherwise") {
     val df = panel
     val rsAll = new RandomizedSearch(pipe(df),
