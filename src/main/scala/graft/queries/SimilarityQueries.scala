@@ -40,11 +40,15 @@ object SimilarityQueries extends QueryPack {
       // nPlanes instead of growing O(n) like a static attribute block
       Similarity.cosineNearDupPairsSrp(emb(s, dir), "vec_id", "embedding", PLANES, DIM, NEARDUP_THR)),
     "q_ann_ivf" -> ((s, dir) => {
+      // learned coarse centroids: deterministic k-means (trig init, round-6
+      // quantized updates) replayed identically by the SQL oracle
       val e = emb(s, dir)
-      Similarity.ivfTopK(
-        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, NLISTS, DIM)
+      Similarity.ivfTopKLearned(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, NLISTS, DIM, KM_ITERS)
     }),
   )
+
+  private val KM_ITERS = 2
 
   private val dv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String) =
@@ -59,6 +63,24 @@ object SimilarityQueries extends QueryPack {
     (0 until NLISTS).map { c =>
       "(" + c + ", [" + Similarity.ivfCentroid(c, DIM).map(d => f"$d%.17g").mkString(", ") + "])"
     }.mkString(", ")
+
+  /** One Lloyd iteration per CTE block, replaying Spark's deterministic
+    * k-means exactly: assign by (dot desc, c asc), per-dimension mean
+    * rounded to 6 dp, empty clusters keep the previous centroid.
+    */
+  private def kmeansIterCtes(iters: Int): String =
+    (0 until iters).map { i =>
+      s"""s$i AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$i),
+         |a$i AS (SELECT vec_id, dv, c AS list FROM (
+         |         SELECT v.vec_id, v.dv, s$i.c,
+         |                row_number() OVER (PARTITION BY s$i.vec_id ORDER BY s$i.s DESC, s$i.c ASC) AS rn
+         |         FROM v JOIN s$i ON s$i.vec_id = v.vec_id) WHERE rn = 1),
+         |p$i AS (SELECT list, dv, unnest(range(0, $DIM)) AS pos FROM a$i),
+         |m$i AS (SELECT list, pos, round(avg(dv[pos + 1]), 6) AS m FROM p$i GROUP BY list, pos),
+         |n$i AS (SELECT list AS c, list(m ORDER BY pos) AS cent FROM m$i GROUP BY list),
+         |cents${i + 1} AS (SELECT p.c, coalesce(n.cent, p.cent) AS cent
+         |                  FROM cents$i p LEFT JOIN n$i n ON p.c = n.c),""".stripMargin
+    }.mkString("\n")
 
   private def bucketSql(v: String): String =
     (0 until PLANES).map { j =>
@@ -89,9 +111,10 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
          |""".stripMargin,
     "q_ann_ivf" ->
-      s"""WITH cents(c, cent) AS (VALUES $centroidValues),
+      s"""WITH cents0(c, cent) AS (VALUES $centroidValues),
          |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
-         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents),
+         |${kmeansIterCtes(KM_ITERS)}
+         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$KM_ITERS),
          |assign AS (SELECT vec_id,
          |                  (array_agg(c ORDER BY s DESC, c ASC))[1] AS c1,
          |                  (array_agg(c ORDER BY s DESC, c ASC))[2] AS c2

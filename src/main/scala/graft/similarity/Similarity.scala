@@ -176,6 +176,90 @@ object Similarity {
   def ivfSecondList(v: Column, nLists: Int, dim: Int): Column =
     element_at(ivfRanking(v, nLists, dim), 2).getField("c")
 
+  /** Centroid ranking against EXPLICIT centroid vectors (learned k-means
+    * output) — same array_sort shape and (score desc, index asc) tie rule
+    * as [[ivfRanking]].
+    */
+  def ivfRankingWith(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cent, c) =>
+      struct((-dot(v, array(cent.map(lit): _*))).as("negs"), lit(c).as("c"))
+    }
+    array_sort(array(scored: _*))
+  }
+
+  def ivfListWith(v: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(ivfRankingWith(v, cents), 1).getField("c")
+
+  def ivfSecondListWith(v: Column, cents: Seq[Seq[Double]]): Column =
+    element_at(ivfRankingWith(v, cents), 2).getField("c")
+
+  /** Deterministic distributed Lloyd k-means for IVF coarse quantization:
+    * trig stand-ins seed the clusters, each iteration assigns by dot
+    * product (ties → lowest index) and recomputes centroids as the
+    * per-dimension mean of assigned vectors, ROUNDED to 6 dp — the
+    * quantization pins the result across summation orders and engines, so
+    * the DuckDB oracle can replay the identical iterations. Empty clusters
+    * keep their previous centroid. Per iteration: one map-side assignment
+    * (literal centroid arrays, no join) + one posexplode aggregation; only
+    * k×dim doubles ever reach the driver.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nLists: Int,
+      dim: Int,
+      iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = (0 until nLists).map(c => ivfCentroid(c, dim))
+    val v = corpus.select(asDouble(col(vecCol)).as("dv"))
+    for (_ <- 0 until iters) {
+      val rows = v.withColumn("list", ivfListWith(col("dv"), cents))
+        .select(col("list"), posexplode(col("dv")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byList = rows.groupBy(_._1)
+      cents = (0 until nLists).map { c =>
+        byList.get(c) match {
+          case Some(ms) => ms.sortBy(_._2).map(_._3).toSeq
+          case None     => cents(c)
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF ANN over LEARNED coarse centroids (nprobe=2): k-means the corpus,
+    * then the same probe-two-lists exact top-k as [[ivfTopK]]. At scale the
+    * training pass is a handful of assignment+mean jobs; the centroids ship
+    * to every task as literals.
+    */
+  def ivfTopKLearned(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      dim: Int,
+      iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val cents = kmeansCentroids(corpus, vecCol, nLists, dim, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("list", ivfListWith(col("cv"), cents))
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q0.withColumn("list", ivfListWith(col("qv"), cents))
+      .unionByName(q0.withColumn("list", ivfSecondListWith(col("qv"), cents)))
+    val scored = c.join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** Embedding-cosine near-duplicate pairs within the SRP bucket — the
     * scale path. Expected bucket population is corpus/2^nPlanes and is
     * tunable with more planes, unlike a static attribute key whose block

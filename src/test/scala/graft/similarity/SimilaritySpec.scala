@@ -42,6 +42,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(srp.subsetOf(brute))
   }
 
+  test("learned IVF centroids improve recall@10 over trig stand-ins at equal nprobe") {
+    // 8 orthogonal direction clusters x 10 vectors with small jitter over 8
+    // lists: k-means should land one centroid per cluster; the trig
+    // stand-ins have no relation to the data, so several clusters share a
+    // list and nprobe=2 misses neighbors
+    val dim = 8
+    val rows = for {
+      cl <- 0 until 8
+      i <- 0 until 10
+    } yield {
+      val base = (0 until dim).map(d => if (d == cl) 10.0 else 0.0)
+      val jit = (0 until dim).map(d => math.sin(cl * 131 + i * 17 + d) * 2.5)
+      ((cl * 10 + i).toLong, base.zip(jit).map { case (b, j) => (b + j).toFloat }.toArray)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    val brute = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 9)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val trig = recall(Similarity.ivfTopK(queries, corpus, "vec_id", "embedding", 9, 8, dim))
+    val learned = recall(Similarity.ivfTopKLearned(queries, corpus, "vec_id", "embedding", 9, 8, dim, iters = 5))
+    assert(learned > trig, s"learned recall $learned should beat trig recall $trig")
+    assert(learned >= 0.75, s"learned recall $learned too low on separable clusters")
+  }
+
+  test("kmeans centroids are deterministic and quantized to 6 dp") {
+    val dim = 8
+    val corpus = (0L to 20L).map(i =>
+      (i, (0 until dim).map(d => math.sin(i * 31 + d).toFloat).toArray)).toDF("vec_id", "embedding")
+    val a = Similarity.kmeansCentroids(corpus, "embedding", 4, dim, 2)
+    val b = Similarity.kmeansCentroids(corpus, "embedding", 4, dim, 2)
+    assert(a == b)
+    a.flatten.foreach { x =>
+      assert(math.abs(x * 1e6 - math.rint(x * 1e6)) < 1e-6, s"$x not 6-dp quantized")
+    }
+  }
+
   test("cosineNearDupPairs finds the planted near-identical pair within a block") {
     val blocked = corpus.withColumn("block", lit(1))
     val pairs = Similarity.cosineNearDupPairs(blocked, "vec_id", "embedding", "block", 0.999)
