@@ -572,6 +572,91 @@ object Metrics {
       .orderBy(col(foldCol))
   }
 
+  // ---- sample-weighted metrics ------------------------------------------
+
+  /** Weighted aggregate for a metric name — sklearn `sample_weight`
+    * semantics (reference scorers accept it throughout `metrics.py`):
+    * mean-style metrics become Σw·f / Σw, confusion-matrix metrics count
+    * each row with weight w. Metrics whose weighted form needs an order
+    * statistic or a two-pass weighted center (median_absolute_error, r2,
+    * explained_variance, max_error, d2_*) are rejected explicitly.
+    */
+  private def weightedAgg(name: String): (Column, Column, Column) => Column = {
+    def wavg(e: Column, w: Column) = sum(e * w) / sum(w)
+    def wtp(l: Column, p: Column, w: Column) = sum(when(l === 1 && p === 1, w).otherwise(0.0))
+    def wfp(l: Column, p: Column, w: Column) = sum(when(l === 0 && p === 1, w).otherwise(0.0))
+    def wfn(l: Column, p: Column, w: Column) = sum(when(l === 1 && p === 0, w).otherwise(0.0))
+    def wtn(l: Column, p: Column, w: Column) = sum(when(l === 0 && p === 0, w).otherwise(0.0))
+    name match {
+      case "mean_squared_error" => (l, p, w) => wavg(pow(l - p, 2), w)
+      case "root_mean_squared_error" => (l, p, w) => sqrt(wavg(pow(l - p, 2), w))
+      case "mean_absolute_error" => (l, p, w) => wavg(abs(l - p), w)
+      case "mean_absolute_percentage_error" =>
+        (l, p, w) => wavg(abs(l - p) / greatest(abs(l), lit(1e-15)), w)
+      case "mean_squared_log_error" => (l, p, w) => wavg(pow(log1p(l) - log1p(p), 2), w)
+      case "root_mean_squared_log_error" => (l, p, w) => sqrt(wavg(pow(log1p(l) - log1p(p), 2), w))
+      case "mean_poisson_deviance" =>
+        (l, p, w) => wavg(lit(2.0) * (when(l > 0, l * log(l / p)).otherwise(lit(0.0)) - l + p), w)
+      case "mean_gamma_deviance" =>
+        (l, p, w) => wavg(lit(2.0) * (log(p / l) + l / p - lit(1.0)), w)
+      case "accuracy" => (l, p, w) => sum(when(l === p, w).otherwise(0.0)) / sum(w)
+      case "precision" => (l, p, w) => {
+        val d = wtp(l, p, w) + wfp(l, p, w)
+        when(d === 0, 0.0).otherwise(wtp(l, p, w) / d)
+      }
+      case "recall" => (l, p, w) => {
+        val d = wtp(l, p, w) + wfn(l, p, w)
+        when(d === 0, 0.0).otherwise(wtp(l, p, w) / d)
+      }
+      case "f1" => (l, p, w) => {
+        val d = lit(2.0) * wtp(l, p, w) + wfp(l, p, w) + wfn(l, p, w)
+        when(d === 0, 0.0).otherwise(lit(2.0) * wtp(l, p, w) / d)
+      }
+      case "jaccard" => (l, p, w) => {
+        val d = wtp(l, p, w) + wfp(l, p, w) + wfn(l, p, w)
+        when(d === 0, 0.0).otherwise(wtp(l, p, w) / d)
+      }
+      case "balanced_accuracy" => (l, p, w) => {
+        val tpr = wtp(l, p, w) / (wtp(l, p, w) + wfn(l, p, w))
+        val tnr = wtn(l, p, w) / (wtn(l, p, w) + wfp(l, p, w))
+        (tpr + tnr) / 2.0
+      }
+      case "matthews_corrcoef" => (l, p, w) => {
+        val (a, b, c, d) = (wtp(l, p, w), wfp(l, p, w), wfn(l, p, w), wtn(l, p, w))
+        val num = a * d - b * c
+        val den = sqrt((a + b) * (a + c) * (d + b) * (d + c))
+        when(den === 0, 0.0).otherwise(num / den)
+      }
+      case "log_loss" => (l, p, w) => {
+        val eps = lit(1e-15)
+        val pc = least(greatest(p, eps), lit(1.0) - eps)
+        -wavg(l * log(pc) + (lit(1.0) - l) * log(lit(1.0) - pc), w)
+      }
+      case "brier_score" => (l, p, w) => wavg(pow(l - p, 2), w)
+      case other => throw new IllegalArgumentException(
+        s"Metric '$other' has no weighted form here (order statistics and " +
+          "two-pass weighted centers are not supported with sample weights)")
+    }
+  }
+
+  /** Per-fold WEIGHTED scores (fold, score), fold-ordered — `neg_*` names
+    * sign-flip exactly like [[perFoldScores]].
+    */
+  def perFoldScoresWeighted(
+      preds: DataFrame,
+      scorer: String,
+      labelCol: String,
+      predictionCol: String,
+      weightCol: String,
+      foldCol: String = "fold"): DataFrame = {
+    val (spec, sign) = resolve(scorer)
+    val agg0 = weightedAgg(spec.name)
+    preds.groupBy(col(foldCol))
+      .agg((agg0(col(labelCol).cast("double"), col(predictionCol).cast("double"),
+        col(weightCol).cast("double")) * sign).as("score"))
+      .orderBy(col(foldCol))
+  }
+
   /** Per-fold scores of an explicit (possibly user-supplied) [[MetricSpec]]
     * — the callable-scorer path; raw metric value, no sign flip.
     */

@@ -123,12 +123,38 @@ object MetricQueries extends QueryPack {
     }.reduce(_ unionByName _)
   }
 
+  /** Sample-weighted metrics (w = event_id%5 + 1): weighted regression
+    * means over the mean-regressor preds and the weighted confusion-matrix
+    * family over the threshold-classifier preds — the reference scorers'
+    * `sample_weight` path.
+    */
+  private def weightedScores(spark: SparkSession, dir: String): DataFrame = {
+    val regPreds = regressionPreds(spark, dir)
+      .withColumn("w", (col("event_id") % 5 + 1).cast("double")).cache()
+    val reg = Seq("mean_squared_error", "mean_absolute_error").map { m =>
+      Metrics.perFoldScoresWeighted(regPreds, m, "value", "prediction", "w")
+        .select(col("fold"), lit(m).as("metric"), round(col("score"), 6).as("score"))
+    }
+    val df = events(spark, dir)
+      .withColumn("label", (col("event_id") % 2).cast("double"))
+    val ps = panelSplit(df)
+    val est = new ThresholdClassifier().setFeatureCol("value").setLabelCol("label")
+    val (preds, _) = CrossVal.crossValFitPredict(est, df, ps, labelCol = "label")
+    val clfPreds = preds.withColumn("w", (col("event_id") % 5 + 1).cast("double")).cache()
+    val clf = Seq("accuracy", "precision", "recall", "f1", "matthews_corrcoef").map { m =>
+      Metrics.perFoldScoresWeighted(clfPreds, m, "label", "prediction", "w")
+        .select(col("fold"), lit(m).as("metric"), round(col("score"), 6).as("score"))
+    }
+    (reg ++ clf).reduce(_ unionByName _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_metrics_regression" -> (regressionScores _),
     "q_metrics_classification" -> (classificationScores _),
     "q_metric_roc_auc" -> (aucScores _),
     "q_metrics_d2" -> (d2Scores _),
     "q_metric_auc_multiclass" -> (multiclassAuc _),
+    "q_metrics_weighted" -> (weightedScores _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -280,6 +306,46 @@ object MetricQueries extends QueryPack {
          |  UNION ALL SELECT fold, 'roc_auc_ovo_weighted', sum(pauc * npair) / sum(npair) FROM ovo GROUP BY fold
          |  UNION ALL SELECT fold, 'top_k_accuracy_1', avg(CASE WHEN pos_ < 1 THEN 1.0 ELSE 0.0 END) FROM tkpos GROUP BY fold
          |  UNION ALL SELECT fold, 'top_k_accuracy_2', avg(CASE WHEN pos_ < 2 THEN 1.0 ELSE 0.0 END) FROM tkpos GROUP BY fold)
+         |""".stripMargin,
+    "q_metrics_weighted" ->
+      s"""$prelude,
+         |train AS (SELECT b.split AS fold, avg(ev.value) AS mu
+         |          FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split),
+         |test AS (SELECT b.split AS fold, ev.value AS y, tr.mu AS p,
+         |                CAST(ev.event_id % 5 + 1 AS DOUBLE) AS w
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |         JOIN train tr ON tr.fold = b.split),
+         |reg AS (SELECT fold,
+         |          sum(power(y - p, 2) * w) / sum(w) AS wmse,
+         |          sum(abs(y - p) * w) / sum(w) AS wmae
+         |        FROM test GROUP BY fold),
+         |ctrain AS (SELECT b.split AS fold, avg(ev.value) AS thr
+         |           FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split),
+         |ctest AS (SELECT b.split AS fold, CAST(ev.event_id % 2 AS DOUBLE) AS y,
+         |                 CASE WHEN ev.value > tr.thr THEN 1.0 ELSE 0.0 END AS p,
+         |                 CAST(ev.event_id % 5 + 1 AS DOUBLE) AS w
+         |          FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |          JOIN ctrain tr ON tr.fold = b.split),
+         |cm AS (SELECT fold,
+         |         sum(CASE WHEN y = 1 AND p = 1 THEN w ELSE 0.0 END) AS tp,
+         |         sum(CASE WHEN y = 0 AND p = 1 THEN w ELSE 0.0 END) AS fp,
+         |         sum(CASE WHEN y = 1 AND p = 0 THEN w ELSE 0.0 END) AS fn,
+         |         sum(CASE WHEN y = 0 AND p = 0 THEN w ELSE 0.0 END) AS tn,
+         |         sum(CASE WHEN y = p THEN w ELSE 0.0 END) / sum(w) AS wacc
+         |       FROM ctest GROUP BY fold)
+         |SELECT fold, metric, round(score, 6) AS score FROM (
+         |  SELECT fold, 'mean_squared_error' AS metric, wmse AS score FROM reg
+         |  UNION ALL SELECT fold, 'mean_absolute_error', wmae FROM reg
+         |  UNION ALL SELECT fold, 'accuracy', wacc FROM cm
+         |  UNION ALL SELECT fold, 'precision',
+         |    CASE WHEN tp + fp = 0 THEN 0 ELSE tp / (tp + fp) END FROM cm
+         |  UNION ALL SELECT fold, 'recall',
+         |    CASE WHEN tp + fn = 0 THEN 0 ELSE tp / (tp + fn) END FROM cm
+         |  UNION ALL SELECT fold, 'f1',
+         |    CASE WHEN 2*tp + fp + fn = 0 THEN 0 ELSE 2*tp / (2*tp + fp + fn) END FROM cm
+         |  UNION ALL SELECT fold, 'matthews_corrcoef',
+         |    CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN 0
+         |         ELSE (tp*tn - fp*fn) / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END FROM cm)
          |""".stripMargin,
     "q_metric_roc_auc" ->
       s"""$prelude,

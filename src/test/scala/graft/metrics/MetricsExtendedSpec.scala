@@ -140,6 +140,35 @@ class MetricsExtendedSpec extends SparkTestBase {
     assert(ovrW >= 0 && ovrW <= 1)
   }
 
+  test("sample-weighted metrics against hand-computed values") {
+    val df = Seq(
+      (0, 1.0, 2.0, 1.0), (0, 3.0, 2.0, 3.0), (0, 5.0, 4.0, 2.0)
+    ).toDF("fold", "label", "prediction", "w")
+    val wmse = Metrics.perFoldScoresWeighted(df, "mean_squared_error",
+      "label", "prediction", "w").head().getDouble(1)
+    // (1*1 + 3*1 + 2*1) / 6 = 1.0
+    assert(math.abs(wmse - 1.0) < 1e-12)
+    val wmae = Metrics.perFoldScoresWeighted(df, "mean_absolute_error",
+      "label", "prediction", "w").head().getDouble(1)
+    assert(math.abs(wmae - 1.0) < 1e-12)
+    // neg_* sign flip flows through
+    val negW = Metrics.perFoldScoresWeighted(df, "neg_mean_squared_error",
+      "label", "prediction", "w").head().getDouble(1)
+    assert(negW == -wmse)
+
+    // weighted confusion: rows (y,p,w): (1,1,2),(1,0,1),(0,1,1),(0,0,4)
+    val clf = Seq((0, 1.0, 1.0, 2.0), (0, 1.0, 0.0, 1.0), (0, 0.0, 1.0, 1.0), (0, 0.0, 0.0, 4.0))
+      .toDF("fold", "label", "prediction", "w")
+    def ws(m: String) = Metrics.perFoldScoresWeighted(clf, m, "label", "prediction", "w").head().getDouble(1)
+    assert(math.abs(ws("accuracy") - 6.0 / 8) < 1e-12)
+    assert(math.abs(ws("precision") - 2.0 / 3) < 1e-12) // wtp=2, wfp=1
+    assert(math.abs(ws("recall") - 2.0 / 3) < 1e-12)    // wfn=1
+    assert(math.abs(ws("f1") - 2.0 * 2 / (2 * 2 + 1 + 1)) < 1e-12)
+    // unsupported weighted forms fail loudly
+    assertThrows[IllegalArgumentException](ws("median_absolute_error"))
+    assertThrows[IllegalArgumentException](ws("r2"))
+  }
+
   test("jaccard averages and samples average") {
     // 3-class: labels 0,0,1,2 preds 0,1,1,1
     val df = Seq((0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 2, 1)).toDF("fold", "label", "prediction")
