@@ -197,8 +197,13 @@ object Dedup {
     * @return (id, cluster) where cluster = min id reachable
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize via explode, NOT union: a self-union would execute the
+    // (potentially expensive) pair-generation plan twice before the cache
+    // materializes — measured 2x the LSH pipeline cost on the cluster query
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // localCheckpoint each round: iterative DataFrame algorithms grow their
     // logical plan exponentially otherwise (every iteration embeds all

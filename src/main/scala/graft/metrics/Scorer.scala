@@ -22,7 +22,20 @@ final case class Scorer(
     /** A user-supplied metric aggregate — the callable-scorer path
       * (`metrics.py:452-550`): when set, it overrides registry dispatch.
       */
-    custom: Option[Metrics.MetricSpec] = None) {
+    custom: Option[Metrics.MetricSpec] = None,
+    /** Ordered response-method preference (`_response.py:13-73` tuple
+      * semantics, e.g. ("decision_function", "predict_proba")): the first
+      * column present in the transformed frame wins; `responseCol` is the
+      * final fallback.
+      */
+    responsePreference: Seq[String] = Nil) {
+
+  /** Resolve the response column against what the pipeline actually emitted. */
+  private def resolveResponse(out: DataFrame): String =
+    (responsePreference :+ responseCol).find(out.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"Scorer '$name' needs one of ${(responsePreference :+ responseCol).mkString(", ")} " +
+          s"in the transformed output; got ${out.columns.mkString(", ")}"))
 
   /** Per-fold scores, fold-ordered; single-element when the pipeline's last
     * step has no CV (`metrics.py:352-398`).
@@ -41,6 +54,7 @@ final case class Scorer(
   def scoreTransformed(out: DataFrame, labelCol: String): Seq[Double] = {
     val Averaged = "(precision|recall|f1|jaccard)_(macro|micro|weighted|samples)".r
     val ClusterCombined = "(rand|mutual_info|homogeneity|completeness|v_measure|fowlkes_mallows)_score".r
+    val responseCol = resolveResponse(out)
     val perFold = metricName match {
       case "roc_auc" =>
         Metrics.rocAuc(out, labelCol, responseCol).orderBy(col("fold"))
@@ -112,8 +126,13 @@ object Scorers {
       "top_k_accuracy")
       .map(n => n -> Scorer(n, n, 1.0, "probabilities"))
     base ++ averaged.toMap ++ clustering.toMap ++ arrayResponse.toMap ++ Map(
-      "roc_auc" -> Scorer("roc_auc", "roc_auc", 1.0, "probability"),
-      "average_precision" -> Scorer("average_precision", "average_precision", 1.0, "probability"),
+      // rank metrics prefer the raw decision_function margin when the model
+      // emits one, falling back to predict_proba — the reference's
+      // response_method=("decision_function", "predict_proba") tuple
+      "roc_auc" -> Scorer("roc_auc", "roc_auc", 1.0, "probability",
+        responsePreference = Seq("decision", "probability")),
+      "average_precision" -> Scorer("average_precision", "average_precision", 1.0, "probability",
+        responsePreference = Seq("decision", "probability")),
       "d2_absolute_error_score" -> Scorer("d2_absolute_error_score", "d2_absolute_error_score", 1.0, "prediction"))
   }
 

@@ -205,15 +205,20 @@ object ThresholdClassifier extends MLReadable[ThresholdClassifier] {
 
 class ThresholdClassifierModel(override val uid: String, val threshold: Double)
     extends Model[ThresholdClassifierModel] with SimpleParams with MLWritable {
-  /** Positive-class probability: logistic of the distance to the threshold
-    * (scale 10) — a deterministic `predict_proba` analog so probabilistic
-    * scorers (log_loss, Brier, AUC) have a real response column.
+  /** Full response surface (`utils/_response.py:13-73` analog):
+    * `prediction` (hard label), `probability` (logistic of the margin,
+    * scale 10 — `predict_proba`), `decision` (the raw margin —
+    * `decision_function`), and `log_probability` (`predict_log_proba`).
     */
-  override def transform(ds: Dataset[_]): DataFrame =
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val margin = col($(featureCol)) - lit(threshold)
     ds.withColumn($(predictionCol),
       when(col($(featureCol)) > lit(threshold), 1.0d).otherwise(0.0d))
-      .withColumn("probability",
-        lit(1.0) / (lit(1.0) + exp(-(col($(featureCol)) - lit(threshold)) / lit(10.0))))
+      .withColumn("probability", lit(1.0) / (lit(1.0) + exp(-margin / lit(10.0))))
+      .withColumn("decision", margin)
+      .withColumn("log_probability",
+        -org.apache.spark.sql.functions.log(lit(1.0) + exp(-margin / lit(10.0))))
+  }
   override def copy(extra: ParamMap): ThresholdClassifierModel =
     copyValues(new ThresholdClassifierModel(uid, threshold)).setParent(parent)
   override def transformSchema(schema: StructType): StructType = withPrediction(schema)

@@ -45,7 +45,8 @@ object MlQueries extends QueryPack {
       .select(col("fold"), lit("adjusted_rand").as("metric"), round(col("score"), 6).as("score"))
     val nmi = Metrics.normalizedMutualInfo(folds, "label", "cluster")
       .select(col("fold"), lit("normalized_mutual_info").as("metric"), round(col("score"), 6).as("score"))
-    val combined = Metrics.clusteringMetrics(folds, "label", "cluster")
+    // one contingency plan, cached: six metric selects read the same rows
+    val combined = Metrics.clusteringMetrics(folds, "label", "cluster").cache()
     val more = Seq("rand", "mutual_info", "homogeneity", "completeness",
       "v_measure", "fowlkes_mallows").map { m =>
       combined.select(col("fold"), lit(m).as("metric"), round(col(m), 6).as("score"))

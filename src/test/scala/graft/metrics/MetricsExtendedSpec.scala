@@ -140,6 +140,35 @@ class MetricsExtendedSpec extends SparkTestBase {
     assert(ovrW >= 0 && ovrW <= 1)
   }
 
+  test("response dispatch: decision_function preferred, predict_proba fallback") {
+    val probOnly = Seq((0, 1.0, 0.9), (0, 0.0, 0.3), (0, 1.0, 0.6), (0, 0.0, 0.8))
+      .toDF("fold", "label", "probability")
+    val auc = Scorers.get("roc_auc")
+    val viaProb = auc.scoreTransformed(probOnly, "label")
+    // add a decision column (monotone in probability): preferred, same AUC
+    val withDec = probOnly.withColumn("decision", col("probability") * 7 - 2)
+    val viaDec = auc.scoreTransformed(withDec, "label")
+    assert(viaProb == viaDec)
+    // the decision column genuinely drives the ranking: an ANTI-monotone
+    // decision column flips the AUC
+    val antiDec = probOnly.withColumn("decision", -col("probability"))
+    val viaAnti = auc.scoreTransformed(antiDec, "label")
+    assert(math.abs(viaAnti.head - (1.0 - viaProb.head)) < 1e-12)
+    // no usable response column -> descriptive error
+    val none = probOnly.drop("probability")
+    val e = intercept[IllegalArgumentException](auc.scoreTransformed(none, "label"))
+    assert(e.getMessage.contains("decision"))
+    // ThresholdClassifier emits the full response surface incl. log_probability
+    val df = Seq((1, 1.0, 0.0), (2, 5.0, 1.0)).toDF("id", "x", "y")
+    val m = new graft.ml.ThresholdClassifier().setFeatureCol("x").setLabelCol("y").fit(df)
+    val out = m.transform(df)
+    assert(Set("prediction", "probability", "decision", "log_probability")
+      .subsetOf(out.columns.toSet))
+    val row = out.filter(col("id") === 2).head()
+    assert(math.abs(row.getAs[Double]("log_probability")
+      - math.log(row.getAs[Double]("probability"))) < 1e-12)
+  }
+
   test("sample-weighted metrics against hand-computed values") {
     val df = Seq(
       (0, 1.0, 2.0, 1.0), (0, 3.0, 2.0, 3.0), (0, 5.0, 4.0, 2.0)
