@@ -154,9 +154,35 @@ final class PanelSplit private (
     * mutates its fold list while iterating (skipping the element after each
     * drop); we evaluate ALL folds — documented divergence (SURVEY §4).
     *
-    * One scan: conditional counts for every fold side in a single aggregate.
+    * Two physical plans, same semantics: up to [[PanelSplit.DROP_SPLITS_CONDITIONAL_MAX]]
+    * folds, one scan with conditional aggregates (4 per fold — each
+    * `countDistinct` adds an Expand branch, so plan width is O(nSplits));
+    * beyond that, a broadcast fold-membership join + ONE `groupBy(fold,
+    * side)` aggregation whose plan is constant-width regardless of fold
+    * count (rows duplicate by fold membership instead — the right trade at
+    * hundreds of folds).
     */
   def dropSplits(df: DataFrame, yCol: String): PanelSplit = {
+    val counts =
+      if (folds.size <= PanelSplit.DROP_SPLITS_CONDITIONAL_MAX) dropSplitCountsConditional(df, yCol)
+      else dropSplitCountsExploded(df, yCol)
+    val kept = folds.filter { f =>
+      val (trN, trU) = counts.getOrElse((f.index, "train"), (0L, 0L))
+      val (teN, teU) = counts.getOrElse((f.index, "test"), (0L, 0L))
+      !(trN == 0 || teN == 0 || trU == 1 || teU == 1)
+    }
+    folds.diff(kept).foreach { f =>
+      // match the reference's user-visible notice (printed, not thrown)
+      System.err.println(
+        s"Dropping split ${f.index} as either the test or train set is either empty or contains only one unique value.")
+    }
+    new PanelSplit(kept, periodsCol, snapshotCol)
+  }
+
+  /** (fold, side) → (rowCount, distinct-y-with-null) via per-fold
+    * conditional aggregates in one scan.
+    */
+  private[cv] def dropSplitCountsConditional(df: DataFrame, yCol: String): Map[(Int, String), (Long, Long)] = {
     val aggs = folds.flatMap { f =>
       val tr = f.trainPredicate(periodsCol, snapshotCol)
       val te = f.testPredicate(periodsCol, snapshotCol)
@@ -172,23 +198,60 @@ final class PanelSplit private (
         uniq(te).as(s"te_u_${f.index}"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val kept = folds.filter { f =>
-      val trN = row.getAs[Long](s"tr_n_${f.index}")
-      val teN = row.getAs[Long](s"te_n_${f.index}")
-      val trU = row.getAs[Long](s"tr_u_${f.index}")
-      val teU = row.getAs[Long](s"te_u_${f.index}")
-      !(trN == 0 || teN == 0 || trU == 1 || teU == 1)
+    folds.flatMap { f =>
+      Seq(
+        (f.index, "train") -> ((row.getAs[Long](s"tr_n_${f.index}"), row.getAs[Long](s"tr_u_${f.index}"))),
+        (f.index, "test") -> ((row.getAs[Long](s"te_n_${f.index}"), row.getAs[Long](s"te_u_${f.index}"))))
+    }.toMap
+  }
+
+  /** Same counts via a broadcast (period → fold, side, snapshot) membership
+    * join and a single constant-width aggregation — scales to any fold
+    * count. Sides missing from the result are genuinely empty.
+    */
+  private[cv] def dropSplitCountsExploded(df: DataFrame, yCol: String): Map[(Int, String), (Long, Long)] = {
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val periodType = df.schema(periodsCol).dataType
+    val rows = folds.flatMap { f =>
+      f.trainPeriods.map(p => org.apache.spark.sql.Row(p, f.index, "train")) ++
+        f.testPeriods.map(p => org.apache.spark.sql.Row(p, f.index, "test"))
     }
-    folds.diff(kept).foreach { f =>
-      // match the reference's user-visible notice (printed, not thrown)
-      System.err.println(
-        s"Dropping split ${f.index} as either the test or train set is either empty or contains only one unique value.")
+    val memSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__ds_period", periodType),
+      org.apache.spark.sql.types.StructField("__ds_fold", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__ds_side", org.apache.spark.sql.types.StringType, nullable = false)))
+    val membership = spark.createDataFrame(rows.asJava, memSchema)
+    // per-fold snapshot equality must still hold where configured
+    val snapKeep: Column = snapshotCol match {
+      case Some(sc) =>
+        folds.map { f =>
+          f.snapshot match {
+            case Some(sv) => col("__ds_fold") === f.index && col(sc) === lit(sv)
+            case None     => col("__ds_fold") === f.index
+          }
+        }.reduceOption(_ || _).getOrElse(lit(true))
+      case None => lit(true)
     }
-    new PanelSplit(kept, periodsCol, snapshotCol)
+    df.join(broadcast(membership), col(periodsCol) === col("__ds_period"), "inner")
+      .filter(snapKeep)
+      .groupBy(col("__ds_fold"), col("__ds_side"))
+      .agg(
+        count(lit(1)).as("__n"),
+        (countDistinct(col(yCol)) +
+          coalesce(max(when(col(yCol).isNull, 1).otherwise(0)), lit(0))).cast("long").as("__u"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
   }
 }
 
 object PanelSplit {
+
+  /** Fold-count ceiling for the conditional-aggregate dropSplits plan;
+    * above it the constant-width explode-join plan takes over.
+    */
+  val DROP_SPLITS_CONDITIONAL_MAX = 24
 
   /** Reconstruct from an explicit fold list (persistence / tests). */
   private[graft] def fromFolds(

@@ -95,4 +95,41 @@ class PanelSplitSpec extends SparkTestBase {
     val kept = ps.dropSplits(df, "y")
     assert(kept.nSplits == 1 && kept.folds.head.testPeriods == Vector(3))
   }
+
+  test("dropSplits: conditional and explode-join plans agree at wide fold counts") {
+    // 40 periods -> 38 folds (over the conditional plan's 24-fold ceiling):
+    // the first 6 periods carry a constant y (degenerate while they dominate
+    // the train side), nulls sprinkle extra distinct values, period 35 has
+    // no rows at all (empty test side for its fold)
+    val rows = for {
+      p <- (1 to 40) if p != 35
+      i <- 0 to 1
+    } yield {
+      val y: Option[Double] =
+        if (p <= 6) Some(1.0)
+        else if (i == 0 && p % 7 == 0) None
+        else Some(p * 10.0 + i)
+      (p * 100 + i, p, y)
+    }
+    val df = rows.toDF("id", "period", "y")
+    val ps = PanelSplit(df, "period", nSplits = 38, testSize = 1,
+      uniquePeriods = Some((1 to 40).map(_.asInstanceOf[Any]).toVector))
+    assert(ps.nSplits == 38)
+    val cond = ps.dropSplitCountsConditional(df, "y")
+    val expl = ps.dropSplitCountsExploded(df, "y")
+    // explode path omits empty sides; conditional records them as (0, 0)
+    cond.foreach { case (k, v) =>
+      assert(expl.getOrElse(k, (0L, 0L)) == v, s"mismatch at $k: cond=$v expl=${expl.get(k)}")
+    }
+    // and the public API (which routes to the explode plan at 38 folds)
+    // matches a manual evaluation of the conditional counts
+    val keptIdx = ps.dropSplits(df, "y").folds.map(_.index).toSet
+    val manual = ps.folds.filter { f =>
+      val (trN, trU) = cond((f.index, "train"))
+      val (teN, teU) = cond((f.index, "test"))
+      !(trN == 0 || teN == 0 || trU == 1 || teU == 1)
+    }.map(_.index).toSet
+    assert(keptIdx == manual)
+    assert(keptIdx.nonEmpty && keptIdx.size < 38) // degenerates actually dropped
+  }
 }
