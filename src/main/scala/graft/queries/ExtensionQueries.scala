@@ -60,12 +60,37 @@ object ExtensionQueries extends QueryPack {
     fold0Train
   }
 
+  /** Bucketed co-located join: events and per-user totals both bucketed on
+    * user_id → sort-merge join + post-join groupBy(user_id) with ZERO
+    * shuffle exchanges (asserted at runtime) — the repeated-join layout for
+    * entity-keyed panel data at 100 TB.
+    */
+  private def bucketedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.PartitionedSink
+    val suffix = math.abs(dir.hashCode)
+    val ev = PanelQueries.events(spark, dir).select("event_id", "user_id", "value")
+    val t1 = PartitionedSink.writeBucketedTable(ev, "user_id", 16,
+      s"graft_ev_bucketed_$suffix")
+    val totals = ev.groupBy(col("user_id")).agg(sum(col("value")).as("user_total"))
+    val t2 = PartitionedSink.writeBucketedTable(totals, "user_id", 16,
+      s"graft_user_totals_bucketed_$suffix")
+    val joined = t1.hint("merge").join(t2, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(first(col("user_total")), 4).as("user_total"))
+    require(PartitionedSink.isShuffleFree(joined),
+      "bucketed join or post-join aggregation introduced a shuffle exchange")
+    joined
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (decodeQ _),
     "q_multimodal_features" -> (featuresQ _),
     "q_stream_period_agg" -> (streamQ _),
     "q_stream_sessionize" -> (sessionQ _),
     "q_partitioned_fold_scan" -> (partitionedScanQ _),
+    "q_bucketed_join" -> (bucketedJoinQ _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -120,5 +145,11 @@ object ExtensionQueries extends QueryPack {
          |SELECT event_id, period, value FROM ev
          |WHERE pos < (SELECT n FROM nn) - ${PanelQueries.N_SPLITS}
          |""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value,
+        |       round(sum(value), 4) AS user_total
+        |FROM events GROUP BY user_id
+        |""".stripMargin,
   )
 }

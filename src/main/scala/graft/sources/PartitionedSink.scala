@@ -31,4 +31,28 @@ object PartitionedSink {
     val plan = filtered.queryExecution.executedPlan.toString
     plan.contains("PartitionFilters: [") && plan.contains(periodCol)
   }
+
+  /** Write `df` as a BUCKETED table (hash-bucketed + sorted on `bucketCol`)
+    * — the co-location layout for repeated large joins/aggregations on one
+    * key at 100 TB: two tables bucketed the same way join with NO shuffle
+    * on either side, and a post-join `groupBy` on the key reuses the same
+    * distribution. Idempotent per (session, table).
+    */
+  def writeBucketedTable(df: DataFrame, bucketCol: String, nBuckets: Int, table: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      df.write.mode("overwrite").format("parquet")
+        .option("path", s"target/bucketed/$table")
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(table)
+    }
+    spark.table(table)
+  }
+
+  /** True iff the physical plan contains NO shuffle exchange at all —
+    * the co-located-join assertion (bucketed reads feed SortMergeJoin
+    * directly; only a broadcast exchange, if any, is tolerated).
+    */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 }
