@@ -91,6 +91,9 @@ object ExtensionQueries extends QueryPack {
     "q_stream_sessionize" -> (sessionQ _),
     "q_partitioned_fold_scan" -> (partitionedScanQ _),
     "q_bucketed_join" -> (bucketedJoinQ _),
+    "q_stream_dedup" -> ((s, dir) =>
+      StreamingOps.streamDedupUsersPerDay(s, dir,
+        queryName = s"stream_dedup_${math.abs(dir.hashCode)}")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -145,6 +148,11 @@ object ExtensionQueries extends QueryPack {
          |SELECT event_id, period, value FROM ev
          |WHERE pos < (SELECT n FROM nn) - ${PanelQueries.N_SPLITS}
          |""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS period,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1
+        |""".stripMargin,
     "q_bucketed_join" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value,

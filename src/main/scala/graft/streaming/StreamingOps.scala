@@ -140,6 +140,44 @@ object StreamingOps {
     closed.unionByName(open.select("user_id", "session_idx", "n_events", "start_us", "end_us"))
   }
 
+  /** Streaming exact dedup with WATERMARK-BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a (user, day) key in state only
+    * until the event-time watermark passes its eviction point — the
+    * streaming analog of exact content-hash dedup for continuously
+    * arriving training data. Emitted rows are the first occurrence per
+    * key; the per-day distinct-user aggregate over the drained sink is
+    * deterministic regardless of arrival order. A day's events span < 24h,
+    * so a 1-day delay makes the windowed dedup exact for this keying.
+    */
+  def streamDedupUsersPerDay(
+      spark: SparkSession,
+      dir: String,
+      queryName: String = "stream_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    var stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (rawSchema("ts").dataType == LongType)
+      stream = stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val deduped = stream
+      .withColumn("period", to_date(col("ts")))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("user_id", "period")
+      .select(col("user_id"), col("period"))
+
+    val query = deduped.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.table(queryName)
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Watermarked per-day aggregate of a streaming events source:
     * readStream → window(1 day) → count/sum/avg. `Trigger.AvailableNow`
     * drains the source and terminates, so the same code path serves both
