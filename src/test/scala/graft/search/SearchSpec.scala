@@ -88,6 +88,33 @@ class SearchSpec extends SparkTestBase {
     assert(r.meanScore("recall_micro") == 1.0)
   }
 
+  test("multimetric scoring reuses the cached candidate response (stage-count evidence)") {
+    val df = panel.cache(); df.count()
+    def stagesFor(scoring: Seq[String]): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        new GridSearch(pipe(df), Map("mu__shift" -> Seq(0.0)),
+          scoring = scoring, labelCol = "y", refit = false).fit(df)
+        Thread.sleep(2000) // let the listener bus drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get
+    }
+    val one = stagesFor(Seq("neg_mean_squared_error"))
+    val four = stagesFor(Seq("neg_mean_squared_error", "neg_mean_absolute_error",
+      "neg_root_mean_squared_error", "neg_mean_absolute_percentage_error"))
+    // without the per-candidate persist, 4 metrics would re-run the whole
+    // per-fold transform per scorer (~4x the stages); with the cached
+    // response the extra metrics add only their own aggregate/collect stages
+    assert(four < one * 3,
+      s"stage blowup suggests the response cache is gone: 1 metric -> $one stages, 4 -> $four")
+  }
+
   test("error_score=raise fails fast with the candidate's error") {
     val df = panel
     val gs = new GridSearch(pipe(df),
