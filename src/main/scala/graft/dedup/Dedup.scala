@@ -144,7 +144,21 @@ object Dedup {
     * Output: (id_a, id_b) distinct candidate pairs. The self-join is per
     * (band, band_sig) bucket — bounded, shuffle-on-bucket, no cross join.
     */
-  def lshCandidates(signatures: DataFrame, nBands: Int, k: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, nBands: Int, k: Int): DataFrame =
+    lshCandidates(signatures, nBands, k, maxBucketSize = None)
+
+  /** LSH banding with an optional HOT-BUCKET CAP: buckets whose population
+    * exceeds `maxBucketSize` are dropped before the self-join. At corpus
+    * scale a handful of degenerate band signatures (boilerplate, empty
+    * docs) can hold O(corpus) members — a quadratic bomb on one shuffle
+    * key; such mega-buckets are also uninformative (they pair everything
+    * with everything). The cap bounds per-bucket work at cap² and skews
+    * nothing, at the cost of recall only for pairs whose EVERY shared band
+    * is degenerate. Capped-off bucket count is observable via
+    * [[lshBucketSizes]].
+    */
+  def lshCandidates(signatures: DataFrame, nBands: Int, k: Int,
+      maxBucketSize: Option[Int]): DataFrame = {
     val bandSize = k / nBands
     require(bandSize * nBands == k, s"nBands=$nBands must divide k=$k")
     val banded = signatures
@@ -152,11 +166,34 @@ object Dedup {
       .groupBy(col("id"), col("band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minh")))),
         x => x.getField("minh").cast("string")), ",").as("band_sig"))
-    val a = banded.select(col("id").as("id_a"), col("band"), col("band_sig"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+    val kept = maxBucketSize match {
+      case Some(cap) =>
+        // one extra count-shuffle on the same key the join shuffles on
+        val sizes = banded.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("__bucket_n"))
+          .filter(col("__bucket_n") <= cap)
+          .select(col("band"), col("band_sig"))
+        banded.join(sizes, Seq("band", "band_sig"))
+      case None => banded
+    }
+    val a = kept.select(col("id").as("id_a"), col("band"), col("band_sig"))
+    val b = kept.select(col("id").as("id_b"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Bucket-population histogram for cap tuning: (band, band_sig, n). */
+  def lshBucketSizes(signatures: DataFrame, nBands: Int, k: Int): DataFrame = {
+    val bandSize = k / nBands
+    require(bandSize * nBands == k, s"nBands=$nBands must divide k=$k")
+    signatures
+      .withColumn("band", (col("i") / bandSize).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minh")))),
+        x => x.getField("minh").cast("string")), ",").as("band_sig"))
+      .groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** MinHash-LSH near-dup detection end to end: signatures → banded

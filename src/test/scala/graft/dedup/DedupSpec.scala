@@ -41,6 +41,30 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.subsetOf(brute)) // verify step enforces the true-jaccard threshold
   }
 
+  test("hot-bucket cap drops mega-buckets, keeps everything else") {
+    // 20 identical boilerplate docs form a mega-bucket in EVERY band; the
+    // two planted near-dups live in normal buckets
+    val boiler = (100L to 119L).map(i => (i, "the same boilerplate text here", "s1"))
+    val df = (Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "s0"),
+      (1L, "alpha beta gamma delta epsilon zeta", "s0")) ++ boiler)
+      .toDF("doc_id", "text", "source")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 1, 16).cache()
+    val uncapped = Dedup.lshCandidates(sigs, 4, 16)
+      .as[(Long, Long)].collect().toSet
+    val capped = Dedup.lshCandidates(sigs, 4, 16, maxBucketSize = Some(10))
+      .as[(Long, Long)].collect().toSet
+    // mega-bucket pairs (boilerplate x boilerplate: C(20,2)=190) vanish
+    assert(uncapped.count { case (a, b) => a >= 100 && b >= 100 } == 190)
+    assert(capped.count { case (a, b) => a >= 100 && b >= 100 } == 0)
+    // the planted pair survives the cap untouched
+    assert(capped.contains((0L, 1L)))
+    // histogram exposes the mega-bucket for tuning
+    val sizes = Dedup.lshBucketSizes(sigs, 4, 16)
+      .filter(col("n") > 10).select("n").as[Long].collect()
+    assert(sizes.nonEmpty && sizes.forall(_ == 20L))
+  }
+
   test("minhash signature is order-insensitive and length-k per doc") {
     val df = Seq((0L, "a b c"), (1L, "c b a")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", n = 1, k = 8)
