@@ -33,6 +33,26 @@ object MlQueries extends QueryPack {
       .select(col("fold"), round(col("score"), 4).as("score"))
   }
 
+  /** WEIGHTED per-fold fit: LinearRegression(normal solver) with a
+    * weightCol equals closed-form weighted OLS, which the oracle computes
+    * from weighted sums — exercises the estimator-capability weight path
+    * (`application.py:119-137`) end to end, not just in specs.
+    */
+  private def cvLinRegWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val df = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x")).setOutputCol("features")
+      .transform(withX(spark, dir))
+      .withColumn("w", (col("event_id") % 5 + 1).cast("double"))
+    val ps = panelSplit(df)
+    val lr = new org.apache.spark.ml.regression.LinearRegression()
+      .setFeaturesCol("features").setLabelCol("value")
+      .setSolver("normal").setRegParam(0.0)
+    val (preds, _) = CrossVal.crossValFitPredict(lr, df, ps,
+      labelCol = "value", weightCol = Some("w"))
+    Metrics.perFoldScoresWeighted(preds, "mean_squared_error", "value", "prediction", "w")
+      .select(col("fold"), round(col("score"), 4).as("score"))
+  }
+
   private def clusteringScores(spark: SparkSession, dir: String): DataFrame = {
     val df = events(spark, dir)
       .withColumn("label", pmod(col("event_id"), lit(3)))
@@ -100,6 +120,7 @@ object MlQueries extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cv_linreg" -> (cvLinReg _),
+    "q_cv_linreg_weighted" -> (cvLinRegWeighted _),
     "q_metrics_clustering" -> (clusteringScores _),
     "q_metric_ami" -> (amiScores _),
     "q_metric_avg_precision" -> (avgPrecision _),
@@ -118,6 +139,23 @@ object MlQueries extends QueryPack {
          |          FROM evx JOIN bounds b ON evx.pos < b.test_start GROUP BY b.split)
          |SELECT b.split AS fold,
          |       round(avg(power(evx.value - (tr.intercept + tr.slope * evx.x), 2)), 4) AS score
+         |FROM evx JOIN bounds b ON evx.pos = b.test_start
+         |JOIN train tr ON tr.fold = b.split
+         |GROUP BY b.split
+         |""".stripMargin,
+    "q_cv_linreg_weighted" ->
+      s"""$prelude,
+         |evx AS (SELECT ev.*, CAST(ev.event_id % 100 AS DOUBLE) AS x,
+         |               CAST(ev.event_id % 5 + 1 AS DOUBLE) AS w FROM ev),
+         |train AS (SELECT b.split AS fold,
+         |            (sum(w) * sum(w * x * value) - sum(w * x) * sum(w * value))
+         |              / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) AS slope,
+         |            (sum(w * value) - (sum(w) * sum(w * x * value) - sum(w * x) * sum(w * value))
+         |              / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) * sum(w * x)) / sum(w) AS intercept
+         |          FROM evx JOIN bounds b ON evx.pos < b.test_start GROUP BY b.split)
+         |SELECT b.split AS fold,
+         |       round(sum(power(evx.value - (tr.intercept + tr.slope * evx.x), 2) * evx.w)
+         |             / sum(evx.w), 4) AS score
          |FROM evx JOIN bounds b ON evx.pos = b.test_start
          |JOIN train tr ON tr.fold = b.split
          |GROUP BY b.split
