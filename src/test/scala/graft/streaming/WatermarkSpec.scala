@@ -50,6 +50,36 @@ class WatermarkSpec extends SparkTestBase {
     assert(out("2024-01-02") == (1L, 4.0))
   }
 
+  test("fold plans re-derive per micro-batch as the period axis grows (foreachBatch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.cv.PanelSplit
+    val input = MemoryStream[(Int, Double)] // (period, value)
+    val seen = scala.collection.mutable.SortedSet.empty[Int]
+    val plans = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Vector[Any])]
+    val q = input.toDF().toDF("period", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // per micro-batch: fold the batch's periods into the axis and
+        // re-plan — the axis is tiny (distinct periods), so re-planning is
+        // driver-cheap no matter how many rows streamed
+        seen ++= batch.select("period").distinct().collect().map(_.getInt(0))
+        if (seen.size >= 3) {
+          val ps = PanelSplit.fromAxis(seen.toVector.map(_.asInstanceOf[Any]),
+            "period", nSplits = 2, testSize = 1)
+          plans += ((id, seen.size, ps.folds.map(_.testPeriods.head).toVector))
+        }
+        ()
+      }
+      .start()
+    input.addData((1, 1.0), (2, 2.0), (3, 3.0))
+    q.processAllAvailable()
+    input.addData((4, 4.0), (5, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    // batch 0: axis {1,2,3} -> folds test 2,3; batch 1: axis {1..5} -> 4,5
+    assert(plans.map(p => (p._2, p._3)).toList ==
+      List((3, Vector(2, 3)), (5, Vector(4, 5))))
+  }
+
   test("sessionize: closed sessions emit across micro-batches with O(1) state") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
