@@ -104,18 +104,17 @@ object VariantQueries extends QueryPack {
       StructField("period", DateType, nullable = false))))
   }
 
-  /** dropSplits at 28 folds (> the 24-fold ceiling) over lineitem's 83
-    * monthly periods — routes through the constant-width explode-join plan;
-    * the last two months carry a constant target, so the folds testing
-    * them are degenerate and must drop.
+  /** dropSplits at 28 folds (> the 24-fold ceiling) over the 30 daily
+    * event periods — routes through the constant-width explode-join plan;
+    * the last two days carry a constant target, so the folds testing them
+    * are degenerate and must drop.
     */
   private def dropSplitsWideQ(spark: SparkSession, dir: String): DataFrame = {
-    val df0 = graft.sources.Tables.cached(spark, dir, "lineitem")
-      .withColumn("period", to_date(date_trunc("month", col("l_shipdate"))))
-    val lastMonths = df0.select(col("period")).distinct()
+    val df0 = events(spark, dir)
+    val lastDays = df0.select(col("period")).distinct()
       .orderBy(col("period").desc).limit(2).collect().map(_.get(0))
     val df = df0.withColumn("y2",
-      when(col("period").isin(lastMonths: _*), lit(42.0)).otherwise(col("l_extendedprice")))
+      when(col("period").isin(lastDays: _*), lit(42.0)).otherwise(col("value")))
     val ps = graft.cv.PanelSplit(df, "period", nSplits = 28, testSize = 1).dropSplits(df, "y2")
     val rows = ps.folds.flatMap { f =>
       f.trainPeriods.map(p => Row(f.index, "train", p)) ++
@@ -196,25 +195,21 @@ object VariantQueries extends QueryPack {
          |FROM r JOIN keep k ON r.pos < k.test_start + 1
          |""".stripMargin,
     "q_drop_splits_wide" ->
-      """WITH p AS (SELECT DISTINCT CAST(date_trunc('month', l_shipdate) AS DATE) AS period FROM lineitem),
-        |r AS (SELECT period, row_number() OVER (ORDER BY period) - 1 AS pos FROM p),
-        |cnt AS (SELECT count(*) AS n FROM p),
-        |bounds AS (SELECT CAST(i AS INT) AS split, (SELECT n FROM cnt) - (28 - CAST(i AS INT)) AS test_start
-        |           FROM range(0, 28) t(i)),
-        |li AS (SELECT r.pos,
-        |              CASE WHEN r.pos >= (SELECT n FROM cnt) - 2 THEN 42.0 ELSE l.l_extendedprice END AS y2
-        |       FROM lineitem l JOIN r ON CAST(date_trunc('month', l.l_shipdate) AS DATE) = r.period),
-        |stats AS (SELECT b.split,
-        |            sum(CASE WHEN li.pos < b.test_start THEN 1 ELSE 0 END) AS tr_n,
-        |            sum(CASE WHEN li.pos = b.test_start THEN 1 ELSE 0 END) AS te_n,
-        |            count(DISTINCT CASE WHEN li.pos < b.test_start THEN li.y2 END) AS tr_u,
-        |            count(DISTINCT CASE WHEN li.pos = b.test_start THEN li.y2 END) AS te_u
-        |          FROM li CROSS JOIN bounds b GROUP BY b.split),
-        |keep AS (SELECT stats.split, b.test_start FROM stats JOIN bounds b ON b.split = stats.split
-        |         WHERE tr_n > 0 AND te_n > 0 AND tr_u <> 1 AND te_u <> 1)
-        |SELECT k.split, CASE WHEN r.pos < k.test_start THEN 'train' ELSE 'test' END AS role, r.period
-        |FROM r JOIN keep k ON r.pos < k.test_start + 1
-        |""".stripMargin,
+      s"""$prelude,
+         |bounds28 AS (SELECT CAST(i AS INT) AS split, (SELECT n FROM nn) - (28 - CAST(i AS INT)) AS test_start
+         |             FROM range(0, 28) t(i)),
+         |evy AS (SELECT ev.*, CASE WHEN ev.pos >= (SELECT n FROM nn) - 2 THEN 42.0 ELSE ev.value END AS y2 FROM ev),
+         |stats AS (SELECT b.split,
+         |            sum(CASE WHEN evy.pos < b.test_start THEN 1 ELSE 0 END) AS tr_n,
+         |            sum(CASE WHEN evy.pos = b.test_start THEN 1 ELSE 0 END) AS te_n,
+         |            count(DISTINCT CASE WHEN evy.pos < b.test_start THEN evy.y2 END) AS tr_u,
+         |            count(DISTINCT CASE WHEN evy.pos = b.test_start THEN evy.y2 END) AS te_u
+         |          FROM evy CROSS JOIN bounds28 b GROUP BY b.split),
+         |keep AS (SELECT stats.split, b.test_start FROM stats JOIN bounds28 b ON b.split = stats.split
+         |         WHERE tr_n > 0 AND te_n > 0 AND tr_u <> 1 AND te_u <> 1)
+         |SELECT k.split, CASE WHEN r.pos < k.test_start THEN 'train' ELSE 'test' END AS role, r.period
+         |FROM r JOIN keep k ON r.pos < k.test_start + 1
+         |""".stripMargin,
     "q_cv_impute" ->
       s"""$prelude,
          |ev2 AS (SELECT ev.*, CASE WHEN ev.event_id % 7 = 0 THEN NULL ELSE ev.value END AS value2 FROM ev),
