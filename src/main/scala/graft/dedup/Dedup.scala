@@ -271,6 +271,41 @@ object Dedup {
     labels
   }
 
+  /** SimHash near-duplicate pairs via the banded multi-index: split the
+    * signature into `nBands` bit-bands; by pigeonhole, any pair within
+    * `maxHamming` (< nBands) differing bits shares at least one band
+    * EXACTLY — so banding has guaranteed recall, unlike MinHash-LSH's
+    * probabilistic bands. Candidates join per (band, band-bits) bucket;
+    * verify is a single `bit_count(xor)` — integer ops, no arrays.
+    * Default 48 bits keeps every value positive (no sign-bit popcount
+    * ambiguity across engines). Output: (id_a, id_b, hamming).
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      nBands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+    require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val sigs = simhash(df, idCol, textCol, bits)
+    val banded = sigs.crossJoin(broadcast((0 until nBands).toDF("band")))
+      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    val a = banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("band"), col("bkey"))
+    val b = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+  }
+
   /** 32-bit SimHash over tokens: bit b of the signature is the sign of
     * Σ_tokens (±1 depending on bit b of the token's 60-bit hash).
     * Computed as explode(tokens) × 32 bit positions → conditional sum —

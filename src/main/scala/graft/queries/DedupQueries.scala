@@ -43,6 +43,8 @@ object DedupQueries extends QueryPack {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", N, K, BANDS, THR)),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")),
     "q_dedup_clusters" -> ((s, dir) => {
       // LSH-bucketed pair generation, not attribute blocking: candidate count
       // stays bounded by band-bucket population at any corpus size, and
@@ -118,6 +120,26 @@ object DedupQueries extends QueryPack {
          |  UNION
          |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src)
          |SELECT id, min(lbl) AS cluster FROM cc GROUP BY id
+         |""".stripMargin,
+    "q_simhash_neardup" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sh) AS s FROM documents),
+         |th AS (SELECT doc_id, $h60 AS h FROM tok),
+         |bits AS (SELECT CAST(b AS INT) AS b FROM range(0, 48) t(b)),
+         |c AS (SELECT doc_id, b,
+         |             sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+         |      FROM th CROSS JOIN bits GROUP BY doc_id, b),
+         |sig AS (SELECT doc_id,
+         |          CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM c GROUP BY doc_id),
+         |bands AS (SELECT CAST(x AS INT) AS band FROM range(0, 4) t(x)),
+         |banded AS (SELECT doc_id, simhash, band,
+         |                  (simhash >> (band * 12)) & 4095 AS bkey
+         |           FROM sig CROSS JOIN bands),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |          FROM banded a JOIN banded b
+         |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
          |""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($sh) AS s FROM documents),

@@ -65,6 +65,22 @@ class DedupSpec extends SparkTestBase {
     assert(sizes.nonEmpty && sizes.forall(_ == 20L))
   }
 
+  test("simhash banded pairs: pigeonhole guarantee recovers all pairs within maxHamming") {
+    val df = corpus
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text", bits = 48, nBands = 4, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // exact duplicates: hamming 0, always found
+    assert(pairs.get((0L, 1L)).contains(0))
+    // brute-force ground truth: banding must find EVERY pair within the cap
+    val sigs = Dedup.simhash(df, "doc_id", "text", bits = 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(pairs == truth, s"banded pairs $pairs != brute-force truth $truth")
+  }
+
   test("minhash signature is order-insensitive and length-k per doc") {
     val df = Seq((0L, "a b c"), (1L, "c b a")).toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(df, "doc_id", "text", n = 1, k = 8)
