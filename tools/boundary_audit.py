@@ -1,13 +1,26 @@
 #!/usr/bin/env python3
-"""Rounding-boundary audit for the driver's hash compare.
+"""Hash-hazard audit for the driver's bitwise compare of Verify outputs.
 
-Every gate query rounds float outputs to 6 decimals on both engines; a value
-whose UNROUNDED 7th decimal sits at ~5 could round differently under
-parallel-summation ulp drift and flip the hash. This scans every Verify
-output column for values within `eps` of the round-6 boundary.
+Two hazard classes:
+
+1. SIGN hazard (the round-2 flake): a value that is bitwise -0.0, or a
+   nonzero value within 1e-12 of 0 (an algebraic zero that escaped the
+   gate's round-6 projection and could round to either sign of zero across
+   engines). After SparkEntry.normalizeZeroSign + Verify.wrapOracle, every
+   gate output must be free of both -> this audit enforces it.
+
+2. ROUNDING-BOUNDARY hazard: a pre-rounding value whose 7th decimal sits at
+   ~5 could round differently under parallel-summation ulp drift. NOTE:
+   this check is only meaningful on UNROUNDED columns — gate outputs are
+   already round-6 multiples, where the distance-to-boundary statistic is
+   structurally ~0.5 and the check cannot fire (the real cross-engine
+   defense is tools/check_oracle.py's BITWISE compare, which sees exactly
+   what the driver's hash sees). The boundary scan is kept for any column a
+   query forgets to round: such values sit off the 1e-6 grid and do get
+   flagged when near a boundary.
 
 Usage: boundary_audit.py <verifyOutDir> [eps=1e-4]
-Exit code 1 if any risky value is found.
+Exit code 1 if any hazard is found.
 """
 import glob, os, sys
 import numpy as np
@@ -16,6 +29,8 @@ import pandas as pd
 out_dir = sys.argv[1]
 eps = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-4
 risky = []
+sign_hazards = []
+NEG_ZERO = np.float64(-0.0).view(np.uint64)  # 0x8000000000000000
 for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     files = glob.glob(f"{qdir}/*.parquet")
     if not files:
@@ -23,16 +38,28 @@ for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
     df = pd.concat(pd.read_parquet(f) for f in files)
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            v = df[c].dropna().values
+            v = df[c].dropna().values.astype(np.float64)
             if len(v) == 0:
                 continue
+            neg_zeros = int((v.view(np.uint64) == NEG_ZERO).sum())
+            near_zeros = int(((np.abs(v) < 1e-12) & (v != 0.0)).sum())
+            if neg_zeros or near_zeros:
+                sign_hazards.append((os.path.basename(qdir), c, neg_zeros, near_zeros, len(v)))
+            # boundary proximity only detectable off the round-6 grid
             frac = np.abs(v) * 1e6
-            dist = np.abs((frac - np.floor(frac)) - 0.5)
-            n = int((dist < eps).sum())
-            if n:
-                risky.append((os.path.basename(qdir), c, n, len(v), float(dist.min())))
+            on_grid = np.abs(frac - np.rint(frac)) < 1e-9
+            off = v[~on_grid]
+            if len(off):
+                f2 = np.abs(off) * 1e6
+                dist = np.abs((f2 - np.floor(f2)) - 0.5)
+                n = int((dist < eps).sum())
+                if n:
+                    risky.append((os.path.basename(qdir), c, n, len(v), float(dist.min())))
 
+for name, c, nz, near, total in sign_hazards:
+    print(f"SIGNHAZARD {name}.{c}: {nz} bitwise -0.0, {near} nonzero |v|<1e-12 of {total} values")
 for name, c, n, total, worst in sorted(risky, key=lambda x: x[4]):
-    print(f"RISKY {name}.{c}: {n}/{total} values within {eps} of the round-6 boundary (min dist {worst:.2e})")
-print(f"{'FAIL' if risky else 'OK'}: {len(risky)} risky columns")
-sys.exit(1 if risky else 0)
+    print(f"RISKY {name}.{c}: {n}/{total} unrounded values within {eps} of the round-6 boundary (min dist {worst:.2e})")
+bad = len(risky) + len(sign_hazards)
+print(f"{'FAIL' if bad else 'OK'}: {len(sign_hazards)} sign hazards, {len(risky)} boundary-risky columns")
+sys.exit(1 if bad else 0)

@@ -45,9 +45,14 @@ for name, sql in sorted(oracle.items()):
         a, b = g[c], w[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             import numpy as np
-            # exact: every query rounds floats on both sides, so bitwise
-            # equality is achievable and is what the driver's hash needs
-            if not np.array_equal(a.astype(float).values, b.astype(float).values, equal_nan=True):
+            # BITWISE: the driver hashes bit patterns, so -0.0 != +0.0 there.
+            # np.array_equal is numeric (-0.0 == +0.0) and missed the round-2
+            # sign-of-zero flake; compare uint64 views, allowing NaN==NaN.
+            av = a.astype(float).values
+            bv = b.astype(float).values
+            bit_eq = av.view(np.uint64) == bv.view(np.uint64)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            if not np.all(bit_eq | both_nan):
                 ok = False; print(f"FAIL {name}: col {c} differs, e.g. {a.head(3).tolist()} vs {b.head(3).tolist()}")
         else:
             if not (a.astype(str).values == b.astype(str).values).all():
