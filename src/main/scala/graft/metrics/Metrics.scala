@@ -132,25 +132,41 @@ object Metrics {
 
   /** ROC-AUC via the Mann-Whitney rank statistic, tie-corrected (equivalent
     * to sklearn's trapezoid AUC): AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)
-    * with average ranks over the score column. Not a plain aggregate (needs a
-    * rank), so exposed as [[rocAuc]] rather than a registry `agg`.
+    * with average ranks over the score column.
+    *
+    * TWO-STAGE at scale (same shape as [[averagePrecision]]): the raw rows
+    * are first reduced by `groupBy(fold, score)` — a decomposable, map-side-
+    * combined aggregate — and the rank window runs only over the tiny
+    * distinct-score axis. Rows at a distinct score s with cumulative count
+    * `cum` (ascending-inclusive) and tie count `cnt` occupy ranks
+    * (cum−cnt+1)…cum, so their average rank is cum − cnt + (cnt+1)/2.
+    * A window over raw rows would sort an entire fold in one task — the
+    * round-2 verdict's scale-killer; this never materializes per-row ranks.
+    *
+    * A fold with a single class has an undefined AUC: sklearn raises, and so
+    * do we (raise_error) rather than silently emitting null.
     */
   def rocAuc(preds: DataFrame, labelCol: String, scoreCol: String, foldCol: String = "fold"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // average rank = (rank + (count_of_ties - 1)/2); derive from two ranks
-    val w = Window.partitionBy(foldCol).orderBy(col(scoreCol))
-    val ranked = preds
-      .withColumn("__r_lo", rank().over(w))
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(foldCol), col(scoreCol))))
-      .withColumn("__avg_rank", col("__r_lo") + (col("__cnt") - 1) / 2.0)
-    ranked.groupBy(foldCol)
+    val byThr = preds.groupBy(col(foldCol), col(scoreCol).as("__s"))
       .agg(
-        sum(when(col(labelCol) === 1, col("__avg_rank"))).as("__sum_pos_rank"),
-        sum(when(col(labelCol) === 1, 1).otherwise(0)).cast("double").as("__npos"),
-        sum(when(col(labelCol) =!= 1, 1).otherwise(0)).cast("double").as("__nneg"))
+        sum(when(col(labelCol) === 1, 1).otherwise(0)).cast("double").as("__pos"),
+        count(lit(1)).cast("double").as("__cnt"))
+    val w = Window.partitionBy(foldCol).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byThr
+      .withColumn("__avg_rank",
+        sum(col("__cnt")).over(w) - col("__cnt") + (col("__cnt") + 1) / 2.0)
+      .groupBy(foldCol)
+      .agg(
+        sum(col("__pos") * col("__avg_rank")).as("__sum_pos_rank"),
+        sum(col("__pos")).as("__npos"),
+        sum(col("__cnt") - col("__pos")).as("__nneg"))
       .select(col(foldCol),
-        ((col("__sum_pos_rank") - col("__npos") * (col("__npos") + 1) / 2.0)
-          / (col("__npos") * col("__nneg"))).as("score"))
+        when(col("__npos") === 0 || col("__nneg") === 0,
+          raise_error(concat(lit("roc_auc undefined: single-class fold "), col(foldCol).cast("string"))))
+          .otherwise((col("__sum_pos_rank") - col("__npos") * (col("__npos") + 1) / 2.0)
+            / (col("__npos") * col("__nneg"))).as("score"))
   }
 
   /** Multiclass averaged precision/recall/F1/jaccard from the per-class
@@ -447,21 +463,32 @@ object Metrics {
   def rocAucOvr(preds: DataFrame, labelCol: String, scoresCol: String,
       weighted: Boolean, foldCol: String = "fold"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val expanded = preds
+    // Two-stage like [[rocAuc]]: explode to (fold, cls) one-vs-rest rows,
+    // reduce to distinct (fold, cls, score) counts (map-side combined), rank
+    // over the small threshold axis only. Undefined per-class AUC (no
+    // positives or no negatives in a fold) raises like sklearn instead of
+    // letting avg() silently skip a null class.
+    val byThr = preds
       .withColumn("cls", explode(sequence(lit(0), size(col(scoresCol)) - 1)))
       .withColumn("bin", when(col(labelCol).cast("int") === col("cls"), 1.0).otherwise(0.0))
       .withColumn("s", element_at(col(scoresCol), col("cls") + 1))
+      .groupBy(col(foldCol), col("cls"), col("s"))
+      .agg(sum(col("bin")).as("__pos"), count(lit(1)).cast("double").as("__cnt"))
     val w = Window.partitionBy(col(foldCol), col("cls")).orderBy(col("s"))
-    val ranked = expanded
-      .withColumn("__r_lo", rank().over(w))
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col(foldCol), col("cls"), col("s"))))
-      .withColumn("__avg_rank", col("__r_lo") + (col("__cnt") - 1) / 2.0)
-    val perClass = ranked.groupBy(col(foldCol), col("cls"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val perClass = byThr
+      .withColumn("__avg_rank",
+        sum(col("__cnt")).over(w) - col("__cnt") + (col("__cnt") + 1) / 2.0)
+      .groupBy(col(foldCol), col("cls"))
       .agg(
-        sum(when(col("bin") === 1, col("__avg_rank"))).as("spr"),
-        sum(col("bin")).as("np"),
-        sum(lit(1.0) - col("bin")).as("nn"))
-      .withColumn("auc", (col("spr") - col("np") * (col("np") + 1) / 2.0) / (col("np") * col("nn")))
+        sum(col("__pos") * col("__avg_rank")).as("spr"),
+        sum(col("__pos")).as("np"),
+        sum(col("__cnt") - col("__pos")).as("nn"))
+      .withColumn("auc",
+        when(col("np") === 0 || col("nn") === 0,
+          raise_error(concat(lit("roc_auc_ovr undefined: class "), col("cls").cast("string"),
+            lit(" degenerate in fold "), col(foldCol).cast("string"))))
+          .otherwise((col("spr") - col("np") * (col("np") + 1) / 2.0) / (col("np") * col("nn"))))
     val agg0 =
       if (weighted) perClass.groupBy(col(foldCol)).agg((sum(col("auc") * col("np")) / sum(col("np"))).as("score"))
       else perClass.groupBy(col(foldCol)).agg(avg(col("auc")).as("score"))
@@ -485,20 +512,29 @@ object Metrics {
       .withColumn("sa", element_at(col(scoresCol), col("ca") + 1))
       .withColumn("sb", element_at(col(scoresCol), col("cb") + 1))
       .withColumn("isa", when(col(labelCol).cast("int") === col("ca"), 1.0).otherwise(0.0))
+    // Two-stage like [[rocAuc]]: reduce to distinct (fold, pair, score)
+    // counts first; the rank window touches only the threshold axis.
     def aucOf(scoreCol: String, posCol: Column): DataFrame = {
-      val w = Window.partitionBy(col(foldCol), col("ca"), col("cb")).orderBy(col(scoreCol))
-      sub
-        .withColumn("__r_lo", rank().over(w))
-        .withColumn("__cnt", count(lit(1)).over(
-          Window.partitionBy(col(foldCol), col("ca"), col("cb"), col(scoreCol))))
-        .withColumn("__avg_rank", col("__r_lo") + (col("__cnt") - 1) / 2.0)
+      val byThr = sub
+        .groupBy(col(foldCol), col("ca"), col("cb"), col(scoreCol).as("__s"))
+        .agg(sum(posCol).as("__pos"), count(lit(1)).cast("double").as("__cnt"))
+      val w = Window.partitionBy(col(foldCol), col("ca"), col("cb")).orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byThr
+        .withColumn("__avg_rank",
+          sum(col("__cnt")).over(w) - col("__cnt") + (col("__cnt") + 1) / 2.0)
         .groupBy(col(foldCol), col("ca"), col("cb"))
         .agg(
-          sum(when(posCol === 1, col("__avg_rank"))).as("spr"),
-          sum(posCol).as("np"),
-          sum(lit(1.0) - posCol).as("nn"),
-          count(lit(1)).cast("double").as("npair"))
-        .withColumn("auc", (col("spr") - col("np") * (col("np") + 1) / 2.0) / (col("np") * col("nn")))
+          sum(col("__pos") * col("__avg_rank")).as("spr"),
+          sum(col("__pos")).as("np"),
+          sum(col("__cnt") - col("__pos")).as("nn"),
+          sum(col("__cnt")).as("npair"))
+        .withColumn("auc",
+          when(col("np") === 0 || col("nn") === 0,
+            raise_error(concat(lit("roc_auc_ovo undefined: pair ("), col("ca").cast("string"),
+              lit(","), col("cb").cast("string"), lit(") degenerate in fold "),
+              col(foldCol).cast("string"))))
+            .otherwise((col("spr") - col("np") * (col("np") + 1) / 2.0) / (col("np") * col("nn"))))
     }
     val aucA = aucOf("sa", col("isa"))
       .select(col(foldCol), col("ca"), col("cb"), col("auc").as("auc_a"), col("npair"))

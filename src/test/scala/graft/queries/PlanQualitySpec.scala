@@ -43,6 +43,37 @@ class PlanQualitySpec extends SparkTestBase {
       s"column pruning failed (event_id still read):\n$plan")
   }
 
+  test("AUC rank windows consume the distinct-score aggregate, not raw rows") {
+    // Round-2 verdict: Window.partitionBy(fold).orderBy(score) over RAW rows
+    // sorts an entire fold in one task — at 100 TB a fold is ~the table. The
+    // two-stage shape reduces to distinct (keys, score) counts first; the
+    // logical Window node must therefore sit ABOVE an Aggregate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val preds = (1 to 200).map(i => (i % 3, i % 2, (i % 7) / 7.0))
+      .toDF("fold", "label", "score")
+    val mc = (1 to 200).map(i => (i % 3, (i % 4).toDouble, Array.tabulate(4)(j => ((i + j) % 5) / 5.0)))
+      .toDF("fold", "label", "scores")
+    val frames = Seq(
+      "rocAuc" -> Metrics.rocAuc(preds, "label", "score"),
+      "rocAucOvr" -> Metrics.rocAucOvr(mc, "label", "scores", weighted = false),
+      "rocAucOvo" -> Metrics.rocAucOvo(mc, "label", "scores", weighted = false))
+    for ((name, df) <- frames) {
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$name: expected a rank window")
+      for (w <- windows)
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$name: rank window runs over raw rows, not the distinct-score aggregate:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
+  test("single-class fold raises on AUC instead of silently averaging nulls") {
+    val oneClass = (1 to 50).map(i => (0, 1, i / 50.0)).toDF("fold", "label", "score")
+    val e = intercept[Exception] { Metrics.rocAuc(oneClass, "label", "score").collect() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | "))
+    assert(rootMsg(e).contains("roc_auc undefined"), s"unexpected error: ${rootMsg(e)}")
+  }
+
   test("genSnapshots joins the fold-membership table via broadcast") {
     val df = (for (p <- 1 to 6; i <- 0 to 3) yield (p * 10 + i, p, i.toDouble))
       .toDF("id", "period", "y")
