@@ -198,6 +198,10 @@ object Dedup {
 
   /** MinHash-LSH near-dup detection end to end: signatures → banded
     * candidates → exact Jaccard verify on the candidates only.
+    *
+    * `maxBucketSize` engages the hot-bucket cap of [[lshCandidates]] — the
+    * flagship cluster/curation pipelines pass it so one degenerate band
+    * signature can never turn into an O(bucket²) single-key shuffle bomb.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -206,9 +210,10 @@ object Dedup {
       n: Int = 3,
       k: Int = 16,
       nBands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Option[Int] = None): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
-    val cands = lshCandidates(sigs, nBands, k)
+    val cands = lshCandidates(sigs, nBands, k, maxBucketSize)
     // measured: letting Catalyst pick the join strategy here beats forcing
     // broadcast (the array payloads make broadcast hash probes slower than
     // the partitioned join at this shape)

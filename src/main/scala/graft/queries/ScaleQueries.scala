@@ -78,7 +78,7 @@ object ScaleQueries extends QueryPack {
     import graft.text.TextFunctions
     val docs = graft.sources.Tables.cached(spark, dir, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 1, k = 16, nBands = 4,
-      threshold = DedupQueries.CLUSTER_THR)
+      threshold = DedupQueries.CLUSTER_THR, maxBucketSize = Some(DedupQueries.BUCKET_CAP))
     val clusters = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     val canonical = clusters.filter(col("id") === col("cluster")).select(col("id").as("doc_id"))
     docs.join(canonical, "doc_id")
@@ -127,7 +127,7 @@ object ScaleQueries extends QueryPack {
         |GROUP BY event_type
         |""".stripMargin,
     "q_curation_pipeline" ->
-      s"""WITH RECURSIVE ${DedupQueries.lshEdgesCtes(DedupQueries.CLUSTER_THR)},
+      s"""WITH RECURSIVE ${DedupQueries.lshEdgesCtes(DedupQueries.CLUSTER_THR, Some(DedupQueries.BUCKET_CAP))},
          |cc(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION

@@ -63,6 +63,13 @@ class DedupSpec extends SparkTestBase {
     val sizes = Dedup.lshBucketSizes(sigs, 4, 16)
       .filter(col("n") > 10).select("n").as[Long].collect()
     assert(sizes.nonEmpty && sizes.forall(_ == 20L))
+    // the cap threads through the end-to-end pipeline (what the flagship
+    // cluster/curation queries call): mega-bucket pairs never reach verify
+    val e2e = Dedup.minhashLshPairs(df, "doc_id", "text", n = 1, k = 16, nBands = 4,
+      threshold = 0.5, maxBucketSize = Some(10))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(e2e.count { case (a, b) => a >= 100 && b >= 100 } == 0)
+    assert(e2e.contains((0L, 1L)))
   }
 
   test("simhash banded pairs: pigeonhole guarantee recovers all pairs within maxHamming") {
