@@ -32,6 +32,19 @@ object Metrics {
     expr_percentile(abs(l - p))
   private def expr_percentile(c: Column): Column =
     call_function("percentile", c, lit(0.5))
+  /** Scale path for the exact-percentile metrics: Spark's exact `percentile`
+    * buffers EVERY value of a group on one executor — OOM when a fold is a
+    * 100 TB table's worth of rows. `percentile_approx` is a mergeable
+    * Greenwald-Khanna sketch with bounded memory; rank error ≤ n/accuracy
+    * (≤ 0.01% of the fold here). Exact forms stay on the oracle gates (a
+    * sketch isn't bit-reproducible across engines); the `_approx` registry
+    * names are the documented production variants — see SCALE.md.
+    */
+  private val APPROX_PCT_ACC = 10000
+  private def medaeApprox(l: Column, p: Column) =
+    percentile_approx(abs(l - p), lit(0.5), lit(APPROX_PCT_ACC))
+  private def approx_percentile(c: Column): Column =
+    percentile_approx(c, lit(0.5), lit(APPROX_PCT_ACC))
   private def r2(l: Column, p: Column) = {
     // Centered, numerically stable form: the uncentered expansion
     // sum(y²) − sum(y)²/n cancels ~9 significant digits at sum(y)~1e7 and
@@ -318,11 +331,15 @@ object Metrics {
   /** D² of the absolute error: 1 − Σ|y−p| / Σ|y−median(y)| per fold
     * (sklearn `d2_absolute_error_score`). The fold median is a first
     * aggregate pass joined back — not expressible as one aggregate.
+    *
+    * @param approx use the bounded-memory percentile sketch for the fold
+    *               median (the 100 TB path); exact percentile otherwise
     */
   def d2AbsoluteError(preds: DataFrame, labelCol: String, predictionCol: String,
-      foldCol: String = "fold"): DataFrame = {
+      foldCol: String = "fold", approx: Boolean = false): DataFrame = {
+    val pct = if (approx) approx_percentile _ else expr_percentile _
     val med = preds.groupBy(col(foldCol))
-      .agg(expr_percentile(col(labelCol).cast("double")).as("__med"))
+      .agg(pct(col(labelCol).cast("double")).as("__med"))
     preds.join(med, Seq(foldCol))
       .groupBy(col(foldCol))
       .agg({
@@ -555,6 +572,7 @@ object Metrics {
       MetricSpec("mean_absolute_error", greaterIsBetter = false, mae),
       MetricSpec("mean_absolute_percentage_error", greaterIsBetter = false, mape),
       MetricSpec("median_absolute_error", greaterIsBetter = false, medae),
+      MetricSpec("median_absolute_error_approx", greaterIsBetter = false, medaeApprox),
       MetricSpec("mean_squared_log_error", greaterIsBetter = false, msle),
       MetricSpec("root_mean_squared_log_error", greaterIsBetter = false, rmsle),
       MetricSpec("mean_poisson_deviance", greaterIsBetter = false, meanPoissonDeviance),

@@ -28,7 +28,21 @@ final case class Scorer(
       * column present in the transformed frame wins; `responseCol` is the
       * final fallback.
       */
-    responsePreference: Seq[String] = Nil) {
+    responsePreference: Seq[String] = Nil,
+    /** `pos_label` resolution (`_response.py:48-73`, `metrics.py:371-372`):
+      * the engine's binary convention is positives = label 1 scored by the
+      * positive-class probability. A non-default pos_label re-expresses the
+      * frame into that convention before dispatch — labels remap to the
+      * pos_label indicator, probabilities flip to 1−p, decision margins
+      * negate (sklearn's own equivalence for the swapped-class problem).
+      */
+    posLabel: Option[Double] = None,
+    /** k for top_k_accuracy (reference scorer kwargs, `metrics.py:616-620`);
+      * None = sklearn default 2.
+      */
+    topK: Option[Int] = None) {
+
+  def withPosLabel(pl: Double): Scorer = copy(posLabel = Some(pl))
 
   /** Resolve the response column against what the pipeline actually emitted. */
   private def resolveResponse(out: DataFrame): String =
@@ -36,6 +50,29 @@ final case class Scorer(
       throw new IllegalArgumentException(
         s"Scorer '$name' needs one of ${(responsePreference :+ responseCol).mkString(", ")} " +
           s"in the transformed output; got ${out.columns.mkString(", ")}"))
+
+  /** Re-express (label, response) in the engine's positives=1 convention for
+    * a non-default pos_label; identity when posLabel is unset.
+    */
+  private def applyPosLabel(out: DataFrame, labelCol: String, responseCol: String): DataFrame =
+    posLabel match {
+      case None => out
+      case Some(pl) =>
+        val remapped = out.withColumn(labelCol,
+          when(col(labelCol) === pl, 1.0).otherwise(0.0))
+        responseCol match {
+          case "prediction" =>
+            remapped.withColumn(responseCol, when(col(responseCol) === pl, 1.0).otherwise(0.0))
+          case "probability" =>
+            if (pl == 1.0) remapped
+            else remapped.withColumn(responseCol, lit(1.0) - col(responseCol))
+          case "decision" =>
+            if (pl == 1.0) remapped
+            else remapped.withColumn(responseCol, -col(responseCol))
+          case other => throw new IllegalArgumentException(
+            s"pos_label is only defined for binary responses (prediction/probability/decision), not '$other'")
+        }
+    }
 
   /** Per-fold scores, fold-ordered; single-element when the pipeline's last
     * step has no CV (`metrics.py:352-398`).
@@ -51,11 +88,17 @@ final case class Scorer(
     * candidate, persists, and every scorer reads from the same frame instead
     * of re-running the per-fold pipeline per metric.
     */
-  def scoreTransformed(out: DataFrame, labelCol: String): Seq[Double] = {
+  def scoreTransformed(out0: DataFrame, labelCol: String): Seq[Double] = {
     val Averaged = "(precision|recall|f1|jaccard)_(macro|micro|weighted|samples)".r
     val ClusterCombined = "(rand|mutual_info|homogeneity|completeness|v_measure|fowlkes_mallows)_score".r
-    val responseCol = resolveResponse(out)
+    val responseCol = resolveResponse(out0)
+    val out = applyPosLabel(out0, labelCol, responseCol)
     val perFold = metricName match {
+      // custom FIRST: a user-supplied MetricSpec overrides a name-colliding
+      // registry builtin, mirroring Scorers.check's `extra`-before-registry
+      // precedence (a custom 'roc_auc' must not silently run the builtin)
+      case _ if custom.isDefined =>
+        Metrics.perFoldScoresOf(out, custom.get, labelCol, responseCol)
       case "roc_auc" =>
         Metrics.rocAuc(out, labelCol, responseCol).orderBy(col("fold"))
       case "roc_auc_ovr" =>
@@ -67,12 +110,14 @@ final case class Scorer(
       case "roc_auc_ovo_weighted" =>
         Metrics.rocAucOvo(out, labelCol, responseCol, weighted = true)
       case "top_k_accuracy" =>
-        // sklearn default k=2 (reference metrics.py:616-620)
-        Metrics.topKAccuracy(out, labelCol, responseCol, k = 2)
+        // k via scorer kwargs; sklearn default k=2 (reference metrics.py:616-620)
+        Metrics.topKAccuracy(out, labelCol, responseCol, k = topK.getOrElse(2))
       case "average_precision" =>
         Metrics.averagePrecision(out, labelCol, responseCol)
       case "d2_absolute_error_score" =>
         Metrics.d2AbsoluteError(out, labelCol, responseCol)
+      case "d2_absolute_error_score_approx" =>
+        Metrics.d2AbsoluteError(out, labelCol, responseCol, approx = true)
       case "adjusted_rand_score" =>
         Metrics.adjustedRandIndex(out, labelCol, responseCol)
       case "normalized_mutual_info_score" =>
@@ -85,8 +130,6 @@ final case class Scorer(
       case Averaged(stat, avg) =>
         Metrics.multiclassScores(out, labelCol, responseCol, avg)
           .select(col("fold"), col(stat).as("score"))
-      case _ if custom.isDefined =>
-        Metrics.perFoldScoresOf(out, custom.get, labelCol, responseCol)
       case _ =>
         Metrics.perFoldScores(out, metricName, labelCol, responseCol)
     }
@@ -133,7 +176,18 @@ object Scorers {
         responsePreference = Seq("decision", "probability")),
       "average_precision" -> Scorer("average_precision", "average_precision", 1.0, "probability",
         responsePreference = Seq("decision", "probability")),
-      "d2_absolute_error_score" -> Scorer("d2_absolute_error_score", "d2_absolute_error_score", 1.0, "prediction"))
+      "d2_absolute_error_score" -> Scorer("d2_absolute_error_score", "d2_absolute_error_score", 1.0, "prediction"),
+      // bounded-memory percentile-sketch variant — the 100 TB path (SCALE.md)
+      "d2_absolute_error_score_approx" ->
+        Scorer("d2_absolute_error_score_approx", "d2_absolute_error_score_approx", 1.0, "prediction"))
+  }
+
+  /** top_k_accuracy with an explicit k — the reference's scorer-kwargs form
+    * (`metrics.py:616-620`, `make_scorer(top_k_accuracy_score, k=...)`).
+    */
+  def topKAccuracy(k: Int): Scorer = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Scorer(s"top_${k}_accuracy", "top_k_accuracy", 1.0, "probabilities", topK = Some(k))
   }
 
   /** `get_scorer` (`metrics.py:401-430`): resolve by name or fail with the

@@ -40,7 +40,78 @@ class MetricsExtendedSpec extends SparkTestBase {
       } yield s"$stat$avg")
     assert(referenceNames.size == 58)
     referenceNames.foreach(n => Scorers.get(n)) // throws on any miss
-    assert(Scorers.registry.size == 58)
+    // 58 reference names + the documented beyond-reference _approx scale
+    // variants (bounded-memory percentile sketch, SCALE.md)
+    val extras = Scorers.registry.keySet -- referenceNames
+    assert(extras == Set("neg_median_absolute_error_approx", "d2_absolute_error_score_approx"),
+      s"unexpected registry extras: $extras")
+  }
+
+  test("approx percentile metrics track the exact forms within sketch tolerance") {
+    // 100k rows, skewed |error| distribution; percentile_approx(acc=10000)
+    // has rank error <= n/acc = 10 ranks, so the value gap must be tiny
+    val n = 100000
+    val df = (0 until n).map { i =>
+      val y = math.exp((i * 2654435761L % 1000) / 250.0) // lognormal-ish, span ~e^4
+      (i % 3, y, y * (1.0 + ((i * 40503) % 200 - 100) / 1000.0))
+    }.toDF("fold", "label", "prediction")
+    val exact = Metrics.perFoldScoreSeq(df, "median_absolute_error", "label", "prediction")
+    val approx = Metrics.perFoldScoreSeq(df, "median_absolute_error_approx", "label", "prediction")
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 0.01 * math.abs(e) + 1e-9, s"medae exact=$e approx=$a")
+    }
+    val d2e = Metrics.d2AbsoluteError(df, "label", "prediction")
+      .select("score").as[Double].collect()
+    val d2a = Metrics.d2AbsoluteError(df, "label", "prediction", approx = true)
+      .select("score").as[Double].collect()
+    d2e.zip(d2a).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 0.01 * math.abs(e) + 1e-6, s"d2 exact=$e approx=$a")
+    }
+  }
+
+  test("pos_label=0 re-expresses binary scorers; hand oracle + AUC invariance") {
+    // (label, prediction): pos_label=0 -> tp=2 (rows 3,4), fp=1 (row 2),
+    // precision_0 = 2/3; default precision_1 = 1/2
+    val hard = Seq((1.0, 1.0), (1.0, 0.0), (0.0, 0.0), (0.0, 0.0), (0.0, 1.0))
+      .map { case (y, p) => (0, y, p) }.toDF("fold", "label", "prediction")
+    val p1 = Scorers.get("precision").scoreTransformed(hard, "label").head
+    val p0 = Scorers.get("precision").withPosLabel(0.0).scoreTransformed(hard, "label").head
+    assert(math.abs(p1 - 0.5) < 1e-12)
+    assert(math.abs(p0 - 2.0 / 3.0) < 1e-12)
+    // ROC-AUC is invariant under (labels flipped, p -> 1-p): P(p1 > p0) is
+    // the same event — the dispatch must implement exactly that transform
+    val soft = Seq((1.0, 0.9), (1.0, 0.4), (0.0, 0.6), (0.0, 0.1), (0.0, 0.2))
+      .map { case (y, p) => (0, y, p) }.toDF("fold", "label", "probability")
+    val auc1 = Scorers.get("roc_auc").scoreTransformed(soft, "label").head
+    val auc0 = Scorers.get("roc_auc").withPosLabel(0.0).scoreTransformed(soft, "label").head
+    assert(math.abs(auc1 - auc0) < 1e-12)
+  }
+
+  test("top_k_accuracy scorer takes k through scorer kwargs") {
+    // class-2 always ranked 1st, true label in top-1 for rows 0-1 only,
+    // top-3 for all
+    val df = Seq(
+      (0, 2.0, Array(0.1, 0.2, 0.7)),
+      (0, 2.0, Array(0.2, 0.1, 0.7)),
+      (0, 0.0, Array(0.3, 0.1, 0.6)), // label 0 ranked 2nd -> top-2
+      (0, 1.0, Array(0.3, 0.1, 0.6))) // label 1 ranked 3rd -> top-3 only
+      .toDF("fold", "label", "probabilities")
+    def acc(k: Int) = Scorers.topKAccuracy(k).scoreTransformed(df, "label").head
+    assert(math.abs(acc(1) - 0.5) < 1e-12)
+    assert(math.abs(acc(2) - 0.75) < 1e-12)
+    assert(math.abs(acc(3) - 1.0) < 1e-12)
+    // registry default stays sklearn's k=2
+    assert(math.abs(Scorers.get("top_k_accuracy").scoreTransformed(df, "label").head - 0.75) < 1e-12)
+  }
+
+  test("custom scorer overrides a name-colliding registry builtin") {
+    // a user MetricSpec named 'roc_auc' that just averages the response must
+    // run INSTEAD of the builtin rank AUC (check()'s extra-first contract)
+    val df = Seq((0, 1.0, 0.8), (0, 0.0, 0.4)).toDF("fold", "label", "probability")
+    val impostor = Metrics.MetricSpec("roc_auc", greaterIsBetter = true, (_, p) => avg(p))
+    val got = Scorers.custom(impostor, responseCol = "probability")
+      .scoreTransformed(df, "label").head
+    assert(math.abs(got - 0.6) < 1e-12, s"builtin AUC ran instead of the custom aggregate: $got")
   }
 
   test("class likelihood ratios (hand-computed confusion matrix)") {
