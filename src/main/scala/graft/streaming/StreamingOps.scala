@@ -33,13 +33,26 @@ object StreamingOps {
     * (last event + gap). `GroupState` holds a single [[OpenSession]];
     * state size is independent of session length or history.
     *
-    * Late events (behind the watermark) follow the standard stateful
-    * contract: they fold into the open session if one exists, but a session
-    * already closed by timeout stays closed.
+    * Late events (at-or-behind the watermark) follow the standard stateful
+    * contract: Spark's late-row filter DROPS them before the operator
+    * (spec-checked), so an open session's recorded bounds can never be
+    * contradicted by history — the watermark after the batch that set
+    * `start_us` is always ≥ it. Out-of-order events within one batch are
+    * sorted before folding; the fold still takes min/max of both bounds as
+    * defense in depth.
+    *
+    * @param tombstoneTtlUs optional state TTL for closed-session tombstones.
+    *   Unset, a tombstone (which preserves session numbering for a
+    *   reappearing user) lives forever — one small state entry per
+    *   ever-seen user. With a TTL, tombstones evict `ttl` after the
+    *   session's last event and a user reappearing later restarts
+    *   numbering at 0 — the standard bounded-state trade; pick a TTL
+    *   longer than any continuity horizon you care about.
     */
   def sessionizeStream(
       events: org.apache.spark.sql.Dataset[UserEvent],
-      gapUs: Long): org.apache.spark.sql.Dataset[UserSession] = {
+      gapUs: Long,
+      tombstoneTtlUs: Option[Long] = None): org.apache.spark.sql.Dataset[UserSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -50,12 +63,22 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            // watermark passed last + gap: the open session is closed.
-            // Keep a zero-count tombstone so a reappearing user continues
-            // the session numbering instead of restarting at 0.
             val o = state.get
-            state.update(OpenSession(o.session_idx + 1, 0L, 0L, o.last_us))
-            Iterator(UserSession(uid, o.session_idx, o.n_events, o.start_us, o.last_us))
+            if (o.n_events == 0L) {
+              // tombstone TTL expired: drop the numbering-continuity entry
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed last + gap: the open session is closed.
+              // Keep a zero-count tombstone so a reappearing user continues
+              // the session numbering instead of restarting at 0.
+              state.update(OpenSession(o.session_idx + 1, 0L, 0L, o.last_us))
+              tombstoneTtlUs.foreach { ttl =>
+                state.setTimeoutTimestamp(math.max(
+                  (o.last_us + ttl) / 1000L, state.getCurrentWatermarkMs() + 1))
+              }
+              Iterator(UserSession(uid, o.session_idx, o.n_events, o.start_us, o.last_us))
+            }
           } else {
             val ts = it.map(_.ts_us).toArray.sorted
             val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
@@ -68,7 +91,11 @@ object StreamingOps {
                   closed += UserSession(uid, o.session_idx, o.n_events, o.start_us, o.last_us)
                   open = Some(OpenSession(o.session_idx + 1, 1L, t, t))
                 case Some(o) =>
-                  open = Some(o.copy(n_events = o.n_events + 1, last_us = math.max(o.last_us, t)))
+                  // a late (behind-watermark) event may precede the recorded
+                  // start — fold it into BOTH bounds
+                  open = Some(o.copy(n_events = o.n_events + 1,
+                    start_us = math.min(o.start_us, t),
+                    last_us = math.max(o.last_us, t)))
                 case None =>
                   open = Some(OpenSession(0, 1L, t, t))
               }
@@ -85,14 +112,16 @@ object StreamingOps {
       }
   }
 
-  /** Drain-mode sessionization over the events table: the streaming
-    * transform above under `Trigger.AvailableNow` emits every session the
-    * watermark can close (in-batch gaps + the final no-data batch's
-    * timeouts); the still-open tail sessions — at most one per user, since
-    * any earlier session's successor event forces its timeout before the
-    * final watermark — are recovered by a deterministic batch finalize:
-    * events after each user's last closed session form exactly the open
-    * session. Output is identical to the full-history batch oracle.
+  /** Drain-mode sessionization over the events table — SINGLE-PASS: the
+    * streaming transform under `Trigger.AvailableNow` emits every session
+    * the watermark can close (in-batch gaps + the final no-data batch's
+    * timeouts), and the still-open tail sessions — at most one per user —
+    * are recovered from the checkpoint's STATE STORE via Spark's
+    * `statestore` reader, not by re-scanning events. The state after the
+    * final committed batch holds exactly one [[OpenSession]] per user
+    * (n_events > 0) plus closed-session tombstones (n_events == 0); events
+    * are read exactly once, and the finalize reads O(#users) state rows.
+    * Output is identical to the full-history batch oracle.
     */
   def sessionize(spark: SparkSession, dir: String, gapHours: Int = 12,
       queryName: String = "stream_sessions"): DataFrame = {
@@ -110,34 +139,25 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[UserEvent]
 
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sessionize_ckpt").toString
     val query = sessionizeStream(events, gapUs).writeStream
       .format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
 
-    // batch finalize: per user, the event tail after the last closed session
-    // is the (single) still-open session
     val closed = spark.table(queryName)
-    val lastClosed = closed.groupBy(col("user_id"))
-      .agg(max(col("end_us")).as("__last_end"), max(col("session_idx")).as("__last_idx"))
-    val batchEvents = {
-      var df = spark.read.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-      if (rawSchema("ts").dataType == LongType)
-        df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      df.select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
-    }
-    val open = batchEvents.join(lastClosed, Seq("user_id"), "left")
-      .filter(col("__last_end").isNull || col("ts_us") > col("__last_end"))
-      .groupBy(col("user_id"))
-      .agg(
-        coalesce(first(col("__last_idx")) + 1, lit(0)).cast("int").as("session_idx"),
-        count(lit(1)).as("n_events"),
-        min(col("ts_us")).as("start_us"),
-        max(col("ts_us")).as("end_us"))
-    closed.unionByName(open.select("user_id", "session_idx", "n_events", "start_us", "end_us"))
+    val open = spark.read.format("statestore").load(ckpt)
+      .select(
+        col("key.value").as("user_id"),
+        col("value.groupState.session_idx").as("session_idx"),
+        col("value.groupState.n_events").as("n_events"),
+        col("value.groupState.start_us").as("start_us"),
+        col("value.groupState.last_us").as("end_us"))
+      .filter(col("n_events") > 0)
+    closed.unionByName(open)
   }
 
   /** Streaming exact dedup with WATERMARK-BOUNDED state:

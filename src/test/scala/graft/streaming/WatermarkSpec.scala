@@ -121,4 +121,76 @@ class WatermarkSpec extends SparkTestBase {
     assert(all.contains((1L, 1, 1L)), s"timeout-closed session missing from $all")
     assert(all.size == 2) // user 2's session is still open -> not emitted
   }
+
+  test("behind-watermark events are dropped; session bounds stay consistent") {
+    // Spark's late-row filter removes rows at-or-behind the watermark BEFORE
+    // the stateful operator, so an open session's start_us can never be
+    // contradicted by a late arrival: the watermark after the batch that set
+    // it is always >= it. This pins that contract (the session closes with
+    // its original bounds and count, the late event contributing nothing).
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[StreamingOps.UserEvent]
+    val gapUs = 12L * 3600L * 1000000L
+    val q = StreamingOps.sessionizeStream(events, gapUs).toDF()
+      .writeStream.format("memory").queryName("session_late")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable() // watermark -> 12:00
+    input.addData((1L, ts("2024-01-01 11:00:00"))) // behind watermark -> dropped
+    q.processAllAvailable()
+    input.addData((9L, ts("2024-01-05 00:00:00"))) // advance wm, time out u1
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("session_late").filter(col("user_id") === 1L).collect()
+    assert(closed.length == 1)
+    assert(closed.head.getLong(2) == 1L, "late event should have been dropped")
+    assert(closed.head.getLong(3) == us("2024-01-01 12:00:00"))
+    assert(closed.head.getLong(4) == us("2024-01-01 12:00:00"))
+  }
+
+  test("tombstone TTL bounds state: eviction restarts session numbering") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[StreamingOps.UserEvent]
+    val gapUs = 12L * 3600L * 1000000L
+    val ttlUs = 24L * 3600L * 1000000L
+    val q = StreamingOps.sessionizeStream(events, gapUs, tombstoneTtlUs = Some(ttlUs)).toDF()
+      .writeStream.format("memory").queryName("session_ttl")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    input.addData((9L, ts("2024-01-02 23:00:00"))) // u1 session 0 times out -> tombstone
+    q.processAllAvailable()
+    input.addData((9L, ts("2024-01-10 00:00:00"))) // watermark passes tombstone TTL -> evicted
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-11 10:00:00"))) // u1 reappears AFTER eviction
+    q.processAllAvailable()
+    input.addData((9L, ts("2024-01-20 00:00:00"))) // close u1's new session
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("session_ttl").filter(col("user_id") === 1L)
+      .select("session_idx").as[Int].collect().toList
+    // with the tombstone evicted, numbering restarts at 0 (without TTL the
+    // second session would carry idx 1) — the documented bounded-state trade
+    assert(u1 == List(0, 0), s"expected renumbering restart, got $u1")
+  }
+
+  test("drain-mode sessionize finalize is single-pass: no second events scan") {
+    val out = StreamingOps.sessionize(spark, "/root/testdata/sf0.001",
+      queryName = s"sessions_sp_${System.nanoTime()}")
+    // the finalize unions the memory sink with the checkpoint's state store;
+    // the events file must appear nowhere in its (batch) plan — the stream
+    // already consumed it exactly once
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"), s"finalize re-scans events:\n$plan")
+    assert(out.count() > 0)
+  }
 }
