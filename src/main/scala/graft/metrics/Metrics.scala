@@ -414,17 +414,45 @@ object Metrics {
     val hv = bj.join(n, Seq(foldCol)).groupBy(col(foldCol))
       .agg((-sum((col("bj") / col("n")) * log(col("bj") / col("n")))).as("hv"))
 
-    // log-factorial table 0..maxN via cumulative sum of ln k — both engines
-    // build it the same way (sequential ln sums), so cross-engine drift is
-    // bounded by ulp accumulation, invisible at round-6
-    val maxN = n.agg(max(col("n"))).head().getDouble(0).toLong
-    val lf = spark.range(0, maxN + 1).toDF("k")
-      .withColumn("lnfact", coalesce(sum(log(col("k").cast("double")))
-        .over(org.apache.spark.sql.expressions.Window.orderBy(col("k"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)), lit(0.0)))
-    def lfJoin(df: DataFrame, valueCol: Column, outName: String): DataFrame =
-      df.join(broadcast(lf.select(col("k").cast("double").as(s"__k_$outName"), col("lnfact").as(outName))),
-        valueCol === col(s"__k_$outName")).drop(s"__k_$outName")
+    // Empty input: no folds, no score rows (head() on the empty max would
+    // NPE) — return the empty (fold, score) frame with the right schema.
+    val maxNRow = n.agg(max(col("n"))).head()
+    if (maxNRow.isNullAt(0))
+      return preds.select(col(foldCol), lit(0.0).as("score")).limit(0)
+    val maxN = maxNRow.getDouble(0).toLong
+
+    // log-factorial table 0..maxN via cumulative sums of ln k, built
+    // DISTRIBUTIVELY: per-chunk running sums in parallel + a prefix sum
+    // over the tiny chunk-total axis (maxN/2^16 rows in one task) — never
+    // a global single-task window over all maxN+1 rows. Regrouping the
+    // additions drifts from the oracle's sequential cumsum only at
+    // accumulated-ulp level, invisible at round-6.
+    val chunkSize = 1L << 16
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(0, maxN + 1).toDF("k")
+      .withColumn("lnk", when(col("k") === 0, 0.0).otherwise(log(col("k").cast("double"))))
+      .withColumn("chunk", (col("k") / chunkSize).cast("long"))
+    val inChunk = base.withColumn("run",
+      sum(col("lnk")).over(Window.partitionBy(col("chunk")).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val prefix = base.groupBy(col("chunk")).agg(sum(col("lnk")).as("tot"))
+      .withColumn("pre", coalesce(
+        sum(col("tot")).over(Window.orderBy(col("chunk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select(col("chunk"), col("pre"))
+    // persisted: NINE joins below reuse the table; without it each join
+    // replays the chunked build (measured 3x the query cost at sf0.1)
+    val lf0 = inChunk.join(prefix, Seq("chunk"))
+      .select(col("k"), (col("pre") + col("run")).as("lnfact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // broadcast only while the table is broadcastable; at huge n the join
+    // falls back to a hash-partitioned join on k rather than shipping an
+    // unbounded table to every executor
+    def lfJoin(df: DataFrame, valueCol: Column, outName: String): DataFrame = {
+      val sel = lf0.select(col("k").cast("double").as(s"__k_$outName"), col("lnfact").as(outName))
+      val rhs = if (maxN <= 4000000) broadcast(sel) else sel
+      df.join(rhs, valueCol === col(s"__k_$outName")).drop(s"__k_$outName")
+    }
 
     // marginal grid: one row per (fold, ai, bj) pair, inner sum exploded
     val grid = ai.join(bj, Seq(foldCol)).join(n, Seq(foldCol))

@@ -170,6 +170,11 @@ class MetricsExtendedSpec extends SparkTestBase {
     assert(math.abs(pm.getAs[Double]("mutual_info") - math.log(2.0)) < 1e-12) // H = ln 2
   }
 
+  test("adjusted mutual info on empty input returns an empty frame, not NPE") {
+    val empty = Seq.empty[(Int, Double, Double)].toDF("fold", "label", "prediction")
+    assert(Metrics.adjustedMutualInfo(empty, "label", "prediction").count() == 0)
+  }
+
   test("adjusted mutual info: perfect labeling scores 1, independent scores ~0") {
     val perfect = Seq((0, 0, 0), (0, 0, 0), (0, 1, 1), (0, 1, 1), (0, 2, 2), (0, 2, 2))
       .toDF("fold", "label", "cluster")
