@@ -148,14 +148,19 @@ object Dedup {
     lshCandidates(signatures, nBands, k, maxBucketSize = None)
 
   /** LSH banding with an optional HOT-BUCKET CAP: buckets whose population
-    * exceeds `maxBucketSize` are dropped before the self-join. At corpus
+    * exceeds `maxBucketSize` never enter the all-pairs self-join. At corpus
     * scale a handful of degenerate band signatures (boilerplate, empty
     * docs) can hold O(corpus) members — a quadratic bomb on one shuffle
-    * key; such mega-buckets are also uninformative (they pair everything
-    * with everything). The cap bounds per-bucket work at cap² and skews
-    * nothing, at the cost of recall only for pairs whose EVERY shared band
-    * is degenerate. Capped-off bucket count is observable via
-    * [[lshBucketSizes]].
+    * key. Instead of dropping a hot bucket's members outright (measured on
+    * this corpus: verified-pair recall collapses from ~97% at sf0.01 to
+    * 0.33% at sf0.1, because almost every true pair lives ONLY in
+    * mega-buckets), each over-cap bucket contributes STAR candidates — its
+    * minimum id as hub paired with every member: O(bucket) work instead of
+    * O(bucket²). For the pipelines that consume these candidates
+    * (connected-components clustering) connectivity is what matters, not
+    * the full pair set: a verified star keeps the bucket's near-dup
+    * cluster connected while per-bucket work stays linear. Capped-off
+    * bucket count is observable via [[lshBucketSizes]].
     */
   def lshCandidates(signatures: DataFrame, nBands: Int, k: Int,
       maxBucketSize: Option[Int]): DataFrame = {
@@ -166,21 +171,35 @@ object Dedup {
       .groupBy(col("id"), col("band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minh")))),
         x => x.getField("minh").cast("string")), ",").as("band_sig"))
-    val kept = maxBucketSize match {
+    val pairs = maxBucketSize match {
       case Some(cap) =>
         // one extra count-shuffle on the same key the join shuffles on
         val sizes = banded.groupBy(col("band"), col("band_sig"))
-          .agg(count(lit(1)).as("__bucket_n"))
-          .filter(col("__bucket_n") <= cap)
-          .select(col("band"), col("band_sig"))
-        banded.join(sizes, Seq("band", "band_sig"))
-      case None => banded
+          .agg(count(lit(1)).as("__bucket_n"), min(col("id")).as("__hub"))
+        val kept = banded.join(
+          sizes.filter(col("__bucket_n") <= cap).select(col("band"), col("band_sig")),
+          Seq("band", "band_sig"))
+        val a = kept.select(col("id").as("id_a"), col("band"), col("band_sig"))
+        val b = kept.select(col("id").as("id_b"), col("band"), col("band_sig"))
+        val full = a.join(b, Seq("band", "band_sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        // hub-star candidates for the over-cap buckets: hub = min id < every
+        // other member, so (hub, id) is already in canonical order
+        val stars = banded.join(
+          sizes.filter(col("__bucket_n") > cap).select(col("band"), col("band_sig"), col("__hub")),
+          Seq("band", "band_sig"))
+          .filter(col("id") =!= col("__hub"))
+          .select(col("__hub").as("id_a"), col("id").as("id_b"))
+        full.unionByName(stars)
+      case None =>
+        val a = banded.select(col("id").as("id_a"), col("band"), col("band_sig"))
+        val b = banded.select(col("id").as("id_b"), col("band"), col("band_sig"))
+        a.join(b, Seq("band", "band_sig"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
     }
-    val a = kept.select(col("id").as("id_a"), col("band"), col("band_sig"))
-    val b = kept.select(col("id").as("id_b"), col("band"), col("band_sig"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    pairs.distinct()
   }
 
   /** Bucket-population histogram for cap tuning: (band, band_sig, n). */
@@ -309,6 +328,44 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+  }
+
+  /** SimHash-headed Jaccard near-dup pairs: banded SimHash multi-index
+    * candidates (guaranteed recall within `maxHamming` by pigeonhole) →
+    * exact Jaccard verify at `threshold`, same output contract as
+    * [[minhashLshPairs]].
+    *
+    * THE head for dense-similarity corpora (round-3 measurement, this
+    * repo's documents table at J≥0.9): pair recall 100% vs brute force at
+    * sf0.01 AND sf0.1, a strict superset of the MinHash-LSH head's pairs,
+    * and identical connected components — where the capped MinHash head
+    * oversegments (46.7% label agreement at sf0.1) because almost every
+    * true pair lives only in degenerate mega-buckets. The trade: band keys
+    * are `bits/nBands` wide, so random-collision candidate volume scales
+    * as n²·nBands/2^(bits/nBands) — with 48 bits and h≤11 that is n²·12/16,
+    * right when near-dup density is itself Θ(n²) (the answer is that big),
+    * wrong for sparse corpora where [[minhashLshPairs]] with the hot-bucket
+    * cap stays linear. Widen `bits` (e.g. 128) to push the collision rate
+    * down at production corpus sizes. See SCALE.md "Dedup head selection".
+    */
+  def simhashJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.9,
+      bits: Int = 48,
+      nBands: Int = 12,
+      maxHamming: Int = 11): DataFrame = {
+    val cands = simhashNearDupPairs(df, idCol, textCol, bits, nBands, maxHamming)
+      .select("id_a", "id_b")
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** 32-bit SimHash over tokens: bit b of the signature is the sign of

@@ -31,12 +31,13 @@ object DedupQueries extends QueryPack {
   /** Hot-bucket cap for the cluster/curation pipelines. The corpus'
     * band-bucket population is sharply bimodal (median 1; one degenerate
     * signature holds 268 of 500 docs at sf0.01 and 2666 of 5000 at sf0.1 —
-    * 3.5M candidate pairs from ONE shuffle key). 250 drops only the
-    * mega-buckets at every scale; pairs they held are still found through
-    * any non-degenerate shared band, and the DuckDB oracle mirrors the
-    * filter CTE-for-CTE so the gate checks the capped semantics exactly.
-    * The thr-0.8 `q_dedup_minhash_lsh` gate deliberately stays uncapped as
-    * the output-bound upper-bound benchmark.
+    * 3.5M candidate pairs from ONE shuffle key). 250 routes every
+    * mega-bucket through the linear hub-star path instead of the quadratic
+    * self-join (measured: dropping them outright collapses verified-pair
+    * recall to 0.33% at sf0.1 on this everything-is-similar corpus), and
+    * the DuckDB oracle mirrors the stat/star CTEs exactly. The thr-0.8
+    * `q_dedup_minhash_lsh` gate deliberately stays uncapped as the
+    * output-bound upper-bound benchmark.
     */
   private[queries] val BUCKET_CAP = 250
 
@@ -57,9 +58,20 @@ object DedupQueries extends QueryPack {
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")),
     "q_dedup_clusters" -> ((s, dir) => {
-      // LSH-bucketed pair generation, not attribute blocking: candidate count
-      // stays bounded by band-bucket population at any corpus size, and
-      // cross-source near-dups (invisible to a static blocking key) are found.
+      // SimHash-banded head (round-3 measurement): on this dense-similarity
+      // corpus it recovers 100% of true J>=0.9 pairs and the exact truth
+      // components at both gate scales, where the capped MinHash head
+      // oversegments (mega-buckets hold nearly all true pairs here). See
+      // Dedup.simhashJaccardPairs + SCALE.md "Dedup head selection".
+      val d = docs(s, dir)
+      val pairs = Dedup.simhashJaccardPairs(d, "doc_id", "text", N, CLUSTER_THR)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+    }),
+    "q_dedup_clusters_capped" -> ((s, dir) => {
+      // The sparse-corpus scale path: MinHash-LSH with the hot-bucket cap —
+      // mega-buckets contribute linear hub stars instead of O(bucket²)
+      // pairs. Kept as its own gate so the capped semantics stay oracled.
       val d = docs(s, dir)
       val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", N, K, BANDS, CLUSTER_THR,
         maxBucketSize = Some(BUCKET_CAP))
@@ -92,28 +104,71 @@ object DedupQueries extends QueryPack {
     * three gates sit on the same scale-safe candidate generation.
     */
   private[queries] def lshEdgesCtes(thr: Double, cap: Option[Int] = None): String = {
-    val bucketCtes = cap match {
+    // capped: full pairs from within-cap buckets UNION hub-star candidates
+    // (min doc_id vs every member) from over-cap buckets — same linear
+    // mega-bucket treatment as Dedup.lshCandidates
+    val candCtes = cap match {
       case Some(c) =>
-        s"""bandkept AS (SELECT band, band_sig FROM band
-           |             GROUP BY band, band_sig HAVING count(*) <= $c),
+        s"""bandstat AS (SELECT band, band_sig, count(*) AS bn, min(doc_id) AS hub
+           |             FROM band GROUP BY band, band_sig),
            |bandf AS (SELECT b.doc_id, b.band, b.band_sig FROM band b
-           |          JOIN bandkept k ON b.band = k.band AND b.band_sig = k.band_sig),""".stripMargin
-      case None => "bandf AS (SELECT doc_id, band, band_sig FROM band),"
+           |          JOIN bandstat k ON b.band = k.band AND b.band_sig = k.band_sig
+           |          AND k.bn <= $c),
+           |cand AS (SELECT DISTINCT id_a, id_b FROM (
+           |           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |           FROM bandf a JOIN bandf b
+           |             ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+           |           UNION ALL
+           |           SELECT k.hub AS id_a, b.doc_id AS id_b
+           |           FROM band b JOIN bandstat k
+           |             ON b.band = k.band AND b.band_sig = k.band_sig
+           |             AND k.bn > $c AND b.doc_id != k.hub) u),""".stripMargin
+      case None =>
+        """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |         FROM band a JOIN band b
+          |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),""".stripMargin
     }
     s"""${sigCte("")},
        |band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band,
        |                string_agg(CAST(minh AS VARCHAR), ',' ORDER BY i) AS band_sig
        |         FROM sig GROUP BY doc_id, CAST(i // 4 AS INT)),
-       |$bucketCtes
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bandf a JOIN bandf b
-       |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |$candCtes
        |t AS (SELECT doc_id, $sh AS sh FROM documents),
        |ver AS (SELECT c.id_a, c.id_b, $jaccardRaw AS sim
        |        FROM cand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b),
        |edges0 AS (SELECT id_a AS src, id_b AS dst FROM ver WHERE sim >= $thr),
        |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)""".stripMargin
   }
+
+  /** CTE chain ending in `ver(id_a, id_b, sim)` / `edges(src, dst)` for the
+    * SIMHASH-headed near-dup graph: 48-bit simhash, 12 bands × 4 bits
+    * (pigeonhole-guaranteed recall at hamming ≤ 11), integer hamming
+    * pre-filter, exact Jaccard verify at `thr` — CTE-for-CTE the plan of
+    * [[graft.dedup.Dedup.simhashJaccardPairs]] with its defaults.
+    */
+  private[queries] def simhashEdgesCtes(thr: Double): String =
+    s"""stok AS (SELECT doc_id, unnest($sh) AS s FROM documents),
+       |sth AS (SELECT doc_id, $h60 AS h FROM stok),
+       |sbits AS (SELECT CAST(b AS INT) AS b FROM range(0, 48) t(b)),
+       |ssgn AS (SELECT doc_id, b,
+       |             sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+       |      FROM sth CROSS JOIN sbits GROUP BY doc_id, b),
+       |ssig AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM ssgn GROUP BY doc_id),
+       |sbands AS (SELECT CAST(x AS INT) AS band FROM range(0, 12) t(x)),
+       |sbanded AS (SELECT doc_id, simhash, band,
+       |                  (simhash >> (band * 4)) & 15 AS bkey
+       |           FROM ssig CROSS JOIN sbands),
+       |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM sbanded a JOIN sbanded b
+       |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 11),
+       |t AS (SELECT doc_id, $sh AS sh FROM documents),
+       |ver AS (SELECT c.id_a, c.id_b, $jaccardRaw AS sim
+       |        FROM scand c JOIN t a ON a.doc_id = c.id_a JOIN t b ON b.doc_id = c.id_b),
+       |edges0 AS (SELECT id_a AS src, id_b AS dst FROM ver WHERE sim >= $thr),
+       |edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -136,6 +191,14 @@ object DedupQueries extends QueryPack {
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM ver WHERE sim >= $THR
          |""".stripMargin,
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},
+         |cc(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src)
+         |SELECT id, min(lbl) AS cluster FROM cc GROUP BY id
+         |""".stripMargin,
+    "q_dedup_clusters_capped" ->
       s"""WITH RECURSIVE ${lshEdgesCtes(CLUSTER_THR, Some(BUCKET_CAP))},
          |cc(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents

@@ -70,15 +70,18 @@ object ScaleQueries extends QueryPack {
     * near-dup clusters → one canonical doc per cluster → quality filter →
     * corpus stats per language. Composes dedup (MinHash-LSH pair generation
     * + connected components), text quality, and aggregation in one plan.
-    * The pair head is LSH-bucketed, not attribute-blocked: candidate volume
-    * is bounded by band-bucket population at any corpus size.
+    * The pair head is the SimHash banded multi-index with exact Jaccard
+    * verify — measured 100% pair recall and exact truth components on this
+    * dense-similarity corpus at both gate scales (SCALE.md "Dedup head
+    * selection"); `q_dedup_clusters_capped` keeps the sparse-corpus
+    * capped-LSH head oracled.
     */
   private def curation(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     import graft.text.TextFunctions
     val docs = graft.sources.Tables.cached(spark, dir, "documents")
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 1, k = 16, nBands = 4,
-      threshold = DedupQueries.CLUSTER_THR, maxBucketSize = Some(DedupQueries.BUCKET_CAP))
+    val pairs = Dedup.simhashJaccardPairs(docs, "doc_id", "text", n = 1,
+      threshold = DedupQueries.CLUSTER_THR).select("id_a", "id_b")
     val clusters = Dedup.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
     val canonical = clusters.filter(col("id") === col("cluster")).select(col("id").as("doc_id"))
     docs.join(canonical, "doc_id")
@@ -127,7 +130,7 @@ object ScaleQueries extends QueryPack {
         |GROUP BY event_type
         |""".stripMargin,
     "q_curation_pipeline" ->
-      s"""WITH RECURSIVE ${DedupQueries.lshEdgesCtes(DedupQueries.CLUSTER_THR, Some(DedupQueries.BUCKET_CAP))},
+      s"""WITH RECURSIVE ${DedupQueries.simhashEdgesCtes(DedupQueries.CLUSTER_THR)},
          |cc(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION

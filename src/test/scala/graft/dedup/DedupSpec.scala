@@ -41,7 +41,7 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.subsetOf(brute)) // verify step enforces the true-jaccard threshold
   }
 
-  test("hot-bucket cap drops mega-buckets, keeps everything else") {
+  test("hot-bucket cap: mega-buckets contribute linear hub stars, not pair bombs") {
     // 20 identical boilerplate docs form a mega-bucket in EVERY band; the
     // two planted near-dups live in normal buckets
     val boiler = (100L to 119L).map(i => (i, "the same boilerplate text here", "s1"))
@@ -54,9 +54,12 @@ class DedupSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     val capped = Dedup.lshCandidates(sigs, 4, 16, maxBucketSize = Some(10))
       .as[(Long, Long)].collect().toSet
-    // mega-bucket pairs (boilerplate x boilerplate: C(20,2)=190) vanish
+    // uncapped: C(20,2)=190 boilerplate pairs; capped: only the 19-edge hub
+    // star (min id 100 vs each member) — O(bucket), connectivity preserved
     assert(uncapped.count { case (a, b) => a >= 100 && b >= 100 } == 190)
-    assert(capped.count { case (a, b) => a >= 100 && b >= 100 } == 0)
+    val megaPairs = capped.filter { case (a, b) => a >= 100 && b >= 100 }
+    assert(megaPairs == (101L to 119L).map(b => (100L, b)).toSet,
+      s"expected the hub star, got $megaPairs")
     // the planted pair survives the cap untouched
     assert(capped.contains((0L, 1L)))
     // histogram exposes the mega-bucket for tuning
@@ -64,11 +67,14 @@ class DedupSpec extends SparkTestBase {
       .filter(col("n") > 10).select("n").as[Long].collect()
     assert(sizes.nonEmpty && sizes.forall(_ == 20L))
     // the cap threads through the end-to-end pipeline (what the flagship
-    // cluster/curation queries call): mega-bucket pairs never reach verify
+    // cluster/curation queries call): star edges are verified like any
+    // candidate, and identical boilerplate passes at J=1 — the cluster
+    // stays connected through the hub at linear cost
     val e2e = Dedup.minhashLshPairs(df, "doc_id", "text", n = 1, k = 16, nBands = 4,
       threshold = 0.5, maxBucketSize = Some(10))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(e2e.count { case (a, b) => a >= 100 && b >= 100 } == 0)
+    assert(e2e.filter { case (a, b) => a >= 100 && b >= 100 } ==
+      (101L to 119L).map(b => (100L, b)).toSet)
     assert(e2e.contains((0L, 1L)))
   }
 
