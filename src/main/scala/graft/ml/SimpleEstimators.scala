@@ -179,6 +179,67 @@ object IdentityRegressorModel extends MLReadable[IdentityRegressorModel] {
   * feature, else 0.0. Deterministic and SQL-expressible, so classification
   * metrics can be oracled end-to-end.
   */
+/** Equal-width binning "clusterer": fits (min, width) of the feature on the
+  * train fold and assigns cluster = floor((x − min) / width), clamped to
+  * [0, nBins−1]. A deterministic clustering step whose quality is tunable
+  * by `nBins` — used to drive the supervised clustering scorers
+  * (v_measure_score & co.) through a real GridSearch.
+  */
+class BinClusterer(override val uid: String)
+    extends Estimator[BinClustererModel] with SimpleParams with MLWritable {
+  def this() = this(Identifiable.randomUID("binClus"))
+  final val nBins: DoubleParam = new DoubleParam(this, "nBins", "number of equal-width bins")
+  setDefault(nBins -> 2.0)
+  def setFeatureCol(v: String): this.type = set(featureCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setNBins(v: Double): this.type = set(nBins, v)
+
+  override def fit(ds: Dataset[_]): BinClustererModel = {
+    val row = ds.agg(min(col($(featureCol))), max(col($(featureCol)))).head()
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    val k = math.max(1, $(nBins).toInt)
+    val width = if (hi > lo) (hi - lo) / k else 1.0
+    copyValues(new BinClustererModel(uid, lo, width, k).setParent(this))
+  }
+  override def copy(extra: ParamMap): BinClusterer = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this, Map("nBins" -> $(nBins)))
+}
+
+object BinClusterer extends MLReadable[BinClusterer] {
+  override def read: MLReader[BinClusterer] = new MLReader[BinClusterer] {
+    override def load(path: String): BinClusterer = {
+      val (uid, f, l, pr, payload) = SimpleIO.read(path)
+      new BinClusterer(uid).setCols(f, l, pr).setNBins(payload("nBins"))
+    }
+  }
+}
+
+class BinClustererModel(override val uid: String,
+    val lo: Double, val width: Double, val k: Int)
+    extends Model[BinClustererModel] with SimpleParams with MLWritable {
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.withColumn($(predictionCol),
+      least(greatest(floor((col($(featureCol)) - lit(lo)) / lit(width)), lit(0.0)),
+        lit((k - 1).toDouble)).cast(DoubleType))
+  override def copy(extra: ParamMap): BinClustererModel =
+    copyValues(new BinClustererModel(uid, lo, width, k)).setParent(parent)
+  override def transformSchema(schema: StructType): StructType = withPrediction(schema)
+  override def write: MLWriter = SimpleIO.writer(this,
+    Map("lo" -> lo, "width" -> width, "k" -> k.toDouble))
+}
+
+object BinClustererModel extends MLReadable[BinClustererModel] {
+  override def read: MLReader[BinClustererModel] = new MLReader[BinClustererModel] {
+    override def load(path: String): BinClustererModel = {
+      val (uid, f, l, pr, payload) = SimpleIO.read(path)
+      new BinClustererModel(uid, payload("lo"), payload("width"), payload("k").toInt)
+        .setCols(f, l, pr)
+    }
+  }
+}
+
 class ThresholdClassifier(override val uid: String)
     extends Estimator[ThresholdClassifierModel] with SimpleParams with MLWritable {
   def this() = this(Identifiable.randomUID("thrClf"))

@@ -126,6 +126,30 @@ class SearchSpec extends SparkTestBase {
     assert(e.getCause != null) // original failure preserved
   }
 
+  test("clustering scorer (v_measure_score) drives a GridSearch over a clustering step") {
+    // two label groups separated in feature space: nBins=2 clusters them
+    // perfectly (v_measure 1), nBins=1 collapses everything (v_measure 0)
+    val rows = for (p <- 1 to 10; i <- 0 to 3)
+      yield (p * 10 + i, p, if (i < 2) 0.0 else 1.0, if (i < 2) i * 1.0 else 12.0 + i)
+    val df = rows.toDF("id", "period", "label", "feature")
+    val cv = PanelSplit(df, "period", nSplits = 3, testSize = 1)
+    val pipeline = new SequentialCVPipeline(
+      Seq("bin" -> est(new graft.ml.BinClusterer()
+        .setFeatureCol("feature").setLabelCol("label"))), Seq(Some(cv)))
+    val gs = new GridSearch(pipeline,
+      Map("bin__nBins" -> Seq(1.0, 2.0)),
+      scoring = Seq("v_measure_score"), labelCol = "label")
+    gs.fit(df)
+    assert(gs.bestParams == Map("bin__nBins" -> 2.0))
+    val byBins = gs.results.map(r => r.params("bin__nBins") -> r.meanScore("v_measure_score")).toMap
+    assert(math.abs(byBins(2.0) - 1.0) < 1e-9, s"separating binning should score 1: $byBins")
+    assert(math.abs(byBins(1.0) - 0.0) < 1e-9, s"single cluster should score 0: $byBins")
+    // cvResults carries the clustering metric's per-split and summary columns
+    val cols = gs.cvResults(spark).columns.toSet
+    assert(cols.contains("mean_test_score") && cols.contains("rank_test_score")
+      && cols.contains("split0_test_score"))
+  }
+
   test("custom callable scorer flows through search and cvResults") {
     import org.apache.spark.sql.functions._
     val df = panel
