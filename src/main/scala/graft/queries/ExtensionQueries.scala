@@ -7,26 +7,36 @@ import graft.multimodal.Multimodal
 import graft.sources.Tables
 import graft.streaming.StreamingOps
 
-/** Multimodal-plumbing and streaming queries. The multimodal payloads are
-  * the documents' text bytes (no real media in the harness tables); the
-  * decode stub's arithmetic is deterministic and replicated in the oracle.
+/** Multimodal-plumbing and streaming queries. The harness tables carry no
+  * media, so the payloads are REAL synthetic PNGs (deterministic pixels,
+  * dims derived from doc fields) — the decode gate exercises the actual
+  * `javax.imageio` codec byte-for-byte, and the oracle recomputes the known
+  * dimension/pixel formulas rather than parsing PNG.
   */
 object ExtensionQueries extends QueryPack {
 
-  /** documents → opaque media records (utf-8 payload bytes). */
+  /** documents → opaque media records: real PNG payloads (gray for even
+    * ids, RGB for odd), dims a function of n_chars — see
+    * [[Multimodal.syntheticPng]] for the pixel formula the oracle replays.
+    */
   private def media(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id").as("id"),
-        encode(col("text"), "UTF-8").as("media"),
-        lit("text/plain").as("mediaType"))
-      .as[Multimodal.MediaRecord]
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = 16 + (nChars % 48).toInt
+        val h = 16 + ((nChars * 7) % 48).toInt
+        Multimodal.MediaRecord(id, Multimodal.syntheticPng(id, w, h, gray = id % 2 == 0),
+          "image/png")
+      }
   }
 
   private def decodeQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decode(media(spark, dir)).toDF()
-      .select(col("id"), col("nBytes").as("n_bytes"),
-        col("width"), col("height"), col("channels"))
+      // nBytes is the PNG-compressed size — real but not SQL-derivable, so
+      // the gate projects the decoder-read dims the oracle CAN recompute
+      .select(col("id"), col("width"), col("height"), col("channels"))
 
   private def featuresQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(media(spark, dir)).toDF()
@@ -98,29 +108,34 @@ object ExtensionQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_decode" ->
-      // text is ASCII here, so payload bytes = n_chars; first byte = first char
+      // the Spark side DECODES real PNGs; the oracle recomputes the known
+      // construction formulas (dims from n_chars, gray/RGB from id parity)
       """SELECT doc_id AS id,
-        |  CAST(length(text) AS INT) AS n_bytes,
-        |  CAST(64 + length(text) % 512 AS INT) AS width,
-        |  CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
-        |  CAST(1 + ascii(substr(text, 1, 1)) % 3 AS INT) AS channels
+        |  CAST(16 + n_chars % 48 AS INT) AS width,
+        |  CAST(16 + (n_chars * 7) % 48 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels
         |FROM documents
         |""".stripMargin,
-    // Replicates the stub's exact double arithmetic: per-bucket sequential
-    // accumulation of byte/255.0 in increasing position order (i % 16 = j),
-    // then a left fold over the 16 buckets — list_reduce preserves both
-    // orders, so the compare is bitwise at round-4.
+    // replay the synthetic pixel formula (31x+7y+13id+11b mod 256) over
+    // every sample; per-stripe integer sums, one division, 16-term sum —
+    // PNG is lossless so the Spark-side decoded raster holds exactly this
     "q_multimodal_features" ->
-      """SELECT doc_id AS id,
-        |  round(list_reduce(list_prepend(0.0,
-        |    list_transform(range(0, 16), j ->
-        |      list_reduce(list_prepend(0.0,
-        |        list_transform(
-        |          list_filter(range(0, length(text)), i -> i % 16 = j),
-        |          i -> ascii(substr(text, i + 1, 1)) / 255.0)),
-        |        (a, b) -> a + b))),
-        |    (a, b) -> a + b), 4) AS feature_sum
-        |FROM documents
+      """WITH dims AS (SELECT doc_id, CAST(16 + n_chars % 48 AS INT) AS w,
+        |                     CAST(16 + (n_chars * 7) % 48 AS INT) AS h,
+        |                     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nb
+        |              FROM documents),
+        |ax AS (SELECT CAST(x AS INT) AS x FROM range(0, 64) t(x)),
+        |ay AS (SELECT CAST(y AS INT) AS y FROM range(0, 64) t(y)),
+        |ab AS (SELECT CAST(b AS INT) AS b FROM range(0, 3) t(b)),
+        |samp AS (SELECT d.doc_id, y.y % 16 AS k,
+        |                (31 * x.x + 7 * y.y + 13 * d.doc_id + 11 * b.b) % 256 AS v
+        |         FROM dims d JOIN ax x ON x.x < d.w
+        |                     JOIN ay y ON y.y < d.h
+        |                     JOIN ab b ON b.b < d.nb),
+        |stripe AS (SELECT doc_id, k, sum(v) AS s, count(*) AS c
+        |           FROM samp GROUP BY doc_id, k)
+        |SELECT doc_id AS id, round(sum(s / (255.0 * c)), 4) AS feature_sum
+        |FROM stripe GROUP BY doc_id
         |""".stripMargin,
     "q_stream_period_agg" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS period,
