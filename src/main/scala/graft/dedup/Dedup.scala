@@ -21,12 +21,17 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct n-token shingles of a text column. */
+  /** Distinct n-token shingles of a text column. Documents shorter than n
+    * tokens yield an empty array — without the guard, Spark's
+    * `sequence(0, negative)` counts DOWN and emits junk partial grams.
+    */
   def shingles(text: Column, n: Int): Column = {
     val t = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Jaccard similarity of two distinct-element arrays. |A∪B| is derived as

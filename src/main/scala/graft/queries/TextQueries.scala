@@ -42,11 +42,34 @@ object TextQueries extends QueryPack {
       col("doc_id"),
       bpeTokenCount(col("text")).as("n_bpe_tokens"),
       round(punctRatio(col("text")), 6).as("punct_ratio"))),
+    // benchmark decontamination: every 20th doc plays the eval set; training
+    // docs sharing any verbatim 8-gram with it are reported with the overlap
+    "q_decontaminate" -> ((s, dir) =>
+      graft.text.Decontaminate.ngramOverlap(docs(s, dir), "doc_id", "text",
+        benchPred = col("doc_id") % 20 === 0, n = 8)
+        .withColumnRenamed("id", "doc_id")),
   )
 
   private val toks = "string_split(text, ' ')"
 
   def oracleSql: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |grams AS (SELECT DISTINCT doc_id,
+         |                 array_to_string(list_slice(t, i + 1, i + 8), ' ') AS g
+         |          FROM tk JOIN pos ON i + 8 <= len(t)),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+         |agg AS (SELECT tr.doc_id, count(*) AS n_grams,
+         |               sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+         |        FROM (SELECT * FROM grams WHERE doc_id % 20 != 0) tr
+         |        LEFT JOIN bench b ON tr.g = b.g
+         |        GROUP BY tr.doc_id)
+         |SELECT doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+         |       CAST(n_grams AS BIGINT) AS n_grams,
+         |       round(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS overlap_ratio
+         |FROM agg WHERE n_overlap > 0
+         |""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  len($toks) AS n_tokens,
