@@ -61,6 +61,23 @@ object RelationalQueries extends QueryPack {
         row_number().over(w).as("rn"),
         ntile(4).over(w).as("quartile"))
     }),
+    // as-of join: each purchase picks up the latest prior-or-equal click by
+    // the same user — point-in-time feature attachment with no row-
+    // multiplying join (single key-shuffle + running window, ops/AsOfJoin)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.cached(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+          rightPrefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value"), 6).as("purchase_value"),
+          unix_micros(col("click_ts")).as("click_ts_us"),
+          round(col("click_value"), 6).as("click_value"))
+    }),
     // nation-level customer order stats: two broadcast joins up a snowflake
     "q_rel_nation_orders" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
@@ -113,6 +130,15 @@ object RelationalQueries extends QueryPack {
         |  CAST(row_number() OVER w AS INT) AS rn,
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  round(p.value, 6) AS purchase_value,
+        |  epoch_us(c.ts) AS click_ts_us,
+        |  round(c.value, 6) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |""".stripMargin,
     "q_rel_nation_orders" ->
       """SELECT n_name, count(*) AS n_orders,

@@ -66,6 +66,25 @@ object ScaleQueries extends QueryPack {
       .agg(count(lit(1)).as("n_sampled"), round(sum(col("value")), 4).as("sum_value"))
   }
 
+  /** Stratified deterministic sampling — per-stratum rates (rebalancing a
+    * corpus toward target language shares) with the same RNG-free hash
+    * discipline as [[hashSample]]: membership is a pure function of the
+    * doc id, so the sample is reproducible on any cluster layout and
+    * composable with incremental ingest (new rows don't perturb old
+    * membership). The rate lookup is a CASE expression — no join, no
+    * broadcast, stays in whole-stage codegen.
+    */
+  private def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.cached(spark, dir, "documents")
+    val rates = Seq("en" -> 50, "de" -> 30, "fr" -> 30, "es" -> 20, "zh" -> 20)
+    val rate = rates.foldLeft(lit(0)) { case (acc, (l, pct)) =>
+      when(col("lang") === l, lit(pct)).otherwise(acc)
+    }
+    d.filter(pmod(graft.text.TextFunctions.hash60(col("doc_id").cast("string")), lit(100)) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** The curation pipeline end to end — what this engine exists for:
     * near-dup clusters → one canonical doc per cluster → quality filter →
     * corpus stats per language. Composes dedup (MinHash-LSH pair generation
@@ -98,6 +117,7 @@ object ScaleQueries extends QueryPack {
     "q_metric_log_loss" -> (probScores _),
     "q_cv_lineitem" -> (cvLineitem _),
     "q_sample_hash" -> (hashSample _),
+    "q_sample_stratified" -> (stratifiedSample _),
     "q_curation_pipeline" -> (curation _),
   )
 
@@ -128,6 +148,14 @@ object ScaleQueries extends QueryPack {
         |FROM events
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 10
         |GROUP BY event_type
+        |""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+        |FROM documents
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100
+        |      < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 30
+        |                   WHEN 'es' THEN 20 WHEN 'zh' THEN 20 ELSE 0 END)
+        |GROUP BY lang
         |""".stripMargin,
     "q_curation_pipeline" ->
       s"""WITH RECURSIVE ${DedupQueries.simhashEdgesCtes(DedupQueries.CLUSTER_THR)},

@@ -48,6 +48,23 @@ object TextQueries extends QueryPack {
       graft.text.Decontaminate.ngramOverlap(docs(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 20 === 0, n = 8)
         .withColumnRenamed("id", "doc_id")),
+    // Gopher-style repetition: top-2-gram char fraction + dup-5-gram
+    // occurrence fraction per doc (text/Repetition, map-side-combined)
+    "q_repetition" -> ((s, dir) =>
+      graft.text.Repetition.ngramStats(docs(s, dir), "doc_id", "text",
+        topN = 2, dupN = 5)),
+    // corpus Zipf head: top-50 tokens by frequency. The heavy agg is
+    // map-side combined on the token axis; the top-k is TakeOrdered (per-
+    // partition heads merged on the driver), NOT a global sort — the only
+    // single-partition work is ranking the final 50 rows.
+    "q_vocab_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      counts.orderBy(col("n").desc, col("token")).limit(50)
+        .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    }),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -69,6 +86,32 @@ object TextQueries extends QueryPack {
          |       CAST(n_grams AS BIGINT) AS n_grams,
          |       round(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS overlap_ratio
          |FROM agg WHERE n_overlap > 0
+         |""".stripMargin,
+    "q_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t, length(text) AS chars FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |g2 AS (SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 2), ' ') AS g
+         |       FROM tk JOIN pos ON i + 2 <= len(t)),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, max(c * length(g)) AS topchars FROM c2 GROUP BY 1),
+         |g5 AS (SELECT doc_id, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS g
+         |       FROM tk JOIN pos ON i + 5 <= len(t)),
+         |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+         |d5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+         |              sum(c) AS tot FROM c5 GROUP BY 1)
+         |SELECT tk.doc_id,
+         |  round(CAST(coalesce(t2.topchars, 0) AS DOUBLE) / tk.chars, 6) AS top_char_frac,
+         |  round(CAST(coalesce(d5.dup, 0) AS DOUBLE) / coalesce(d5.tot, 1), 6) AS dup_frac
+         |FROM tk
+         |LEFT JOIN t2 ON tk.doc_id = t2.doc_id
+         |LEFT JOIN d5 ON tk.doc_id = d5.doc_id
+         |""".stripMargin,
+    "q_vocab_stats" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1)
+         |SELECT token, n,
+         |       CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+         |FROM c QUALIFY rank <= 50
          |""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,

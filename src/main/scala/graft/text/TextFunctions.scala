@@ -18,6 +18,18 @@ object TextFunctions {
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** All word n-grams IN ORDER OF OCCURRENCE (duplicates preserved — the
+    * repetition signals need counts; [[graft.dedup.Dedup.shingles]] is the
+    * distinct-set variant for Jaccard). Empty array below n tokens.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Mean token length in characters. */
   def avgTokenLen(text: Column): Column = {
     val t = tokens(text)
