@@ -46,9 +46,23 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopKLearned(
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, NLISTS, DIM, KM_ITERS)
     }),
+    "q_ann_pq" -> ((s, dir) => {
+      // product quantization: per-subspace L2 codebooks (learned, round-6
+      // quantized Lloyd), ADC candidate scan over reconstructions, exact
+      // refine — the compressed-domain scale path for flat ANN
+      val e = emb(s, dir)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
+        K, M, KSUB, DIM, PQ_ITERS, REFINE)
+    }),
   )
 
   private val KM_ITERS = 2
+  private val M = 4
+  private val KSUB = 8
+  private val PQ_ITERS = 2
+  private val REFINE = 20
+  private val DSUB = DIM / M
 
   private val dv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String) =
@@ -81,6 +95,51 @@ object SimilarityQueries extends QueryPack {
          |cents${i + 1} AS (SELECT p.c, coalesce(n.cent, p.cent) AS cent
          |                  FROM cents$i p LEFT JOIN n$i n ON p.c = n.c),""".stripMargin
     }.mkString("\n")
+
+  /** PQ codebook init literals for subspace `sub` — identical doubles to
+    * Scala's (`%.17g` round-trips exactly).
+    */
+  private def pqCentValues(sub: Int): String =
+    (0 until KSUB).map { c =>
+      "(" + c + ", [" + Similarity.ivfCentroid(sub * KSUB + c, DSUB)
+        .map(d => f"$d%.17g").mkString(", ") + "])"
+    }.mkString(", ")
+
+  /** Per-subspace L2 Lloyd replay + final codeword pick, mirroring
+    * `Similarity.pqCodebooks`/`pqCodes` iteration-for-iteration: assign by
+    * (c·c − 2·x·c) ASC with ties → lowest code, per-dimension mean rounded
+    * to 6 dp, empty codes keep the previous word.
+    */
+  private def pqSubCtes(sub: Int): String = {
+    val lo = sub * DSUB + 1
+    val hi = (sub + 1) * DSUB
+    val head =
+      s"""pv$sub AS (SELECT vec_id, list_slice(dv, $lo, $hi) AS dv FROM v),
+         |pc${sub}_0(c, cent) AS (VALUES ${pqCentValues(sub)}),""".stripMargin
+    val iters = (0 until PQ_ITERS).map { i =>
+      s"""ps${sub}_$i AS (SELECT vec_id, c,
+         |    list_dot_product(cent, cent) - 2 * list_dot_product(dv, cent) AS s
+         |  FROM pv$sub CROSS JOIN pc${sub}_$i),
+         |pa${sub}_$i AS (SELECT vec_id, dv, c AS code FROM (
+         |    SELECT pv$sub.vec_id, pv$sub.dv, ps${sub}_$i.c,
+         |           row_number() OVER (PARTITION BY ps${sub}_$i.vec_id
+         |                              ORDER BY ps${sub}_$i.s ASC, ps${sub}_$i.c ASC) AS rn
+         |    FROM pv$sub JOIN ps${sub}_$i ON ps${sub}_$i.vec_id = pv$sub.vec_id) WHERE rn = 1),
+         |pp${sub}_$i AS (SELECT code, dv, unnest(range(0, $DSUB)) AS pos FROM pa${sub}_$i),
+         |pm${sub}_$i AS (SELECT code, pos, round(avg(dv[pos + 1]), 6) AS m FROM pp${sub}_$i GROUP BY code, pos),
+         |pn${sub}_$i AS (SELECT code AS c, list(m ORDER BY pos) AS cent FROM pm${sub}_$i GROUP BY code),
+         |pc${sub}_${i + 1} AS (SELECT p.c, coalesce(n.cent, p.cent) AS cent
+         |                      FROM pc${sub}_$i p LEFT JOIN pn${sub}_$i n ON p.c = n.c),""".stripMargin
+    }.mkString("\n")
+    val fin =
+      s"""pf$sub AS (SELECT vec_id, c,
+         |    list_dot_product(cent, cent) - 2 * list_dot_product(dv, cent) AS s
+         |  FROM pv$sub CROSS JOIN pc${sub}_$PQ_ITERS),
+         |pw$sub AS (SELECT x.vec_id, cc.cent AS cw FROM (
+         |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, c ASC) AS rn
+         |    FROM pf$sub) x JOIN pc${sub}_$PQ_ITERS cc ON cc.c = x.c WHERE x.rn = 1),""".stripMargin
+    head + "\n" + iters + "\n" + fin
+  }
 
   private def bucketSql(v: String): String =
     (0 until PLANES).map { j =>
@@ -139,6 +198,28 @@ object SimilarityQueries extends QueryPack {
          |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.dv", "b.dv")} AS sim
          |          FROM v a JOIN v b ON a.block = b.block AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $NEARDUP_THR
+         |""".stripMargin,
+    "q_ann_pq" ->
+      s"""WITH v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+         |${(0 until M).map(pqSubCtes).mkString("\n")}
+         |recon AS (SELECT v.vec_id,
+         |                 flatten([${(0 until M).map(s => s"pw$s.cw").mkString(", ")}]) AS rv
+         |          FROM v ${(0 until M).map(s => s"JOIN pw$s ON pw$s.vec_id = v.vec_id").mkString(" ")}),
+         |q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < $NQUERIES),
+         |adc AS (SELECT q.query_id, v.vec_id AS neighbor_id, v.dv AS cv, q.qv,
+         |               ${cosSql("q.qv", "r.rv")} AS sim_adc
+         |        FROM recon r JOIN v ON v.vec_id = r.vec_id CROSS JOIN q
+         |        WHERE q.query_id <> v.vec_id),
+         |cand AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim_adc DESC, neighbor_id) AS rnk_adc
+         |    FROM adc) WHERE rnk_adc <= $REFINE),
+         |re AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim FROM cand),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM re)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
          |""".stripMargin,
   )
 }

@@ -37,6 +37,31 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosineSim(a, b)
 
+  /** Scale-safe per-query top-k (round 3): a naive
+    * `Window.partitionBy(query_id)` rank sorts each query's ENTIRE
+    * candidate set in one task — a corpus-sized single-task sort when the
+    * candidates are the whole corpus (brute force) or a constant fraction
+    * of it (LSH/IVF buckets at 100 TB). Two stages instead, the same shape
+    * as the AUC rank statistics: a salted local rank prunes every
+    * (query, hash-slice) to k rows IN PARALLEL, then the exact rank runs
+    * over the ≤ salt·k survivors per query. Any true top-k row is top-k
+    * within its slice, so the output is IDENTICAL to the naive window —
+    * the gates' hashes prove it (they were built on the naive form).
+    */
+  private val TOPK_SALT = 32
+  def topKPerQuery(scored: DataFrame, simCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salt = pmod(hash(col("neighbor_id")), lit(TOPK_SALT))
+    val wLocal = Window.partitionBy(col("query_id"), salt)
+      .orderBy(col(simCol).desc, col("neighbor_id"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col(simCol).desc, col("neighbor_id"))
+    scored.withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k).drop("__lr")
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact top-k cosine neighbors of each query vector over the corpus.
     * Query side is expected tiny (broadcast); ranking is per-query with a
     * deterministic tie-break on neighbor id over the 6-dp-rounded score.
@@ -55,10 +80,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, "sim", k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
@@ -104,10 +126,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, "sim", k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
@@ -166,9 +185,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, "sim", k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
@@ -254,9 +271,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    topKPerQuery(scored, "sim", k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
@@ -310,5 +325,114 @@ object Similarity {
       .withColumn("sim", round(cosineFast(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select("id_a", "id_b", "sim")
+  }
+
+  // ---------- Product quantization (PQ / ADC + exact refine, round 3) ----
+
+  /** L2 codeword assignment: argmin ‖x−c‖² = argmin (c·c − 2·x·c) (the x·x
+    * term is constant per x), ties → lowest index. Same linear-size
+    * array_sort shape as [[ivfRankingWith]]; c·c is computed by the SAME
+    * sequential-fold dot both engines use, so the scores replay exactly.
+    */
+  def l2CodeWith(v: Column, cents: Seq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cent, c) =>
+      val ca = array(cent.map(lit): _*)
+      struct((dot(ca, ca) - lit(2.0) * dot(v, ca)).as("d2"), lit(c).as("c"))
+    }
+    element_at(array_sort(array(scored: _*)), 1).getField("c")
+  }
+
+  /** Per-subspace PQ codebooks via the same deterministic distributed Lloyd
+    * recipe as [[kmeansCentroids]] (trig init offset per subspace, round-6
+    * quantized means, empty codes keep the previous word) but with L2
+    * assignment — the PQ-standard metric, since a codeword must RECONSTRUCT
+    * its subvectors, not just classify them. Returns m × ksub × (dim/m)
+    * doubles — driver-tiny, shipped to tasks as literals.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    (0 until m).map { sub =>
+      val v = corpus.select(
+        slice(asDouble(col(vecCol)), sub * dsub + 1, dsub).as("dv"))
+      var cents: Seq[Seq[Double]] =
+        (0 until ksub).map(c => ivfCentroid(sub * ksub + c, dsub))
+      for (_ <- 0 until iters) {
+        val rows = v.withColumn("code", l2CodeWith(col("dv"), cents))
+          .select(col("code"), posexplode(col("dv")).as(Seq("pos", "x")))
+          .groupBy(col("code"), col("pos"))
+          .agg(round(avg(col("x")), 6).as("m"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        val byCode = rows.groupBy(_._1)
+        cents = (0 until ksub).map { c =>
+          byCode.get(c).map(_.sortBy(_._2).map(_._3).toSeq).getOrElse(cents(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** PQ encode: m small codes per vector (array<int>). At rest this is the
+    * compressed representation — m bytes-ish per vector instead of 4·dim,
+    * the difference between RAM-resident and disk-bound at 100 TB.
+    */
+  def pqCodes(v: Column, codebooks: Seq[Seq[Seq[Double]]], dim: Int): Column = {
+    val m = codebooks.size
+    val dsub = dim / m
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      l2CodeWith(slice(v, s * dsub + 1, dsub), cb)
+    }: _*)
+  }
+
+  /** Codebook reconstruction of a code array: concat of the m codewords. */
+  def pqReconstruct(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    flatten(array(codebooks.zipWithIndex.map { case (cb, s) =>
+      element_at(typedlit(cb), element_at(codes, s + 1) + 1)
+    }: _*))
+
+  /** PQ ANN with asymmetric-distance candidates + exact refine (the
+    * IVFADC refine stage of Jégou et al.'s PQ paper, PAMI 2011): rank the
+    * corpus by cosine against each vector's RECONSTRUCTION (reads only the
+    * m-byte codes at scan time), keep the top `refine`, then re-rank those
+    * few exactly from the raw vectors. The scan side touches compressed
+    * codes only; raw vectors are fetched for refine·|queries| rows. Flat
+    * scan here — compose with [[ivfTopKLearned]]'s inverted lists for the
+    * sub-linear IVFADC layout; both halves are gated separately.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iters: Int,
+      refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val cb = pqCodebooks(corpus, vecCol, m, ksub, dim, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("code", pqCodes(col("cv"), cb, dim))
+      .withColumn("recon", pqReconstruct(col("code"), cb))
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q0), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_adc", round(cosineFast(col("qv"), col("recon")), 6))
+    // two-stage ADC candidate cut (corpus-sized), then the exact re-rank
+    // runs over only refine·|queries| rows — a plain window is fine there
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    topKPerQuery(scored, "sim_adc", refine).drop("rnk")
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
   }
 }

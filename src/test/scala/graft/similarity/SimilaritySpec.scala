@@ -89,4 +89,63 @@ class SimilaritySpec extends SparkTestBase {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.contains((0L, 2L)))
   }
+
+  test("topKPerQuery equals the naive per-query window rank") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(spark)
+    val q = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), Similarity.asDouble(col("embedding")).as("qv"))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), Similarity.asDouble(col("embedding")).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(Similarity.cosineFast(col("qv"), col("cv")), 6))
+    val naive = scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val staged = Similarity.topKPerQuery(scored, "sim", 5)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(staged === naive)
+  }
+
+  test("pq codes are m small ints and the reconstruction approximates the vector") {
+    val m = 4
+    val ksub = 4
+    val cb = Similarity.pqCodebooks(corpus, "embedding", m, ksub, DIM, 2)
+    assert(cb.size == m && cb.forall(sub => sub.size == ksub && sub.forall(_.size == DIM / m)))
+    val enc = corpus.select(col("vec_id"),
+        Similarity.pqCodes(Similarity.asDouble(col("embedding")), cb, DIM).as("code"))
+      .as[(Long, Seq[Int])].collect()
+    assert(enc.forall(_._2.size == m))
+    assert(enc.forall(_._2.forall(c => c >= 0 && c < ksub)))
+  }
+
+  test("pqTopK with refine = corpus size reproduces brute force exactly") {
+    // the ADC stage only CUTS candidates; with refine >= |corpus| the exact
+    // re-rank sees everything, so the output must equal bruteForceTopK
+    val q = corpus.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val pq = Similarity.pqTopK(q, corpus, "vec_id", "embedding", 5,
+        m = 4, ksub = 4, dim = DIM, iters = 2, refine = 100)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(pq === bf)
+  }
+
+  test("pqTopK recall@5 with tight refine stays useful and runs are deterministic") {
+    val q = corpus.filter(col("vec_id") < 3)
+    def run() = Similarity.pqTopK(q, corpus, "vec_id", "embedding", 5,
+        m = 4, ksub = 4, dim = DIM, iters = 2, refine = 8)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val a = run(); val b = run()
+    assert(a === b)
+    val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect()
+    val bfSet = bf.map(r => (r._1, r._2)).toSet
+    val hits = a.count(r => bfSet.contains((r._1, r._2)))
+    assert(hits >= a.length / 2, s"recall too low: $hits of ${a.length}")
+  }
 }
