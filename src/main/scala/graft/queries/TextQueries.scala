@@ -57,6 +57,22 @@ object TextQueries extends QueryPack {
     // map-side combined on the token axis; the top-k is TakeOrdered (per-
     // partition heads merged on the driver), NOT a global sort — the only
     // single-partition work is ranking the final 50 rows.
+    // C4/Gopher-style heuristic quality filter: per-doc rule flags + keep
+    // (row-local codegen projection; fuses into the scan)
+    "q_c4_filter" -> ((s, dir) =>
+      graft.text.Heuristics.flags(docs(s, dir), "doc_id", "text")),
+    // curation report: per-source survival under the same filter
+    "q_filter_survival" -> ((s, dir) =>
+      graft.text.Heuristics.survival(docs(s, dir), "text", "source")),
+    // GPT-style sequence packing: per-doc placement in fixed-budget packs,
+    // shard-parallel running offsets (text/Packing)
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.text.Packing.packOffsets(docs(s, dir), "doc_id", "text",
+        budget = 256, nShards = 8)),
+    // pack-level fill: every non-terminal pack exactly full by construction
+    "q_pack_fill" -> ((s, dir) =>
+      graft.text.Packing.packFill(docs(s, dir), "doc_id", "text",
+        budget = 256, nShards = 8)),
     "q_vocab_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = docs(s, dir)
@@ -69,7 +85,68 @@ object TextQueries extends QueryPack {
 
   private val toks = "string_split(text, ' ')"
 
+  /** Shared rule expressions for the C4-filter oracles (defaults of
+    * [[graft.text.Heuristics.Bounds]] inlined).
+    */
+  private val c4Rules = Seq(
+    "f_len" -> s"CASE WHEN len($toks) BETWEEN 20 AND 95 THEN 1 ELSE 0 END",
+    "f_ttr" -> s"CASE WHEN CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.35 THEN 1 ELSE 0 END",
+    "f_meanlen" -> (s"CASE WHEN CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)"
+      + s" / len($toks) BETWEEN 3.0 AND 6.0 THEN 1 ELSE 0 END"),
+    "f_stop" -> s"CASE WHEN CAST(len(list_filter($toks, x -> x IN ('the', 'a'))) AS DOUBLE) / len($toks) <= 0.12 THEN 1 ELSE 0 END",
+    "f_blocklist" -> ("CASE WHEN lower(text) LIKE '%lorem ipsum%' OR lower(text) LIKE '%javascript%'"
+      + " OR lower(text) LIKE '%{%' THEN 0 ELSE 1 END"),
+  )
+
+  private val packCte =
+    s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+       |              CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+       |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset" FROM t),
+       |p AS (SELECT doc_id, shard, n_tokens, "offset",
+       |             "offset" // 256 AS pack_id,
+       |             "offset" % 256 AS offset_in_pack,
+       |             CASE WHEN n_tokens = 0 THEN 1
+       |                  ELSE ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
+       |             END AS packs_spanned
+       |      FROM o)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_c4_filter" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  ${c4Rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+         |FROM documents)
+         |SELECT doc_id, f_len, f_ttr, f_meanlen, f_stop, f_blocklist,
+         |       f_len * f_ttr * f_meanlen * f_stop * f_blocklist AS keep
+         |FROM f
+         |""".stripMargin,
+    "q_filter_survival" ->
+      s"""WITH f AS (SELECT source,
+         |  ${c4Rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+         |FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(f_len * f_ttr * f_meanlen * f_stop * f_blocklist) AS BIGINT) AS n_kept,
+         |       round(CAST(sum(f_len * f_ttr * f_meanlen * f_stop * f_blocklist) AS DOUBLE)
+         |             / count(*), 6) AS keep_rate
+         |FROM f GROUP BY source
+         |""".stripMargin,
+    "q_pack_sequences" ->
+      s"""$packCte
+         |SELECT doc_id, shard, n_tokens, "offset", pack_id, offset_in_pack,
+         |       packs_spanned
+         |FROM p
+         |""".stripMargin,
+    "q_pack_fill" ->
+      s"""$packCte,
+         |e AS (SELECT shard, pack_id + x AS pack_id,
+         |             least("offset" + n_tokens, (pack_id + x + 1) * 256)
+         |               - greatest("offset", (pack_id + x) * 256) AS tok
+         |      FROM p JOIN range(0, 1000) r(x) ON x < packs_spanned)
+         |SELECT shard, pack_id, count(*) AS n_docs,
+         |       CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |       round(CAST(sum(tok) AS DOUBLE) / 256.0, 6) AS fill
+         |FROM e GROUP BY shard, pack_id
+         |""".stripMargin,
     "q_decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
          |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),

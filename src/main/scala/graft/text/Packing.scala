@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Sequence packing for pretraining data prep (beyond-reference
+  * training-data op): concatenate each shard's documents into a token
+  * stream and assign every document its position in fixed-budget packs
+  * (GPT-style concatenation; documents may span pack boundaries).
+  *
+  * Scale design: documents are hash-sharded, and the only ordered work is a
+  * running token sum WITHIN a shard — `Window.partitionBy(shard)` — so the
+  * sort unit is one shard, never the corpus. At 100 TB you raise `nShards`
+  * to O(total tokens / executor-memory budget) and every shard's window
+  * stays a single in-memory task; packing is embarrassingly parallel across
+  * shards because pack ids are (shard, pack_in_shard) pairs. One shuffle
+  * total (by shard). No collect, no global sort.
+  *
+  * Determinism: shard = doc_id mod nShards and within-shard order is by
+  * doc_id, so the layout is a pure function of the corpus — the property a
+  * resumable training run needs (same data → same packs → same batches).
+  */
+object Packing {
+
+  /** Per-document pack placement.
+    *
+    * Output: idCol, shard, n_tokens, start offset in the shard's token
+    * stream, pack_id = floor(offset / budget) within the shard, offset
+    * within that pack, and how many packs the document spans.
+    */
+  def packOffsets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+        col(idCol),
+        pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+        tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // `div` = exact integer division on longs; a double `/`+cast would
+      // lose ulps once shard token streams pass 2^53 at full corpus scale
+      .select(
+        col(idCol),
+        col("shard"),
+        col("n_tokens"),
+        col("offset"),
+        expr(s"offset div $budget").as("pack_id"),
+        pmod(col("offset"), lit(budget.toLong)).as("offset_in_pack"),
+        (when(col("n_tokens") === 0, lit(1L)).otherwise(
+          expr(s"(offset + n_tokens - 1) div $budget")
+            - expr(s"offset div $budget") + 1L))
+          .as("packs_spanned"))
+  }
+
+  /** Pack-level fill report: tokens landing in each (shard, pack) and the
+    * fill ratio vs budget. The last pack of a shard is allowed to be
+    * partial; every other pack is exactly full by construction — the spec
+    * asserts this invariant.
+    */
+  def packFill(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nShards: Int): DataFrame = {
+    val placed = packOffsets(df, idCol, textCol, budget, nShards)
+    // A doc contributes min(end, (p+1)*budget) - max(offset, p*budget)
+    // tokens to each pack p it spans; expand span-wise (spans are tiny —
+    // ceil(n_tokens/budget)+1 — so the explode is O(rows), not quadratic).
+    placed
+      .withColumn("p", explode(sequence(col("pack_id"),
+        col("pack_id") + col("packs_spanned") - 1)))
+      .withColumn("tok_in_pack",
+        least(col("offset") + col("n_tokens"), (col("p") + 1) * budget)
+          - greatest(col("offset"), col("p") * budget))
+      .groupBy(col("shard"), col("p").as("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok_in_pack")).as("n_tokens"),
+        round(sum(col("tok_in_pack")) / lit(budget.toDouble), 6).as("fill"))
+  }
+}

