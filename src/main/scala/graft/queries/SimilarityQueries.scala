@@ -46,6 +46,11 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopKLearned(
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, NLISTS, DIM, KM_ITERS)
     }),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup: k-means-clustered embedding space, greedy-by-id pruning
+      // of within-cluster near-dups; pairwise work bounded to a cluster
+      Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
+        NEARDUP_THR, NLISTS, DIM, KM_ITERS)),
     "q_ann_pq" -> ((s, dir) => {
       // product quantization: per-subspace L2 codebooks (learned, round-6
       // quantized Lloyd), ADC candidate scan over reconstructions, exact
@@ -191,6 +196,23 @@ object SimilarityQueries extends QueryPack {
          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |      FROM s)
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
+    "q_semdedup" ->
+      s"""WITH cents0(c, cent) AS (VALUES $centroidValues),
+         |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+         |${kmeansIterCtes(KM_ITERS)}
+         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$KM_ITERS),
+         |assign AS (SELECT vec_id, (array_agg(c ORDER BY s DESC, c ASC))[1] AS cluster
+         |           FROM scored GROUP BY vec_id),
+         |w AS (SELECT v.vec_id, v.dv, a.cluster FROM v JOIN assign a ON a.vec_id = v.vec_id),
+         |d AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |      FROM w a JOIN w b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |      WHERE ${cosSql("a.dv", "b.dv")} >= $NEARDUP_THR
+         |      GROUP BY b.vec_id)
+         |SELECT w.vec_id, CAST(w.cluster AS INT) AS cluster,
+         |       coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+         |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM w LEFT JOIN d ON w.vec_id = d.vec_id
          |""".stripMargin,
     "q_cosine_neardup" ->
       s"""WITH v AS (SELECT vec_id, dv, ${bucketSql("dv")} AS block

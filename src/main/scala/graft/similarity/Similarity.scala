@@ -327,6 +327,54 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** SemDeDup (Abbas et al. 2023 — public paper): semantic dedup by
+    * clustering the embedding space with the deterministic k-means
+    * ([[kmeansCentroids]]) and pruning, within each cluster, every vector
+    * whose cosine to a lower-id cluster-mate reaches the threshold.
+    *
+    * Scale: pairwise work is confined to one cluster, so total comparisons
+    * are ~n²/nLists — nLists is the knob, raised with corpus size (the
+    * paper uses k in the thousands at web scale) so a cluster stays
+    * executor-sized; the one shuffle keys on cluster id and the learned
+    * centroids ship to tasks as literals. The keep decision is a
+    * min-aggregate + left join — no windows, no driver loops.
+    *
+    * Semantics are deterministic greedy-by-id: a vector is dropped iff some
+    * LOWER-id vector in its cluster is a near-dup. The kept set is
+    * therefore guaranteed pairwise non-near-dup within every cluster (if a
+    * kept pair matched, the higher id would have been dropped) — the spec
+    * asserts this invariant.
+    *
+    * Output: idCol, cluster, dup_of (lowest-id near-dup, −1 if kept), keep.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nLists: Int,
+      dim: Int,
+      iters: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val cents = kmeansCentroids(corpus, vecCol, nLists, dim, iters)
+    val v = corpus
+      .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__dv"))
+      .withColumn("cluster", ivfListWith(col("__dv"), cents))
+    val a = v.select(col("__id").as("__ida"), col("cluster"), col("__dv").as("__va"))
+    val b = v.select(col("__id").as("__idb"), col("cluster"), col("__dv").as("__vb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(cosineFast(col("__va"), col("__vb")), 6) >= threshold)
+      .groupBy(col("__idb").as("__id"))
+      .agg(min(col("__ida")).as("__dup_of"))
+    v.join(dups, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("cluster"),
+        coalesce(col("__dup_of"), lit(-1L)).as("dup_of"),
+        col("__dup_of").isNull.cast("int").as("keep"))
+  }
+
   // ---------- Product quantization (PQ / ADC + exact refine, round 3) ----
 
   /** L2 codeword assignment: argmin ‖x−c‖² = argmin (c·c − 2·x·c) (the x·x

@@ -148,4 +148,32 @@ class SimilaritySpec extends SparkTestBase {
     val hits = a.count(r => bfSet.contains((r._1, r._2)))
     assert(hits >= a.length / 2, s"recall too low: $hits of ${a.length}")
   }
+
+  test("semDedup drops exact/scaled copies, keeps antipodes, and the kept set has no near-dup pair") {
+    // vec 1 is vec 0 scaled (cosine exactly 1 → dup of 0); vec 2 = −vec 0
+    // (cosine −1 → NOT a dup at any positive threshold)
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+        threshold = 0.95, nLists = 2, dim = DIM, iters = 1)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 === 0L && byId(1L)._4 === 0, "scaled copy must be dropped as dup of 0")
+    assert(byId(2L)._4 === 1, "antipode is not a near-dup")
+    // invariant: among kept vectors no within-cluster pair reaches the threshold
+    val kept = out.filter(_._4 == 1)
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (ab, aa, bb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((s, x2, y2), (x, y)) => (s + x * y, x2 + x * x, y2 + y * y)
+      }
+      ab / math.sqrt(aa * bb)
+    }
+    for {
+      x <- kept; y <- kept if x._1 < y._1 && x._2 == y._2
+    } assert(cos(vecs(x._1), vecs(y._1)) < 0.95,
+      s"kept pair ${x._1},${y._1} is a near-dup")
+    // dropped vectors always name a lower-id dup in their own cluster
+    out.filter(_._4 == 0).foreach { r =>
+      assert(r._3 >= 0 && r._3 < r._1 && byId(r._3)._2 === r._2)
+    }
+  }
 }
