@@ -20,6 +20,7 @@ object SimilarityQueries extends QueryPack {
   private val NLISTS = 8
   private val NEARDUP_THR = 0.25
   private val NQUERIES = 10
+  private val SEM_CAP = 100
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.cached(spark, dir, "embeddings")
@@ -48,9 +49,11 @@ object SimilarityQueries extends QueryPack {
     }),
     "q_semdedup" -> ((s, dir) =>
       // SemDeDup: k-means-clustered embedding space, greedy-by-id pruning
-      // of within-cluster near-dups; pairwise work bounded to a cluster
+      // of within-cluster near-dups; pairwise work bounded to a cluster,
+      // hot clusters sub-sharded at SEM_CAP (inert at sf0.01's ~62-member
+      // clusters, active at sf0.1's ~625 — the oracle replays the formula)
       Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
-        NEARDUP_THR, NLISTS, DIM, KM_ITERS)),
+        NEARDUP_THR, NLISTS, DIM, KM_ITERS, maxClusterSize = Some(SEM_CAP))),
     "q_ann_pq" -> ((s, dir) => {
       // product quantization: per-subspace L2 codebooks (learned, round-6
       // quantized Lloyd), ADC candidate scan over reconstructions, exact
@@ -204,9 +207,15 @@ object SimilarityQueries extends QueryPack {
          |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$KM_ITERS),
          |assign AS (SELECT vec_id, (array_agg(c ORDER BY s DESC, c ASC))[1] AS cluster
          |           FROM scored GROUP BY vec_id),
-         |w AS (SELECT v.vec_id, v.dv, a.cluster FROM v JOIN assign a ON a.vec_id = v.vec_id),
+         |w0 AS (SELECT v.vec_id, v.dv, a.cluster FROM v JOIN assign a ON a.vec_id = v.vec_id),
+         |cs AS (SELECT cluster, CAST(ceil(CAST(count(*) AS DOUBLE) / $SEM_CAP) AS INT) AS nsub
+         |       FROM w0 GROUP BY cluster),
+         |w AS (SELECT w0.*,
+         |             CAST(CAST(('0x' || substr(md5(CAST(w0.vec_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+         |               % cs.nsub AS sub
+         |      FROM w0 JOIN cs ON cs.cluster = w0.cluster),
          |d AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
-         |      FROM w a JOIN w b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |      FROM w a JOIN w b ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
          |      WHERE ${cosSql("a.dv", "b.dv")} >= $NEARDUP_THR
          |      GROUP BY b.vec_id)
          |SELECT w.vec_id, CAST(w.cluster AS INT) AS cluster,

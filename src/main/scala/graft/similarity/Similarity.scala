@@ -340,10 +340,10 @@ object Similarity {
     * min-aggregate + left join — no windows, no driver loops.
     *
     * Semantics are deterministic greedy-by-id: a vector is dropped iff some
-    * LOWER-id vector in its cluster is a near-dup. The kept set is
-    * therefore guaranteed pairwise non-near-dup within every cluster (if a
-    * kept pair matched, the higher id would have been dropped) — the spec
-    * asserts this invariant.
+    * LOWER-id vector in its cluster (and sub-shard, when capped) is a
+    * near-dup. The kept set is therefore guaranteed pairwise non-near-dup
+    * within every comparison unit (if a kept pair matched, the higher id
+    * would have been dropped) — the spec asserts this invariant.
     *
     * Output: idCol, cluster, dup_of (lowest-id near-dup, −1 if kept), keep.
     */
@@ -354,15 +354,37 @@ object Similarity {
       threshold: Double,
       nLists: Int,
       dim: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      maxClusterSize: Option[Int] = None): DataFrame = {
     graft.functions.VectorExpressions.register(corpus.sparkSession)
     val cents = kmeansCentroids(corpus, vecCol, nLists, dim, iters)
-    val v = corpus
+    val assigned = corpus
       .select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__dv"))
       .withColumn("cluster", ivfListWith(col("__dv"), cents))
-    val a = v.select(col("__id").as("__ida"), col("cluster"), col("__dv").as("__va"))
-    val b = v.select(col("__id").as("__idb"), col("cluster"), col("__dv").as("__vb"))
-    val dups = a.join(b, Seq("cluster"))
+    // Hot-cluster cap (same hazard class as an LSH degenerate bucket): a
+    // cluster above the cap is sub-sharded by a deterministic content hash
+    // so no shuffle key ever exceeds ~cap² comparisons. Pairs straddling
+    // sub-shards are not compared — the documented recall trade, taken only
+    // on clusters that would otherwise be quadratic bombs. The sizes frame
+    // is one row per cluster (broadcast), never corpus-sized.
+    val v = maxClusterSize match {
+      case None => assigned.withColumn("__sub", lit(0))
+      case Some(cap) =>
+        val sizes = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("__csize"))
+          .withColumn("__nsub",
+            ceil(col("__csize") / lit(cap.toDouble)).cast("int"))
+          .select(col("cluster"), col("__nsub"))
+        assigned.join(broadcast(sizes), Seq("cluster"))
+          .withColumn("__sub",
+            pmod(graft.text.TextFunctions.hash60(col("__id").cast("string")),
+              col("__nsub").cast("long")).cast("int"))
+    }
+    val a = v.select(col("__id").as("__ida"), col("cluster"), col("__sub"),
+      col("__dv").as("__va"))
+    val b = v.select(col("__id").as("__idb"), col("cluster"), col("__sub"),
+      col("__dv").as("__vb"))
+    val dups = a.join(b, Seq("cluster", "__sub"))
       .filter(col("__ida") < col("__idb"))
       .filter(round(cosineFast(col("__va"), col("__vb")), 6) >= threshold)
       .groupBy(col("__idb").as("__id"))

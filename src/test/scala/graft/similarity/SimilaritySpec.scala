@@ -176,4 +176,21 @@ class SimilaritySpec extends SparkTestBase {
       assert(r._3 >= 0 && r._3 < r._1 && byId(r._3)._2 === r._2)
     }
   }
+
+  test("semDedup hot-cluster cap: inert cap is identical; active cap only ever loses cross-shard pairs") {
+    def run(cap: Option[Int]) = Similarity.semDedup(corpus, "vec_id", "embedding",
+        threshold = 0.95, nLists = 1, dim = DIM, iters = 1, maxClusterSize = cap)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1).toSeq
+    val un = run(None)
+    assert(run(Some(1000)) === un, "cap above the cluster size must be a no-op")
+    val capped = run(Some(4)) // 21 vectors → 6 sub-shards
+    // capping can only LOSE comparisons: every capped drop was compared in
+    // the uncapped run too, so capped-dropped ⊆ uncapped-dropped and each
+    // named dup is a genuine uncapped near-dup relation
+    val unDropped = un.filter(_._4 == 0).map(_._1).toSet
+    capped.filter(_._4 == 0).foreach { r =>
+      assert(unDropped.contains(r._1), s"cap invented a drop for ${r._1}")
+      assert(r._3 < r._1)
+    }
+  }
 }
