@@ -118,10 +118,38 @@ object ScaleQueries extends QueryPack {
     "q_cv_lineitem" -> (cvLineitem _),
     "q_sample_hash" -> (hashSample _),
     "q_sample_stratified" -> (stratifiedSample _),
+    // domain-mixture resampling: acceptance rates derived from target
+    // weights + observed token mass (rate_g = min(1, w_g·T/tok_g),
+    // T = min_g tok_g/w_g); deterministic hash acceptance, no upsampling
+    "q_sample_mixture" -> ((s, dir) =>
+      graft.ops.Mixture.mixtureReport(
+        Tables.cached(s, dir, "documents"), "doc_id", "lang",
+        graft.text.TextFunctions.tokenCount(col("text")), MIX_WEIGHTS)),
     "q_curation_pipeline" -> (curation _),
   )
 
+  private[queries] val MIX_WEIGHTS = Map(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
   def oracleSql: Map[String, String] = Map(
+    "q_sample_mixture" -> {
+      val wVals = MIX_WEIGHTS.toSeq.sorted
+        .map { case (g, w) => s"('$g', CAST($w AS DOUBLE))" }.mkString(", ")
+      s"""WITH w(lang, wt) AS (VALUES $wVals),
+         |tok AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS DOUBLE) AS tk
+         |        FROM documents GROUP BY lang),
+         |tt AS (SELECT min(tk / wt) AS t FROM tok JOIN w USING (lang)),
+         |rates AS (SELECT lang, least(1.0, wt * t / tk) AS rate
+         |          FROM tok JOIN w USING (lang) CROSS JOIN tt)
+         |SELECT d.lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+         |       round(max(r.rate), 6) AS rate
+         |FROM documents d JOIN rates r ON r.lang = d.lang
+         |WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 1000000
+         |      < r.rate * 1000000.0
+         |GROUP BY d.lang
+         |""".stripMargin
+    },
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  round(sum(value), 4) AS sum_value,
