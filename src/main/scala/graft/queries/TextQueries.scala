@@ -48,6 +48,11 @@ object TextQueries extends QueryPack {
       graft.text.Decontaminate.ngramOverlap(docs(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 20 === 0, n = 8)
         .withColumnRenamed("id", "doc_id")),
+    // CCNet-style cross-document duplicated spans: per-doc fraction of
+    // distinct 8-grams occurring in at least one other document
+    "q_cross_dup" -> ((s, dir) =>
+      graft.text.Decontaminate.crossDupStats(docs(s, dir), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")),
     // Gopher-style repetition: top-2-gram char fraction + dup-5-gram
     // occurrence fraction per doc (text/Repetition, map-side-combined)
     "q_repetition" -> ((s, dir) =>
@@ -163,6 +168,21 @@ object TextQueries extends QueryPack {
          |       CAST(n_grams AS BIGINT) AS n_grams,
          |       round(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS overlap_ratio
          |FROM agg WHERE n_overlap > 0
+         |""".stripMargin,
+    "q_cross_dup" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |grams AS (SELECT DISTINCT doc_id,
+         |                 array_to_string(list_slice(t, i + 1, i + 8), ' ') AS g
+         |          FROM tk JOIN pos ON i + 8 <= len(t)),
+         |c AS (SELECT g, count(*) AS ndocs FROM grams GROUP BY g),
+         |agg AS (SELECT doc_id, count(*) AS n_grams,
+         |               sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_shared
+         |        FROM grams JOIN c USING (g) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+         |       CAST(n_grams AS BIGINT) AS n_grams,
+         |       round(CAST(n_shared AS DOUBLE) / n_grams, 6) AS shared_ratio
+         |FROM agg
          |""".stripMargin,
     "q_repetition" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS t, length(text) AS chars FROM documents),

@@ -40,4 +40,32 @@ object Decontaminate {
       .select(col("id"), col("n_overlap"), col("n_grams"),
         round(col("n_overlap") / col("n_grams"), 6).as("overlap_ratio"))
   }
+
+  /** Cross-document duplicated-span statistics (the corpus-level overlap
+    * signal CCNet-style pipelines use to strip shared boilerplate): for
+    * each document, the fraction of its distinct n-grams that occur in at
+    * least one OTHER document. Documents shorter than n tokens are omitted
+    * (they have no n-grams).
+    *
+    * Scale shape: the corpus explodes to distinct (doc, gram) pairs once;
+    * the gram-axis count is a map-side-combined aggregate (rows are
+    * already distinct per doc, so `count(*)` per gram IS the containing-doc
+    * count); the join back keys on the gram axis — vocabulary-sized, so it
+    * shuffles rather than broadcasts, sharded by gram hash with no hot key
+    * beyond genuinely universal phrases (which are exactly what the signal
+    * measures). Two corpus-sized shuffles total, both on well-spread keys.
+    */
+  def crossDupStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("__ndocs"))
+    grams.join(counts, Seq("g"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum((col("__ndocs") > 1).cast("int")).cast("long").as("n_shared"))
+      .select(col("id"), col("n_shared"), col("n_grams"),
+        round(col("n_shared") / col("n_grams"), 6).as("shared_ratio"))
+  }
 }
