@@ -335,6 +335,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
+  /** Incremental ingest screen: probe a NEW batch against a BASE corpus for
+    * SimHash near-dups, comparing neither base-to-base nor batch-to-batch.
+    *
+    * This is the asymmetric shape real ingest needs: at scale the base's
+    * banded signature index is materialized ONCE (bucketed by (band, bkey))
+    * and each arriving batch only hashes and probes itself — per-batch cost
+    * is O(|batch| · nBands) probe rows against a bucketed index, never a
+    * rescan of the base; recall within `maxHamming` is pigeonhole-exact
+    * when maxHamming < nBands, same as [[simhashNearDupPairs]].
+    *
+    * Output per flagged batch doc: (id, n_matches, min_hamming, match_id)
+    * where match_id is the LOWEST base id at the minimum hamming — the
+    * (hamming, id) pair is min-reduced through one integer encoding so the
+    * tie-break is deterministic in a single decomposable aggregate.
+    */
+  def simhashScreen(
+      base: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      nBands: Int = 12,
+      maxHamming: Int = 11): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+    require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val ENC = 1000000000000L // hamming ≤ 63 ≪ 10¹², ids < 10¹² by contract
+    def banded(df: DataFrame) =
+      simhash(df, idCol, textCol, bits)
+        .crossJoin(broadcast((0 until nBands).toDF("band")))
+        .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    val index = banded(base).select(
+      col("id").as("base_id"), col("simhash").as("sig_b"), col("band"), col("bkey"))
+    val probe = banded(batch).select(
+      col("id"), col("simhash").as("sig_n"), col("band"), col("bkey"))
+    probe.join(index, Seq("band", "bkey"))
+      .withColumn("hamming", expr("bit_count(sig_n ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id"), col("base_id"), col("hamming")).distinct()
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        min(col("hamming") * ENC + col("base_id")).as("__e"))
+      .select(
+        col("id"),
+        col("n_matches"),
+        expr(s"__e div $ENC").cast("int").as("min_hamming"),
+        pmod(col("__e"), lit(ENC)).as("match_id"))
+  }
+
   /** SimHash-headed Jaccard near-dup pairs: banded SimHash multi-index
     * candidates (guaranteed recall within `maxHamming` by pigeonhole) →
     * exact Jaccard verify at `threshold`, same output contract as

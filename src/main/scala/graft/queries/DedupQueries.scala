@@ -68,6 +68,17 @@ object DedupQueries extends QueryPack {
         .select("id_a", "id_b")
       Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     }),
+    "q_incremental_screen" -> ((s, dir) => {
+      // ingest-time near-dup screen: every 5th doc plays the arriving
+      // batch, the rest the indexed base corpus (asymmetric probe — no
+      // base×base or batch×batch comparisons)
+      val d = docs(s, dir)
+      Dedup.simhashScreen(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_dedup_clusters_capped" -> ((s, dir) => {
       // The sparse-corpus scale path: MinHash-LSH with the hot-bucket cap —
       // mega-buckets contribute linear hub stars instead of O(bucket²)
@@ -146,7 +157,11 @@ object DedupQueries extends QueryPack {
     * pre-filter, exact Jaccard verify at `thr` — CTE-for-CTE the plan of
     * [[graft.dedup.Dedup.simhashJaccardPairs]] with its defaults.
     */
-  private[queries] def simhashEdgesCtes(thr: Double): String =
+  /** 48-bit SimHash signatures + 12×4-bit banding for every document —
+    * CTE chain ending in `sbanded(doc_id, simhash, band, bkey)`; shared by
+    * the symmetric near-dup graph and the asymmetric ingest screen.
+    */
+  private def simhashSigCtes: String =
     s"""stok AS (SELECT doc_id, unnest($sh) AS s FROM documents),
        |sth AS (SELECT doc_id, $h60 AS h FROM stok),
        |sbits AS (SELECT CAST(b AS INT) AS b FROM range(0, 48) t(b)),
@@ -159,7 +174,10 @@ object DedupQueries extends QueryPack {
        |sbands AS (SELECT CAST(x AS INT) AS band FROM range(0, 12) t(x)),
        |sbanded AS (SELECT doc_id, simhash, band,
        |                  (simhash >> (band * 4)) & 15 AS bkey
-       |           FROM ssig CROSS JOIN sbands),
+       |           FROM ssig CROSS JOIN sbands)""".stripMargin
+
+  private[queries] def simhashEdgesCtes(thr: Double): String =
+    s"""$simhashSigCtes,
        |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |          FROM sbanded a JOIN sbanded b
        |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -189,6 +207,19 @@ object DedupQueries extends QueryPack {
     "q_dedup_minhash_lsh" ->
       s"""WITH ${lshEdgesCtes(THR)}
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM ver WHERE sim >= $THR
+         |""".stripMargin,
+    "q_incremental_screen" ->
+      s"""WITH $simhashSigCtes,
+         |m AS (SELECT DISTINCT n.doc_id AS id, b.doc_id AS base_id,
+         |             bit_count(xor(n.simhash, b.simhash)) AS h
+         |      FROM sbanded n JOIN sbanded b
+         |        ON n.band = b.band AND n.bkey = b.bkey
+         |      WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+         |        AND bit_count(xor(n.simhash, b.simhash)) <= 11)
+         |SELECT id AS doc_id, count(*) AS n_matches,
+         |       CAST(min(h * 1000000000000 + base_id) // 1000000000000 AS INT) AS min_hamming,
+         |       min(h * 1000000000000 + base_id) % 1000000000000 AS match_id
+         |FROM m GROUP BY id
          |""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},

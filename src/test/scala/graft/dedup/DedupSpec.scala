@@ -138,4 +138,24 @@ class DedupSpec extends SparkTestBase {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(hashes(0L), hashes(2L)) < hamming(hashes(0L), hashes(3L)))
   }
+
+  test("simhashScreen: batch probes base only — exact copy flagged at hamming 0, batch-internal dups ignored") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words live here nowhere else")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of base 1
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of 10 AND base 1
+      (12L, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff")       // novel vocab
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashScreen(base, batch, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out.contains(10L) && out(10L)._2 === 0 && out(10L)._3 === 1L)
+    // 11 matches base 1 (not batch-mate 10 — only base ids can be match_id)
+    assert(out(11L)._3 === 1L)
+    assert(!out.contains(12L), "novel doc must pass the screen")
+    // base docs never appear as probed ids
+    assert(out.keySet.forall(_ >= 10L))
+  }
 }
