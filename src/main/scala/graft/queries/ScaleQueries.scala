@@ -121,6 +121,18 @@ object ScaleQueries extends QueryPack {
     // domain-mixture resampling: acceptance rates derived from target
     // weights + observed token mass (rate_g = min(1, w_g·T/tok_g),
     // T = min_g tok_g/w_g); deterministic hash acceptance, no upsampling
+    // token-budget selection: greedy by quality bin until BUDGET_TOKENS,
+    // boundary bin hash-sampled — no global sort anywhere
+    "q_budget_select" -> ((s, dir) => {
+      val d = Tables.cached(s, dir, "documents")
+      graft.ops.Budget.selectByBudget(d, "doc_id",
+          graft.text.TextFunctions.tokenCount(col("text")),
+          graft.text.TextFunctions.qualityScore(col("text")),
+          budget = BUDGET_TOKENS)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+    }),
     "q_sample_mixture" -> ((s, dir) =>
       graft.ops.Mixture.mixtureReport(
         Tables.cached(s, dir, "documents"), "doc_id", "lang",
@@ -131,7 +143,34 @@ object ScaleQueries extends QueryPack {
   private[queries] val MIX_WEIGHTS = Map(
     "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
 
+  private val BUDGET_TOKENS = 12000L
+
   def oracleSql: Map[String, String] = Map(
+    "q_budget_select" ->
+      s"""WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok,
+         |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         |             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+         |             CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE) AS nstop
+         |           FROM documents),
+         |s AS (SELECT doc_id, lang, ntok,
+         |        greatest(least((least(n / 100.0, 1.0) + nd / n - nstop / n) / 2.0, 1.0), 0.0) AS score
+         |      FROM q),
+         |b AS (SELECT *, CAST(least(floor(score * 100), 99) AS INT) AS bin FROM s),
+         |h AS (SELECT bin, CAST(sum(ntok) AS BIGINT) AS tok FROM b GROUP BY bin),
+         |cum AS (SELECT bin, tok,
+         |          coalesce(sum(tok) OVER (ORDER BY bin DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         |        FROM h),
+         |r AS (SELECT bin, CASE WHEN above >= $BUDGET_TOKENS THEN 0.0
+         |                       WHEN above + tok <= $BUDGET_TOKENS THEN 1.0
+         |                       ELSE CAST($BUDGET_TOKENS - above AS DOUBLE) / tok END AS rate
+         |      FROM cum),
+         |kept AS (SELECT b.doc_id, b.lang, b.ntok FROM b JOIN r ON r.bin = b.bin
+         |         WHERE CAST(CAST(('0x' || substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 1000000
+         |               < r.rate * 1000000.0)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY lang
+         |""".stripMargin,
     "q_sample_mixture" -> {
       val wVals = MIX_WEIGHTS.toSeq.sorted
         .map { case (g, w) => s"('$g', CAST($w AS DOUBLE))" }.mkString(", ")

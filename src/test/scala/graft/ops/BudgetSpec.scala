@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BudgetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binRates: greedy fill from the top bin, fractional boundary, zero below") {
+    // bins (score-bin -> tokens): 90->100, 80->200, 70->400
+    val r = Budget.binRates(Seq((70, 400L), (90, 100L), (80, 200L)), budget = 400L)
+    assert(r(90) === 1.0) // above=0, 0+100 <= 400
+    assert(r(80) === 1.0) // above=100, 100+200 <= 400
+    assert(r(70) === 100.0 / 400.0) // above=300: keep 100 of 400
+    assert(Budget.binRates(Seq((50, 10L)), 0L)(50) === 0.0)
+    assert(Budget.binRates(Seq((50, 10L)), 999L)(50) === 1.0)
+  }
+
+  test("selectByBudget keeps high bins wholly, drops low bins, lands near budget") {
+    // 40 docs: half score ~0.9 (10 tokens each), half ~0.1 (10 tokens each)
+    val docs = ((0L until 20L).map(i => (i, 0.95, 10)) ++
+      (20L until 40L).map(i => (i, 0.05, 10)))
+      .toDF("doc_id", "score", "ntok")
+    val kept = Budget.selectByBudget(docs, "doc_id", col("ntok"), col("score"),
+      budget = 200L).select("doc_id").as[Long].collect().toSet
+    // top bin alone holds exactly 200 tokens -> all of it, none of the rest
+    assert(kept === (0L until 20L).toSet)
+  }
+
+  test("boundary bin is hash-sampled deterministically and budget rises monotonically") {
+    val docs = (0L until 100L).map(i => (i, 0.5, 10)).toDF("doc_id", "score", "ntok")
+    def run(b: Long) = Budget.selectByBudget(docs, "doc_id", col("ntok"), col("score"), b)
+      .select("doc_id").as[Long].collect().toSet
+    val half = run(500L)
+    assert(half === run(500L), "hash acceptance must be deterministic")
+    assert(half.size > 20 && half.size < 80, s"~half expected, got ${half.size}")
+    assert(half.subsetOf(run(900L)), "raising the budget must only add docs")
+    assert(run(1000L).size === 100)
+  }
+}
