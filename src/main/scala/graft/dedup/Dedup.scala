@@ -357,23 +357,54 @@ object Dedup {
       textCol: String,
       bits: Int = 48,
       nBands: Int = 12,
-      maxHamming: Int = 11): DataFrame = {
-    require(maxHamming < nBands,
-      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+      maxHamming: Int = 11): DataFrame =
+    screenAgainstIndex(
+      simhashBandedIndex(base, idCol, textCol, bits, nBands),
+      batch, idCol, textCol, bits, nBands, maxHamming)
+
+  /** The base corpus's banded signature index — (base_id, sig_b, band,
+    * bkey). Build (and cache/materialize) ONCE; probe every arriving batch
+    * against it with [[screenAgainstIndex]].
+    */
+  def simhashBandedIndex(
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      nBands: Int = 12): DataFrame = {
     require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
     val spark = base.sparkSession
     import spark.implicits._
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
+    simhash(base, idCol, textCol, bits)
+      .crossJoin(broadcast((0 until nBands).toDF("band")))
+      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+      .select(col("id").as("base_id"), col("simhash").as("sig_b"),
+        col("band"), col("bkey"))
+  }
+
+  /** Probe a batch against a prebuilt [[simhashBandedIndex]]. */
+  def screenAgainstIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 48,
+      nBands: Int = 12,
+      maxHamming: Int = 11): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+    require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
     val ENC = 1000000000000L // hamming ≤ 63 ≪ 10¹², ids < 10¹² by contract
-    def banded(df: DataFrame) =
-      simhash(df, idCol, textCol, bits)
-        .crossJoin(broadcast((0 until nBands).toDF("band")))
-        .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
-    val index = banded(base).select(
-      col("id").as("base_id"), col("simhash").as("sig_b"), col("band"), col("bkey"))
-    val probe = banded(batch).select(
-      col("id"), col("simhash").as("sig_n"), col("band"), col("bkey"))
+    val probe = simhash(batch, idCol, textCol, bits)
+      .crossJoin(broadcast((0 until nBands).toDF("band")))
+      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+      .select(col("id"), col("simhash").as("sig_n"), col("band"), col("bkey"))
     probe.join(index, Seq("band", "bkey"))
       .withColumn("hamming", expr("bit_count(sig_n ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)

@@ -176,6 +176,24 @@ object DedupQueries extends QueryPack {
        |                  (simhash >> (band * 4)) & 15 AS bkey
        |           FROM ssig CROSS JOIN sbands)""".stripMargin
 
+  /** Oracle for the batch ingest screen — and, verbatim, for the streaming
+    * screen gate (`q_stream_screen`): per-doc independence makes the
+    * streamed union identical to the one-shot batch result.
+    */
+  private[queries] def screenOracleSql: String =
+    s"""WITH $simhashSigCtes,
+       |m AS (SELECT DISTINCT n.doc_id AS id, b.doc_id AS base_id,
+       |             bit_count(xor(n.simhash, b.simhash)) AS h
+       |      FROM sbanded n JOIN sbanded b
+       |        ON n.band = b.band AND n.bkey = b.bkey
+       |      WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+       |        AND bit_count(xor(n.simhash, b.simhash)) <= 11)
+       |SELECT id AS doc_id, count(*) AS n_matches,
+       |       CAST(min(h * 1000000000000 + base_id) // 1000000000000 AS INT) AS min_hamming,
+       |       min(h * 1000000000000 + base_id) % 1000000000000 AS match_id
+       |FROM m GROUP BY id
+       |""".stripMargin
+
   private[queries] def simhashEdgesCtes(thr: Double): String =
     s"""$simhashSigCtes,
        |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -208,19 +226,7 @@ object DedupQueries extends QueryPack {
       s"""WITH ${lshEdgesCtes(THR)}
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM ver WHERE sim >= $THR
          |""".stripMargin,
-    "q_incremental_screen" ->
-      s"""WITH $simhashSigCtes,
-         |m AS (SELECT DISTINCT n.doc_id AS id, b.doc_id AS base_id,
-         |             bit_count(xor(n.simhash, b.simhash)) AS h
-         |      FROM sbanded n JOIN sbanded b
-         |        ON n.band = b.band AND n.bkey = b.bkey
-         |      WHERE n.doc_id % 5 = 0 AND b.doc_id % 5 != 0
-         |        AND bit_count(xor(n.simhash, b.simhash)) <= 11)
-         |SELECT id AS doc_id, count(*) AS n_matches,
-         |       CAST(min(h * 1000000000000 + base_id) // 1000000000000 AS INT) AS min_hamming,
-         |       min(h * 1000000000000 + base_id) % 1000000000000 AS match_id
-         |FROM m GROUP BY id
-         |""".stripMargin,
+    "q_incremental_screen" -> screenOracleSql,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},
          |cc(id, lbl) AS (

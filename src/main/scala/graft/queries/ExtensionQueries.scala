@@ -104,6 +104,9 @@ object ExtensionQueries extends QueryPack {
     "q_stream_dedup" -> ((s, dir) =>
       StreamingOps.streamDedupUsersPerDay(s, dir,
         queryName = s"stream_dedup_${math.abs(dir.hashCode)}")),
+    "q_stream_screen" -> ((s, dir) =>
+      StreamingOps.streamScreen(s, dir,
+        queryName = s"stream_screen_${math.abs(dir.hashCode)}")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -168,6 +171,9 @@ object ExtensionQueries extends QueryPack {
         |       count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1
         |""".stripMargin,
+    // streamed union == one-shot batch screen (per-doc independence), so
+    // the batch oracle verifies the streaming path verbatim
+    "q_stream_screen" -> DedupQueries.screenOracleSql,
     "q_bucketed_join" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value,

@@ -238,4 +238,46 @@ object StreamingOps {
       .select(to_date(col("w.start")).as("period"),
         col("n_events"), col("sum_value"), col("avg_value"))
   }
+
+  /** Streaming ingest near-dup screen: documents arrive as a stream and
+    * every micro-batch is SimHash-probed against the STATIC base corpus's
+    * banded index via `foreachBatch` — the deployment shape of
+    * [[graft.dedup.Dedup.simhashScreen]]. The index is built and cached
+    * ONCE before the stream starts (the "index once / probe per batch"
+    * contract); each micro-batch only hashes and probes itself.
+    *
+    * Because every probe document is screened independently against the
+    * base alone, the union of per-micro-batch results is identical to the
+    * one-shot batch screen no matter how ingestion is chunked — so the
+    * batch oracle verifies the streaming path too.
+    */
+  def streamScreen(
+      spark: SparkSession,
+      dir: String,
+      queryName: String = "stream_screen"): DataFrame = {
+    import graft.dedup.Dedup
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val base = spark.read.parquet(path).filter(col("doc_id") % 5 =!= 0)
+    val index = Dedup.simhashBandedIndex(base, "doc_id", "text").cache()
+    index.count() // materialize before the stream starts
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_screen").toString
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.screenAgainstIndex(index, batch, "doc_id", "text")
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    index.unpersist()
+    spark.read.parquet(outDir).withColumnRenamed("id", "doc_id")
+  }
 }
