@@ -6,34 +6,40 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
 
-  /** Mirror of [[SparkEntry.normalizeZeroSign]] on the DuckDB side: wrap the
-    * oracle SQL so every float-typed output column (per the SPARK result
-    * schema, the contract's source of truth for names/types) gets `+ 0.0`,
-    * turning any −0.0 into +0.0 before the driver hashes bit patterns.
+  /** Mirror of [[SparkEntry.normalizeZeroSign]] on the DuckDB side, widened
+    * to ALL numeric columns: wrap the oracle SQL (per the SPARK result
+    * schema, the contract's source of truth for names/types) so that
+    *   - every float column gets `+ 0.0` (−0.0 → +0.0 before the driver
+    *     hashes bit patterns), and
+    *   - every integer column is CAST back to the Spark width — DuckDB
+    *     silently widens `SUM(BIGINT) OVER`, `//`, `%` etc. to HUGEINT
+    *     (int128), which hash-mismatches Spark's LongType even when values
+    *     are identical (the round-3 q_pack_* / q_sample_stratified reds).
+    * Arrays are normalized element-wise via list_transform, recursively.
     */
   private[graft] def wrapOracle(sql: String, schema: StructType): String = {
     def dq(n: String) = "\"" + n.replace("\"", "\"\"") + "\""
-    def needsFix(dt: DataType): Boolean = dt match {
-      case DoubleType | FloatType => true
-      case ArrayType(e, _) => needsFix(e)
-      case _ => false
+    // Normalization expression for `e` of Spark type `dt`, or None if the
+    // type needs none. `depth` keeps nested lambda variables distinct.
+    def norm(e: String, dt: DataType, depth: Int): Option[String] = dt match {
+      case DoubleType => Some(s"($e + 0.0)")
+      case FloatType => Some(s"CAST($e + 0.0 AS FLOAT)")
+      case LongType => Some(s"CAST($e AS BIGINT)")
+      case IntegerType => Some(s"CAST($e AS INTEGER)")
+      case ShortType => Some(s"CAST($e AS SMALLINT)")
+      case ByteType => Some(s"CAST($e AS TINYINT)")
+      case ArrayType(el, _) =>
+        val v = s"__zx$depth"
+        norm(v, el, depth + 1).map(inner => s"list_transform($e, $v -> $inner)")
+      case _ => None
     }
-    if (!schema.fields.exists(f => needsFix(f.dataType))) sql
-    else {
-      val cols = schema.fields.map { f =>
-        f.dataType match {
-          case DoubleType => s"(${dq(f.name)} + 0.0) AS ${dq(f.name)}"
-          case FloatType =>
-            s"CAST(${dq(f.name)} + 0.0 AS FLOAT) AS ${dq(f.name)}"
-          case ArrayType(DoubleType, _) =>
-            s"list_transform(${dq(f.name)}, __zx -> (__zx + 0.0)) AS ${dq(f.name)}"
-          case ArrayType(FloatType, _) =>
-            s"list_transform(${dq(f.name)}, __zx -> CAST(__zx + 0.0 AS FLOAT)) AS ${dq(f.name)}"
-          case _ => dq(f.name)
-        }
-      }.mkString(", ")
-      s"SELECT $cols FROM (\n${sql.trim.stripSuffix(";")}\n) __graft_zsign"
+    val cols = schema.fields.map { f =>
+      norm(dq(f.name), f.dataType, 0)
+        .map(e => s"$e AS ${dq(f.name)}")
+        .getOrElse(dq(f.name))
     }
+    if (cols.sameElements(schema.fields.map(f => dq(f.name)))) sql
+    else s"SELECT ${cols.mkString(", ")} FROM (\n${sql.trim.stripSuffix(";")}\n) __graft_norm"
   }
 
   def main(args: Array[String]): Unit = {

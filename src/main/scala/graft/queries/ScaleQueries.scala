@@ -217,7 +217,7 @@ object ScaleQueries extends QueryPack {
         |GROUP BY event_type
         |""".stripMargin,
     "q_sample_stratified" ->
-      """SELECT lang, count(*) AS n_sampled, sum(n_chars) AS sum_chars
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100
         |      < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'fr' THEN 30

@@ -103,17 +103,20 @@ object TextQueries extends QueryPack {
       + " OR lower(text) LIKE '%{%' THEN 0 ELSE 1 END"),
   )
 
+  // Every derived integer is CAST AS BIGINT: DuckDB widens SUM(...) OVER,
+  // `//` and `%` to HUGEINT (int128), which would fail the driver's bitwise
+  // hash gate against Spark's LongType even when values are identical.
   private val packCte =
     s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
        |              CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
-       |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset" FROM t),
+       |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset" FROM t),
        |p AS (SELECT doc_id, shard, n_tokens, "offset",
-       |             "offset" // 256 AS pack_id,
-       |             "offset" % 256 AS offset_in_pack,
-       |             CASE WHEN n_tokens = 0 THEN 1
+       |             CAST("offset" // 256 AS BIGINT) AS pack_id,
+       |             CAST("offset" % 256 AS BIGINT) AS offset_in_pack,
+       |             CAST(CASE WHEN n_tokens = 0 THEN 1
        |                  ELSE ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
-       |             END AS packs_spanned
+       |             END AS BIGINT) AS packs_spanned
        |      FROM o)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -143,7 +146,7 @@ object TextQueries extends QueryPack {
          |""".stripMargin,
     "q_pack_fill" ->
       s"""$packCte,
-         |e AS (SELECT shard, pack_id + x AS pack_id,
+         |e AS (SELECT shard, CAST(pack_id + x AS BIGINT) AS pack_id,
          |             least("offset" + n_tokens, (pack_id + x + 1) * 256)
          |               - greatest("offset", (pack_id + x) * 256) AS tok
          |      FROM p JOIN range(0, 1000) r(x) ON x < packs_spanned)

@@ -43,6 +43,17 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in g.columns:
         a, b = g[c], w[c]
+        # TYPE check first: the driver hashes typed bit patterns, so a DuckDB
+        # HUGEINT (-> float64/object in pandas) vs Spark BIGINT (int64) is a
+        # hash mismatch even when every value agrees (the round-3 q_pack_* /
+        # q_sample_stratified reds). Replicate that sensitivity, but only for
+        # numeric kinds — dates legitimately arrive as object (Spark parquet)
+        # vs datetime64 (DuckDB .df()) and hash equal at the driver.
+        NUMERIC = set("iuf")
+        if (a.dtype.kind in NUMERIC or b.dtype.kind in NUMERIC) and a.dtype.kind != b.dtype.kind:
+            ok = False
+            print(f"FAIL {name}: col {c} dtype {a.dtype} (spark) != {b.dtype} (oracle)")
+            break
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             import numpy as np
             # BITWISE: the driver hashes bit patterns, so -0.0 != +0.0 there.
