@@ -480,4 +480,112 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
   }
+
+  /** WIDE SimHash: the signature as `array<bigint>` with ONE WORD PER BAND
+    * (word `w` holds conceptual bits [w·bandBits, (w+1)·bandBits), each word
+    * ≤ 63 bits so it stays non-negative). This lifts the single-BIGINT
+    * 63-bit ceiling: `bits` = 96/128/… is now expressible, which is the
+    * production mitigation for the banded head's random-collision growth
+    * (candidate volume ∝ n²·nBands/2^(bits/nBands) — widening `bits` at
+    * fixed `nBands` divides it by 2^(Δbits/nBands); see SCALE.md).
+    *
+    * Aligning words with bands makes the representation free to index:
+    * band-key extraction is `element_at(sig, band+1)` (no shifts), and
+    * hamming is Σ_w bit_count(w_a xor w_b) via `zip_with` + `aggregate` —
+    * still pure codegen'd integer ops, no UDF. For the same `bits`/`nBands`
+    * the per-band keys and hamming distances equal [[simhash]]-derived ones
+    * exactly (spec-verified), so narrow and wide heads are interchangeable.
+    * Output: (id, simhash: array<bigint> of length nBands).
+    */
+  def simhashWide(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 96,
+      nBands: Int = 12): DataFrame = {
+    require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
+    val bandBits = bits / nBands
+    require(bandBits <= 60, s"band width $bandBits exceeds 60 bits (raise nBands)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // hash60 yields 60 independent bits per token — conceptual bit b draws
+    // from hash CHUNK k = b/60 at position b%60, where chunk 0 is the plain
+    // token hash (so any bits ≤ 60 prefix agrees with [[simhash]] exactly)
+    // and chunk k > 0 salts the token with "k#".
+    val nChunks = (bits + 59) / 60
+    val bitsDf = (0 until bits).map(b => (b, b / 60, b % 60)).toDF("b", "k", "p")
+    val chunkHashes = array((0 until nChunks).map { k =>
+      if (k == 0) hash60(col("tok")) else hash60(concat(lit(s"$k#"), col("tok")))
+    }: _*)
+    df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .withColumn("ths", chunkHashes)
+      .crossJoin(broadcast(bitsDf))
+      .withColumn("contrib",
+        when(expr("shiftright(element_at(ths, k + 1), p)") % 2 === 1, 1).otherwise(-1))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(col("contrib")).as("s"))
+      // word index + in-word position, then per-word bit assembly; the
+      // (id, w) aggregate is partial-combine friendly like everything above
+      .withColumn("w", (col("b") / bandBits).cast("int"))
+      .groupBy(col("id"), col("w"))
+      .agg(sum(when(col("s") > 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), b % $bandBits)")).otherwise(0L)).as("wbits"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("w"), col("wbits")))),
+        x => x.getField("wbits")).as("simhash"))
+  }
+
+  /** Near-duplicate candidate pairs over [[simhashWide]] signatures — the
+    * ≥64-bit scale path of [[simhashNearDupPairs]], same pigeonhole recall
+    * guarantee (any pair within `maxHamming` < `nBands` differing bits
+    * shares at least one full band/word). Banding is `posexplode` over the
+    * signature words; verify is Σ bit_count(xor) over zipped words.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashWideNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 96,
+      nBands: Int = 12,
+      maxHamming: Int = 11): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+    val sigs = simhashWide(df, idCol, textCol, bits, nBands)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(col("simhash")).as(Seq("band", "bkey")))
+    val a = banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("band"), col("bkey"))
+    val b = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+  }
+
+  /** [[simhashJaccardPairs]] with the wide (≥64-bit-capable) head: wide
+    * banded candidates → exact Jaccard verify. Same output contract; the
+    * flagship cluster/curation pipelines can swap heads without any other
+    * plan change.
+    */
+  def simhashWideJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.9,
+      bits: Int = 96,
+      nBands: Int = 12,
+      maxHamming: Int = 11): DataFrame = {
+    val cands = simhashWideNearDupPairs(df, idCol, textCol, bits, nBands, maxHamming)
+      .select("id_a", "id_b")
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
 }

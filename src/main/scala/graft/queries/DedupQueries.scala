@@ -40,6 +40,15 @@ object DedupQueries extends QueryPack {
     * output-bound upper-bound benchmark.
     */
   private[queries] val BUCKET_CAP = 250
+  /** Wide-head gate parameters: 96 bits = 6 bands × 16-bit keys, drawn from
+    * two salted 60-bit hash chunks — past the single-BIGINT ceiling AND the
+    * collision demonstration: candidate volume ∝ nBands/2^(bits/nBands), so
+    * 16-bit keys cut random collisions 4096× vs the narrow head's 4-bit
+    * keys (6/65536 vs 12/16). maxHamming 5 (< nBands, pigeonhole).
+    */
+  private[queries] val WIDE_BITS = 96
+  private[queries] val WIDE_BANDS = 6
+  private[queries] val WIDE_MAXH = 5
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.cached(spark, dir, "documents")
@@ -57,6 +66,11 @@ object DedupQueries extends QueryPack {
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")),
+    // the ≥64-bit scale head: 96-bit array<bigint> signature, 6 bands of
+    // 16 bits — the widened-representation gate (SCALE.md collision math)
+    "q_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashWideNearDupPairs(docs(s, dir), "doc_id", "text",
+        bits = WIDE_BITS, nBands = WIDE_BANDS, maxHamming = WIDE_MAXH)),
     "q_dedup_clusters" -> ((s, dir) => {
       // SimHash-banded head (round-3 measurement): on this dense-similarity
       // corpus it recovers 100% of true J>=0.9 pairs and the exact truth
@@ -262,6 +276,34 @@ object DedupQueries extends QueryPack {
          |          FROM banded a JOIN banded b
          |            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         |""".stripMargin,
+    "q_simhash_wide" ->
+      // 96-bit wide head: conceptual bit b draws from salted hash chunk
+      // k = b//60 at position b%60 (chunk 0 = plain token hash); word
+      // w = b//(96/6) holds 16 bits -> 6 band keys, one word per band.
+      s"""WITH tok AS (SELECT doc_id, unnest($sh) AS s FROM documents),
+         |bdef AS (SELECT CAST(b AS INT) AS b, CAST(b // 60 AS INT) AS k,
+         |                CAST(b % 60 AS INT) AS p,
+         |                CAST(b // ${WIDE_BITS / WIDE_BANDS} AS INT) AS w
+         |         FROM range(0, $WIDE_BITS) t(b)),
+         |sgn AS (SELECT doc_id, b, w,
+         |          sum(CASE WHEN (CAST(CAST(('0x' || substr(md5(
+         |                CASE WHEN k = 0 THEN s ELSE CAST(k AS VARCHAR) || '#' || s END
+         |              ), 1, 15)) AS UBIGINT) AS BIGINT) >> p) % 2 = 1
+         |            THEN 1 ELSE -1 END) AS sgn
+         |      FROM tok CROSS JOIN bdef GROUP BY doc_id, b, w),
+         |words AS (SELECT doc_id, w,
+         |            CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << (b % ${WIDE_BITS / WIDE_BANDS})) ELSE 0 END) AS BIGINT) AS wbits
+         |          FROM sgn GROUP BY doc_id, w),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM words a JOIN words b
+         |           ON a.w = b.w AND a.wbits = b.wbits AND a.doc_id < b.doc_id),
+         |h AS (SELECT c.id_a, c.id_b,
+         |        CAST(sum(bit_count(xor(wa.wbits, wb.wbits))) AS INT) AS hamming
+         |      FROM cand c JOIN words wa ON wa.doc_id = c.id_a
+         |      JOIN words wb ON wb.doc_id = c.id_b AND wb.w = wa.w
+         |      GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= $WIDE_MAXH
          |""".stripMargin,
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest($sh) AS s FROM documents),

@@ -158,4 +158,71 @@ class DedupSpec extends SparkTestBase {
     // base docs never appear as probed ids
     assert(out.keySet.forall(_ >= 10L))
   }
+
+  test("simhashWide at 48 bits reproduces the narrow signature word-for-word") {
+    // one word per band, bandBits=4: word w of the wide signature must equal
+    // (narrow >> 4w) & 15 — narrow and wide heads are interchangeable
+    val wide = Dedup.simhashWide(corpus, "doc_id", "text", bits = 48, nBands = 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val narrow = Dedup.simhash(corpus, "doc_id", "text", bits = 48)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wide.keySet == narrow.keySet)
+    wide.foreach { case (id, words) =>
+      assert(words.length == 12)
+      val rebuilt = words.zipWithIndex.map { case (w, i) => w << (4 * i) }.reduce(_ | _)
+      assert(rebuilt == narrow(id), s"doc $id: wide words $words != narrow ${narrow(id)}")
+    }
+  }
+
+  test("simhashWide 96-bit: words past bit 60 draw from the salted hash chunk, not zeros") {
+    val wide = Dedup.simhashWide(corpus, "doc_id", "text", bits = 96, nBands = 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exact duplicates still agree on every word
+    assert(wide(0L) == wide(1L))
+    // the high 4 words (bits 64..95) must carry signal: across the corpus
+    // they cannot all be 0 or all identical between unrelated docs
+    val high = wide.values.map(_.drop(8)).toSeq
+    assert(high.distinct.size > 1, s"high words degenerate: $high")
+  }
+
+  test("simhashWideNearDupPairs: pigeonhole recall vs brute-force over wide signatures") {
+    val pairs = Dedup.simhashWideNearDupPairs(corpus, "doc_id", "text",
+      bits = 96, nBands = 12, maxHamming = 11)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val sigs = Dedup.simhashWide(corpus, "doc_id", "text", bits = 96, nBands = 12)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val truth = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = sigs(a).zip(sigs(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 11
+    } yield (a, b) -> h).toMap
+    assert(pairs == truth, s"wide banded pairs $pairs != brute-force truth $truth")
+    assert(pairs.get((0L, 1L)).contains(0)) // exact dup at hamming 0
+  }
+
+  test("wide Jaccard head: verified pairs subset of narrow head's at equal maxHamming; exact dups always survive") {
+    // hamming scales with bits, so maxHamming=11 is a TIGHTER fractional
+    // cut at 96 bits than at 48 — wide candidates (and thus verified pairs)
+    // are a subset; hamming-0 exact dups survive any cut. The recall-vs-
+    // collision trade at the flagship threshold is measured in SCALE.md.
+    val wide = Dedup.simhashWideJaccardPairs(corpus, "doc_id", "text", n = 1, threshold = 0.5)
+      .select("id_a", "id_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val narrow = Dedup.simhashJaccardPairs(corpus, "doc_id", "text", n = 1, threshold = 0.5)
+      .select("id_a", "id_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wide.subsetOf(narrow))
+    assert(wide.exists { case (a, b, _) => a == 0L && b == 1L }) // exact dup
+  }
+
+  test("wide head at matched fractional hamming (96 bits, 24 bands, h<=22) finds the same verified pairs here") {
+    // same 23% fractional cut as the narrow default (11/48 = 22/96): on the
+    // planted corpus the verified pair sets coincide
+    val wide = Dedup.simhashWideJaccardPairs(corpus, "doc_id", "text", n = 1,
+      threshold = 0.5, bits = 96, nBands = 24, maxHamming = 22)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = Dedup.simhashJaccardPairs(corpus, "doc_id", "text", n = 1, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == narrow)
+  }
 }
