@@ -63,6 +63,15 @@ object SimilarityQueries extends QueryPack {
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
         K, M, KSUB, DIM, PQ_ITERS, REFINE)
     }),
+    "q_ann_ivfadc" -> ((s, dir) => {
+      // the composed sub-linear production layout (Jégou PAMI 2011 §IV):
+      // learned inverted lists × residual-PQ ADC within probed lists only
+      // + exact refine — scan cost is 2/nLists of the corpus in code form
+      val e = emb(s, dir)
+      Similarity.ivfadcTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
+        K, NLISTS, DIM, KM_ITERS, M, KSUB, PQ_ITERS, REFINE)
+    }),
   )
 
   private val KM_ITERS = 2
@@ -118,11 +127,11 @@ object SimilarityQueries extends QueryPack {
     * (c·c − 2·x·c) ASC with ties → lowest code, per-dimension mean rounded
     * to 6 dp, empty codes keep the previous word.
     */
-  private def pqSubCtes(sub: Int): String = {
+  private def pqSubCtes(sub: Int, src: String = "v"): String = {
     val lo = sub * DSUB + 1
     val hi = (sub + 1) * DSUB
     val head =
-      s"""pv$sub AS (SELECT vec_id, list_slice(dv, $lo, $hi) AS dv FROM v),
+      s"""pv$sub AS (SELECT vec_id, list_slice(dv, $lo, $hi) AS dv FROM $src),
          |pc${sub}_0(c, cent) AS (VALUES ${pqCentValues(sub)}),""".stripMargin
     val iters = (0 until PQ_ITERS).map { i =>
       s"""ps${sub}_$i AS (SELECT vec_id, c,
@@ -230,9 +239,54 @@ object SimilarityQueries extends QueryPack {
          |          FROM v a JOIN v b ON a.block = b.block AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, sim FROM pairs WHERE sim >= $NEARDUP_THR
          |""".stripMargin,
+    "q_ann_ivfadc" ->
+      // coarse k-means replay -> per-vector residual vs its own centroid ->
+      // residual-PQ codebook replay (same Lloyd recipe, source = residuals)
+      // -> ADC over centroid+decode reconstructions WITHIN probed lists ->
+      // exact refine; mirrors Similarity.ivfadcTopK stage for stage
+      s"""WITH cents0(c, cent) AS (VALUES $centroidValues),
+         |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+         |${kmeansIterCtes(KM_ITERS)}
+         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$KM_ITERS),
+         |assign AS (SELECT vec_id,
+         |                  (array_agg(c ORDER BY s DESC, c ASC))[1] AS c1,
+         |                  (array_agg(c ORDER BY s DESC, c ASC))[2] AS c2
+         |           FROM scored GROUP BY vec_id),
+         |rvt AS (SELECT v.vec_id,
+         |               list_transform(range(1, ${DIM + 1}), i -> v.dv[i] - cc.cent[i]) AS dv
+         |        FROM v JOIN assign a ON a.vec_id = v.vec_id
+         |        JOIN cents$KM_ITERS cc ON cc.c = a.c1),
+         |${(0 until M).map(s => pqSubCtes(s, src = "rvt")).mkString("\n")}
+         |recon AS (SELECT v.vec_id,
+         |                 list_transform(range(1, ${DIM + 1}),
+         |                   i -> cc.cent[i] + (flatten([${(0 until M).map(s => s"pw$s.cw").mkString(", ")}]))[i]) AS rv
+         |          FROM v ${(0 until M).map(s => s"JOIN pw$s ON pw$s.vec_id = v.vec_id").mkString(" ")}
+         |          JOIN assign a ON a.vec_id = v.vec_id
+         |          JOIN cents$KM_ITERS cc ON cc.c = a.c1),
+         |corpus AS (SELECT v.vec_id AS neighbor_id, v.dv AS cv, a.c1 AS list, r.rv
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id
+         |           JOIN recon r ON r.vec_id = v.vec_id),
+         |probes AS (SELECT v.vec_id AS query_id, v.dv AS qv, a.c1 AS list
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES
+         |           UNION ALL
+         |           SELECT v.vec_id, v.dv, a.c2
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES),
+         |adc AS (SELECT query_id, neighbor_id, cv, qv, ${cosSql("qv", "rv")} AS sim_adc
+         |        FROM corpus JOIN probes USING (list) WHERE query_id <> neighbor_id),
+         |cand AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim_adc DESC, neighbor_id) AS rnk_adc
+         |    FROM adc) WHERE rnk_adc <= $REFINE),
+         |re AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim FROM cand),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM re)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
     "q_ann_pq" ->
       s"""WITH v AS (SELECT vec_id, $dv AS dv FROM embeddings),
-         |${(0 until M).map(pqSubCtes).mkString("\n")}
+         |${(0 until M).map(s => pqSubCtes(s)).mkString("\n")}
          |recon AS (SELECT v.vec_id,
          |                 flatten([${(0 until M).map(s => s"pw$s.cw").mkString(", ")}]) AS rv
          |          FROM v ${(0 until M).map(s => s"JOIN pw$s ON pw$s.vec_id = v.vec_id").mkString(" ")}),

@@ -505,4 +505,86 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  // ---------- IVFADC composition (round 4) ------------------------------
+
+  /** The encoded-corpus half of IVFADC: learned coarse centroids partition
+    * the corpus into inverted lists; per-list RESIDUALS (x − centroid) are
+    * product-quantized (Jégou et al. PAMI 2011 §IV — residual quantization
+    * is what makes m-byte codes accurate, since residual magnitudes are a
+    * fraction of vector magnitudes). `recon` is the ADC reconstruction
+    * centroid + decode(residual codes) — the only vector the candidate scan
+    * reads; the raw vector is touched again only at exact refine.
+    * Returns (encoded corpus with list/code/recon, centroids) — exposed so
+    * specs can assert scan confinement.
+    */
+  def ivfadcEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      dim: Int,
+      ivfIters: Int,
+      m: Int,
+      ksub: Int,
+      pqIters: Int): (DataFrame, Seq[Seq[Double]]) = {
+    val cents = kmeansCentroids(corpus, vecCol, nLists, dim, ivfIters)
+    val centLit = typedlit(cents)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("list", ivfListWith(col("cv"), cents))
+      .withColumn("resid",
+        zip_with(col("cv"), element_at(centLit, col("list") + 1), (x, c) => x - c))
+    val cb = pqCodebooks(assigned, "resid", m, ksub, dim, pqIters)
+    val encoded = assigned
+      .withColumn("code", pqCodes(col("resid"), cb, dim))
+      .withColumn("recon",
+        zip_with(element_at(centLit, col("list") + 1),
+          pqReconstruct(col("code"), cb), (c, r) => c + r))
+    (encoded, cents)
+  }
+
+  /** IVFADC ANN — [[ivfTopKLearned]]'s inverted lists × [[pqTopK]]'s
+    * ADC+refine, composed: queries probe their top-2 centroid lists
+    * (nprobe=2), the ADC scan ranks ONLY the probed lists' rows by cosine
+    * against the m-code reconstruction, the top `refine` survivors are
+    * re-ranked exactly from raw vectors. At 100 TB this is the standard
+    * sub-linear layout: scan cost is |probed lists|/nLists of the corpus in
+    * compressed (m-byte) form, raw vectors are fetched for refine·|queries|
+    * rows only. A corpus vector lives in exactly one list and the two
+    * probes differ, so no (query, neighbor) duplicates arise — no dedup
+    * shuffle needed.
+    * Output: (query_id, neighbor_id, sim, rnk).
+    */
+  def ivfadcTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nLists: Int,
+      dim: Int,
+      ivfIters: Int,
+      m: Int,
+      ksub: Int,
+      pqIters: Int,
+      refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val (encoded, cents) =
+      ivfadcEncode(corpus, idCol, vecCol, nLists, dim, ivfIters, m, ksub, pqIters)
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q0.withColumn("list", ivfListWith(col("qv"), cents))
+      .unionByName(q0.withColumn("list", ivfSecondListWith(col("qv"), cents)))
+    val scored = encoded.join(broadcast(probes), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_adc", round(cosineFast(col("qv"), col("recon")), 6))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    topKPerQuery(scored, "sim_adc", refine).drop("rnk")
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
 }

@@ -193,4 +193,63 @@ class SimilaritySpec extends SparkTestBase {
       assert(r._3 < r._1)
     }
   }
+
+  test("ivfadcTopK: every reported neighbor lies in one of the query's two probed lists") {
+    // the scan-confinement contract: candidates (hence results) can only
+    // come from the probed inverted lists — recompute the deterministic
+    // assignments independently and check every output edge against them
+    val q = corpus.filter(col("vec_id") < 3)
+    val out = Similarity.ivfadcTopK(q, corpus, "vec_id", "embedding", 5,
+        nLists = 4, dim = DIM, ivfIters = 2, m = 4, ksub = 4, pqIters = 2, refine = 8)
+      .as[(Long, Long, Double, Int)].collect()
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", 4, DIM, 2)
+    val assigns = corpus.select(col("vec_id"),
+        Similarity.ivfListWith(Similarity.asDouble(col("embedding")), cents).as("c1"),
+        Similarity.ivfSecondListWith(Similarity.asDouble(col("embedding")), cents).as("c2"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (qid, nid, _, _) =>
+      val (q1, q2) = assigns(qid)
+      assert(assigns(nid)._1 == q1 || assigns(nid)._1 == q2,
+        s"neighbor $nid (list ${assigns(nid)._1}) outside query $qid's probes ($q1, $q2)")
+    }
+  }
+
+  test("ivfadcTopK with refine = corpus size reproduces IVF-learned exactly (ADC only cuts)") {
+    // with the ADC cut disabled (refine >= |corpus|) the exact re-rank sees
+    // every probed-list candidate, so the result must equal the learned-IVF
+    // path at equal nprobe — proving the PQ stage composes without
+    // changing the inverted-list semantics
+    val q = corpus.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopKLearned(q, corpus, "vec_id", "embedding", 5,
+        nLists = 4, dim = DIM, iters = 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val ivfadc = Similarity.ivfadcTopK(q, corpus, "vec_id", "embedding", 5,
+        nLists = 4, dim = DIM, ivfIters = 2, m = 4, ksub = 4, pqIters = 2, refine = 100)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(ivfadc === ivf)
+  }
+
+  test("ivfadc residual codes are m small ints; reconstruction beats raw-PQ reconstruction error") {
+    // residual quantization is the point of IVFADC: centroid + coded
+    // residual should reconstruct closer than coding the raw vector with
+    // the same budget (aggregate L2 across the corpus)
+    val (encoded, _) = Similarity.ivfadcEncode(corpus, "vec_id", "embedding",
+      nLists = 4, dim = DIM, ivfIters = 2, m = 4, ksub = 4, pqIters = 2)
+    val rows = encoded.select(col("neighbor_id"), col("code"), col("cv"), col("recon"))
+      .as[(Long, Seq[Int], Seq[Double], Seq[Double])].collect()
+    assert(rows.forall(_._2.size == 4))
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < 4)))
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val residErr = rows.map(r => l2(r._3, r._4)).sum
+    val cbRaw = Similarity.pqCodebooks(corpus, "embedding", 4, 4, DIM, 2)
+    val rawErr = corpus.select(Similarity.asDouble(col("embedding")).as("cv"))
+      .withColumn("recon", Similarity.pqReconstruct(
+        Similarity.pqCodes(col("cv"), cbRaw, DIM), cbRaw))
+      .as[(Seq[Double], Seq[Double])].collect()
+      .map { case (cv, rc) => l2(cv, rc) }.sum
+    assert(residErr < rawErr,
+      f"residual coding error $residErr%.4f not below raw coding error $rawErr%.4f")
+  }
 }
