@@ -18,6 +18,7 @@ object ExtensionQueries extends QueryPack {
   /** documents → opaque media records: real PNG payloads (gray for even
     * ids, RGB for odd), dims a function of n_chars — see
     * [[Multimodal.syntheticPng]] for the pixel formula the oracle replays.
+    * Used by the FEATURES gate, whose oracle replays the pixel formula.
     */
   private def media(spark: SparkSession, dir: String) = {
     import spark.implicits._
@@ -32,11 +33,36 @@ object ExtensionQueries extends QueryPack {
       }
   }
 
+  /** Mixed-modality records for the DECODE gate: every 5th doc carries a
+    * structurally-valid synthetic MP4 (real ISO-BMFF box parse on the Spark
+    * side — dims from the same n_chars formulas, duration 10·n_chars ms,
+    * 1 or 2 tracks by id parity), the rest the real PNGs.
+    */
+  private def mediaMixed(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        val w = 16 + (nChars % 48).toInt
+        val h = 16 + ((nChars * 7) % 48).toInt
+        if (id % 5 == 4)
+          Multimodal.MediaRecord(id,
+            Multimodal.syntheticMp4(w, h, durationMs = nChars * 10,
+              nTracks = 1 + (id % 2).toInt),
+            "video/mp4")
+        else
+          Multimodal.MediaRecord(id, Multimodal.syntheticPng(id, w, h, gray = id % 2 == 0),
+            "image/png")
+      }
+  }
+
   private def decodeQ(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decode(media(spark, dir)).toDF()
+    Multimodal.decode(mediaMixed(spark, dir)).toDF()
       // nBytes is the PNG-compressed size — real but not SQL-derivable, so
       // the gate projects the decoder-read dims the oracle CAN recompute
-      .select(col("id"), col("width"), col("height"), col("channels"))
+      .select(col("id"), col("width"), col("height"), col("channels"),
+        col("durationMs").as("duration_ms"))
 
   private def featuresQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(media(spark, dir)).toDF()
@@ -111,12 +137,16 @@ object ExtensionQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_decode" ->
-      // the Spark side DECODES real PNGs; the oracle recomputes the known
-      // construction formulas (dims from n_chars, gray/RGB from id parity)
+      // the Spark side DECODES real PNGs and parses real MP4 box trees; the
+      // oracle recomputes the known construction formulas (dims from
+      // n_chars; PNG: gray/RGB by id parity, duration 0; MP4 on every 5th
+      // doc: track count by id parity, duration 10·n_chars ms)
       """SELECT doc_id AS id,
         |  CAST(16 + n_chars % 48 AS INT) AS width,
         |  CAST(16 + (n_chars * 7) % 48 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 2
+        |            WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN n_chars * 10 ELSE 0 END AS BIGINT) AS duration_ms
         |FROM documents
         |""".stripMargin,
     // replay the synthetic pixel formula (31x+7y+13id+11b mod 256) over

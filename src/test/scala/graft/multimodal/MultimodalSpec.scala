@@ -58,8 +58,58 @@ class MultimodalSpec extends SparkTestBase {
 
   test("unsupported media types fall back to the disclosed deterministic stub") {
     val payload = Array.tabulate[Byte](100)(i => i.toByte)
-    val d = Multimodal.decodeOne(Multimodal.MediaRecord(9L, payload, "video/mp4"))
+    val d = Multimodal.decodeOne(Multimodal.MediaRecord(9L, payload, "video/x-matroska"))
     assert(d.width == 64 + 100 % 512 && d.channels == 1 + 0 % 3)
+    assert(d.durationMs == 0L)
+  }
+
+  test("MP4 roundtrip: real ISO-BMFF box walk reads back dims, duration, track count") {
+    val bytes = Multimodal.syntheticMp4(width = 640, height = 360, durationMs = 12345L, nTracks = 2)
+    // it is a real ISO-BMFF payload: box 1 is ftyp with brand isom
+    assert(new String(bytes, 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == "ftyp")
+    assert(new String(bytes, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) == "isom")
+    val d = Multimodal.decodeOne(Multimodal.MediaRecord(5L, bytes, "video/mp4"))
+    assert((d.width, d.height, d.channels, d.durationMs) == (640, 360, 2, 12345L))
+    assert(d.nBytes == bytes.length)
+  }
+
+  test("MP4 parse handles version-1 headers and 64-bit box sizes") {
+    // hand-build moov[mvhd v1 + trak[tkhd v1]] with a largesize moov box
+    def u32(b: java.nio.ByteBuffer, v: Long): Unit = b.putInt(v.toInt)
+    val mvhd = java.nio.ByteBuffer.allocate(8 + 112)
+    u32(mvhd, 8 + 112); mvhd.put("mvhd".getBytes)
+    mvhd.putInt(0x01000000)            // version 1
+    mvhd.putLong(0L); mvhd.putLong(0L) // creation, modification (64-bit)
+    mvhd.putInt(90000)                 // timescale
+    mvhd.putLong(180000L)              // duration (64-bit) -> 2000 ms
+    mvhd.position(mvhd.capacity)
+    val tkhd = java.nio.ByteBuffer.allocate(8 + 96)
+    u32(tkhd, 8 + 96); tkhd.put("tkhd".getBytes)
+    tkhd.putInt(0x01000000)            // version 1
+    tkhd.putLong(0L); tkhd.putLong(0L) // creation, modification
+    tkhd.putInt(1); tkhd.putInt(0)     // track_ID, reserved
+    tkhd.putLong(180000L)              // duration (64-bit)
+    tkhd.putLong(0L)                   // reserved
+    tkhd.putShort(0); tkhd.putShort(0); tkhd.putShort(0); tkhd.putShort(0)
+    Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(tkhd.putInt)
+    tkhd.putInt(1280 << 16); tkhd.putInt(720 << 16)
+    val trak = java.nio.ByteBuffer.allocate(8 + tkhd.capacity)
+    u32(trak, 8 + tkhd.capacity); trak.put("trak".getBytes); trak.put(tkhd.array())
+    // moov with size==1 + 64-bit largesize
+    val inner = mvhd.array() ++ trak.array()
+    val moov = java.nio.ByteBuffer.allocate(16 + inner.length)
+    u32(moov, 1L); moov.put("moov".getBytes)
+    moov.putLong(16L + inner.length); moov.put(inner)
+    val (w, h, dur, n) = Multimodal.parseMp4(moov.array())
+    assert((w, h, dur, n) == (1280, 720, 2000L, 1))
+  }
+
+  test("corrupt MP4 boxes fail loudly, not silently") {
+    val bytes = Multimodal.syntheticMp4(64, 64, 100L, 1)
+    val truncated = bytes.take(bytes.length - 10)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(truncated)
+    }
   }
 
   test("decode is distributed: partition-batched over a Dataset") {
