@@ -406,6 +406,14 @@ object Dedup {
       .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
       .select(col("id"), col("simhash").as("sig_n"), col("band"), col("bkey"))
     probe.join(index, Seq("band", "bkey"))
+      // enforce the id contract at runtime: an out-of-range base_id would
+      // silently corrupt the (hamming, id) min-encoding tie-break below —
+      // fail the job instead
+      .withColumn("base_id",
+        when(col("base_id") >= 0 && col("base_id") < ENC, col("base_id"))
+          .otherwise(raise_error(concat(
+            lit(s"screenAgainstIndex: base id "), col("base_id").cast("string"),
+            lit(s" outside [0, $ENC) breaks the min-encoding contract")))))
       .withColumn("hamming", expr("bit_count(sig_n ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id"), col("base_id"), col("hamming")).distinct()

@@ -42,8 +42,9 @@ object Budget {
   }
 
   /** Filter `df` to the highest-score documents totalling ~`budget` tokens.
-    * `scoreExpr` must land in [0, 1) after clamping (scores ≥ 1 share the
-    * top bin).
+    * Scores ≥ 1 share the top bin and scores < 0 the bottom bin (clamped,
+    * mirroring the oracle's greatest/least); a NULL score is corrupt input
+    * and fails the job loudly instead of NPE-ing at the histogram collect.
     */
   def selectByBudget(
       df: DataFrame,
@@ -53,7 +54,11 @@ object Budget {
       budget: Long,
       nBins: Int = 100): DataFrame = {
     require(budget >= 0 && nBins > 0, "budget and nBins must be non-negative")
-    val bin = least(floor(scoreExpr * nBins), lit(nBins - 1)).cast("int")
+    val bin = when(scoreExpr.isNull,
+        raise_error(concat(lit("selectByBudget: null score for id "),
+          col(idCol).cast("string"))))
+      .otherwise(greatest(least(floor(scoreExpr * nBins), lit(nBins - 1)), lit(0)))
+      .cast("int")
     val hist = df
       .groupBy(bin.as("__bin"))
       .agg(sum(tokenExpr).as("__tok"))

@@ -74,10 +74,12 @@ object TextQueries extends QueryPack {
     "q_pack_sequences" -> ((s, dir) =>
       graft.text.Packing.packOffsets(docs(s, dir), "doc_id", "text",
         budget = 256, nShards = 8)),
-    // pack-level fill: every non-terminal pack exactly full by construction
+    // pack-level fill: every non-terminal pack exactly full by construction.
+    // maxPacksSpanned 1000 = the oracle's JOIN range(0, 1000) bound — both
+    // engines share the explicit span cap (fixture docs span <= 4)
     "q_pack_fill" -> ((s, dir) =>
       graft.text.Packing.packFill(docs(s, dir), "doc_id", "text",
-        budget = 256, nShards = 8)),
+        budget = 256, nShards = 8, maxPacksSpanned = 1000L)),
     "q_vocab_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = docs(s, dir)

@@ -261,23 +261,33 @@ object StreamingOps {
     val base = spark.read.parquet(path).filter(col("doc_id") % 5 =!= 0)
     val index = Dedup.simhashBandedIndex(base, "doc_id", "text").cache()
     index.count() // materialize before the stream starts
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_stream_screen").toString
+    // Stable per-query output root (like the partitioned-sink queries),
+    // wiped at run start — no unbounded temp-dir accumulation. Each batch
+    // writes mode=overwrite into its own batchId-keyed subpath, so a
+    // retried foreachBatch invocation replaces its rows instead of
+    // duplicating them (foreachBatch is at-least-once).
+    val outDir = s"target/stream_screen_${math.abs(queryName.hashCode)}"
+    val root = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
       .filter(col("doc_id") % 5 === 0)
     val query = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Dedup.screenAgainstIndex(index, batch, "doc_id", "text")
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .queryName(queryName)
       .start()
     query.awaitTermination()
     index.unpersist()
-    spark.read.parquet(outDir).withColumnRenamed("id", "doc_id")
+    // partition discovery surfaces batchId as a `batch` column — not part
+    // of the screen contract, drop it
+    spark.read.parquet(outDir).drop("batch").withColumnRenamed("id", "doc_id")
   }
 }

@@ -64,18 +64,32 @@ object Packing {
     * fill ratio vs budget. The last pack of a shard is allowed to be
     * partial; every other pack is exactly full by construction — the spec
     * asserts this invariant.
+    *
+    * `maxPacksSpanned` bounds the span explode explicitly: spans are
+    * ceil(n_tokens/budget)+1, so the default (100k packs ≈ 25M tokens at
+    * budget 256) is unreachable for any real document — a row exceeding it
+    * is corrupt input (or a mis-set budget) and FAILS the job via
+    * raise_error instead of silently exploding one task. The DuckDB oracle
+    * mirrors the bound with its JOIN range(0, max) expansion.
     */
   def packFill(
       df: DataFrame,
       idCol: String,
       textCol: String,
       budget: Int,
-      nShards: Int): DataFrame = {
+      nShards: Int,
+      maxPacksSpanned: Long = 100000L): DataFrame = {
     val placed = packOffsets(df, idCol, textCol, budget, nShards)
     // A doc contributes min(end, (p+1)*budget) - max(offset, p*budget)
     // tokens to each pack p it spans; expand span-wise (spans are tiny —
     // ceil(n_tokens/budget)+1 — so the explode is O(rows), not quadratic).
     placed
+      .withColumn("packs_spanned",
+        when(col("packs_spanned") <= maxPacksSpanned, col("packs_spanned"))
+          .otherwise(raise_error(concat(
+            lit(s"packFill: document "), col(idCol).cast("string"),
+            lit(" spans "), col("packs_spanned").cast("string"),
+            lit(s" packs (> max $maxPacksSpanned) — corrupt input or mis-set budget")))))
       .withColumn("p", explode(sequence(col("pack_id"),
         col("pack_id") + col("packs_spanned") - 1)))
       .withColumn("tok_in_pack",

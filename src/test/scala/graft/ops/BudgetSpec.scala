@@ -38,4 +38,25 @@ class BudgetSpec extends SparkTestBase {
     assert(half.subsetOf(run(900L)), "raising the budget must only add docs")
     assert(run(1000L).size === 100)
   }
+
+  test("negative scores clamp to the bottom bin instead of corrupting the histogram") {
+    // one doc at score -0.3: with a generous budget it is still selectable
+    // (bin 0), and with a tight budget the high bin wins over it
+    val docs = Seq((0L, 0.9, 10), (1L, -0.3, 10)).toDF("doc_id", "score", "ntok")
+    val all = Budget.selectByBudget(docs, "doc_id", col("ntok"), col("score"), 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all === Set(0L, 1L))
+    val tight = Budget.selectByBudget(docs, "doc_id", col("ntok"), col("score"), 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight === Set(0L))
+  }
+
+  test("a null score fails the job loudly, not an NPE at collect") {
+    val docs = Seq((0L, Some(0.9), 10), (1L, Option.empty[Double], 10))
+      .toDF("doc_id", "score", "ntok")
+    val e = intercept[Exception] {
+      Budget.selectByBudget(docs, "doc_id", col("ntok"), col("score"), 100L).count()
+    }
+    assert(e.getMessage != null)
+  }
 }

@@ -60,6 +60,20 @@ class PackingSpec extends SparkTestBase {
     assert(totPacked === totInput)
   }
 
+  test("a document spanning more than maxPacksSpanned packs fails loudly") {
+    // budget 4 with a 50-token doc spans 13 packs; cap at 10 must raise
+    // instead of silently exploding the span
+    val docs = Seq(doc(0L, 50), doc(1L, 3)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Packing.packFill(docs, "doc_id", "text", budget = 4, nShards = 1,
+        maxPacksSpanned = 10L).count()
+    }
+    assert(e.getMessage.contains("packFill") || e.getCause != null)
+    // and the same corpus under the default (generous) cap is fine
+    val ok = Packing.packFill(docs, "doc_id", "text", budget = 4, nShards = 1)
+    assert(ok.agg(sum("n_tokens")).as[Long].head() === 53L)
+  }
+
   test("layout is deterministic: same corpus, same packs across runs") {
     val docs = (0L until 25L).map(i => doc(i, (i % 5).toInt + 2))
       .toDF("doc_id", "text").repartition(7) // physical layout must not matter
