@@ -190,9 +190,9 @@ object Metrics {
     *                counts), "weighted" (support-weighted class mean), or
     *                "samples" (per-sample mean; single-label rows make every
     *                per-sample stat the 0/1 exact-match indicator, so all
-    *                four collapse to accuracy — documented divergence from
-    *                sklearn, which rejects non-multilabel input for this
-    *                average)
+    *                four collapse to accuracy — sklearn itself rejects
+    *                non-multilabel input for this average; for true
+    *                indicator-set rows use [[multilabelSamplesScores]])
     * Output: (fold, precision, recall, f1, jaccard).
     */
   def multiclassScores(
@@ -254,6 +254,40 @@ object Metrics {
           .select(col(foldCol), col("precision"), col("recall"), col("f1"), col("jaccard"))
           .orderBy(col(foldCol))
     }
+  }
+
+  /** TRUE multilabel `samples`-averaged precision/recall/F1/jaccard over
+    * indicator-SET rows — the sklearn semantics `multiclassScores` can't
+    * express on single-label input (`metrics.py:713-724` with a multilabel
+    * indicator matrix): per sample i with true set Y_i and predicted set
+    * Ŷ_i, precision_i = |Y∩Ŷ|/|Ŷ|, recall_i = |Y∩Ŷ|/|Y|,
+    * f1_i = 2|Y∩Ŷ|/(|Y|+|Ŷ|), jaccard_i = |Y∩Ŷ|/|Y∪Ŷ|; empty denominators
+    * contribute 0 (sklearn's zero_division=0). The result is the per-fold
+    * mean — one row-local array projection + one aggregate, fully
+    * distributed, no per-class shuffle at all.
+    *
+    * @param labelsCol array column of true labels per row (any element type)
+    * @param predsCol  array column of predicted labels per row
+    * Output: (fold, precision, recall, f1, jaccard).
+    */
+  def multilabelSamplesScores(
+      preds: DataFrame,
+      labelsCol: String,
+      predsCol: String,
+      foldCol: String = "fold"): DataFrame = {
+    val y = array_distinct(col(labelsCol))
+    val p = array_distinct(col(predsCol))
+    val inter = size(array_intersect(y, p)).cast("double")
+    val ny = size(y).cast("double")
+    val np = size(p).cast("double")
+    val prec = when(np === 0, 0.0).otherwise(inter / np)
+    val rec = when(ny === 0, 0.0).otherwise(inter / ny)
+    val f1 = when(ny + np === 0, 0.0).otherwise(lit(2.0) * inter / (ny + np))
+    val jac = when(ny + np - inter === 0, 0.0).otherwise(inter / (ny + np - inter))
+    preds.groupBy(col(foldCol))
+      .agg(avg(prec).as("precision"), avg(rec).as("recall"),
+        avg(f1).as("f1"), avg(jac).as("jaccard"))
+      .orderBy(col(foldCol))
   }
 
   /** Average precision (area under the precision-recall curve, step

@@ -56,4 +56,34 @@ class MetricsSpec extends SparkTestBase {
     assert(math.abs(score("explained_variance", pairs) - 1.0) < 1e-12)
     assert(score("r2", pairs) < 1.0)
   }
+
+  test("multilabelSamplesScores matches the sklearn samples-average hand oracle") {
+    // 4 samples of indicator sets (sklearn metrics.py:713-724 semantics,
+    // zero_division=0):
+    //   s0: Y={a,b}   Yh={a}     -> p=1,   r=1/2, f1=2/3, jac=1/2
+    //   s1: Y={a}     Yh={a,b,c} -> p=1/3, r=1,   f1=1/2, jac=1/3
+    //   s2: Y={b,c}   Yh={b,c}   -> p=1,   r=1,   f1=1,   jac=1
+    //   s3: Y={a}     Yh={}      -> p=0,   r=0,   f1=0,   jac=0
+    val rows = Seq(
+      (0, Seq("a", "b"), Seq("a")),
+      (0, Seq("a"), Seq("a", "b", "c")),
+      (0, Seq("b", "c"), Seq("b", "c")),
+      (0, Seq("a"), Seq.empty[String])
+    ).toDF("fold", "labels", "preds")
+    val r = Metrics.multilabelSamplesScores(rows, "labels", "preds").collect().head
+    val eps = 1e-12
+    assert(math.abs(r.getAs[Double]("precision") - (1.0 + 1.0 / 3 + 1.0 + 0.0) / 4) < eps)
+    assert(math.abs(r.getAs[Double]("recall") - (0.5 + 1.0 + 1.0 + 0.0) / 4) < eps)
+    assert(math.abs(r.getAs[Double]("f1") - (2.0 / 3 + 0.5 + 1.0 + 0.0) / 4) < eps)
+    assert(math.abs(r.getAs[Double]("jaccard") - (0.5 + 1.0 / 3 + 1.0 + 0.0) / 4) < eps)
+  }
+
+  test("multilabelSamplesScores: both-empty rows contribute zero_division=0, not NaN") {
+    val rows = Seq((0, Seq.empty[String], Seq.empty[String]),
+      (0, Seq("a"), Seq("a"))).toDF("fold", "labels", "preds")
+    val r = Metrics.multilabelSamplesScores(rows, "labels", "preds").collect().head
+    Seq("precision", "recall", "f1", "jaccard").foreach { c =>
+      assert(r.getAs[Double](c) === 0.5, c)
+    }
+  }
 }
