@@ -82,4 +82,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"membership join not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
+
+  test("ivfadc ADC scan joins probes on list via broadcast hash — no cartesian scan") {
+    // the scan-confinement PLAN shape: the corpus side keys on its inverted
+    // list and the tiny probe table broadcasts; a BroadcastNestedLoopJoin
+    // or CartesianProduct would mean the ADC stage scans every corpus row
+    // per query (the flat-PQ shape this operator exists to avoid)
+    val dim = 8
+    val corpus = (0L until 30L).map(i =>
+      (i, (0 until dim).map(d => math.sin(i * 31 + d).toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity.ivfadcTopK(
+      corpus.filter(col("vec_id") < 2), corpus, "vec_id", "embedding",
+      k = 3, nLists = 4, dim = dim, ivfIters = 1, m = 4, ksub = 4,
+      pqIters = 1, refine = 5)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast-hash:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"ADC stage degraded to an all-pairs scan:\n$plan")
+  }
 }
