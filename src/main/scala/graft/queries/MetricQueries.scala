@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cv.CrossVal
@@ -148,6 +148,28 @@ object MetricQueries extends QueryPack {
     (reg ++ clf).reduce(_ unionByName _)
   }
 
+  /** TRUE multilabel `samples` averaging over deterministic indicator sets:
+    * the label set flags divisibility of doc_id by 2/3/5, the predicted set
+    * the same over n_chars — engine-replayable integer conditions, so the
+    * DuckDB oracle recomputes per-row |Y∩Ŷ|/|Y|/|Ŷ| with CASE arithmetic
+    * (no list functions needed).
+    */
+  private def multilabelScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tables.cached(spark, dir, "documents")
+    def flags(c: Column) = concat(
+      when(c % 2 === 1, array(lit("a"))).otherwise(array().cast("array<string>")),
+      when(c % 3 === 1, array(lit("b"))).otherwise(array().cast("array<string>")),
+      when(c % 5 === 1, array(lit("c"))).otherwise(array().cast("array<string>")))
+    val rows = d.select((col("doc_id") % 3).cast("int").as("fold"),
+      flags(col("doc_id")).as("labels"), flags(col("n_chars")).as("preds"))
+    Metrics.multilabelSamplesScores(rows, "labels", "preds")
+      .select(col("fold"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_metrics_regression" -> (regressionScores _),
     "q_metrics_classification" -> (classificationScores _),
@@ -155,9 +177,32 @@ object MetricQueries extends QueryPack {
     "q_metrics_d2" -> (d2Scores _),
     "q_metric_auc_multiclass" -> (multiclassAuc _),
     "q_metrics_weighted" -> (weightedScores _),
+    "q_metrics_multilabel" -> (multilabelScores _),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_metrics_multilabel" ->
+      """WITH t AS (SELECT CAST(doc_id % 3 AS INT) AS fold,
+        |  CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ya,
+        |  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS yb,
+        |  CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS yc,
+        |  CASE WHEN n_chars % 2 = 1 THEN 1 ELSE 0 END AS pa,
+        |  CASE WHEN n_chars % 3 = 1 THEN 1 ELSE 0 END AS pb,
+        |  CASE WHEN n_chars % 5 = 1 THEN 1 ELSE 0 END AS pc
+        |FROM documents),
+        |s AS (SELECT fold, ya*pa + yb*pb + yc*pc AS inter,
+        |             ya + yb + yc AS ny, pa + pb + pc AS np FROM t),
+        |m AS (SELECT fold,
+        |  CASE WHEN np = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / np END AS prec,
+        |  CASE WHEN ny = 0 THEN 0.0 ELSE CAST(inter AS DOUBLE) / ny END AS rec,
+        |  CASE WHEN ny + np = 0 THEN 0.0 ELSE 2.0 * inter / (ny + np) END AS f1,
+        |  CASE WHEN ny + np - inter = 0 THEN 0.0
+        |       ELSE CAST(inter AS DOUBLE) / (ny + np - inter) END AS jac
+        |FROM s)
+        |SELECT fold, round(avg(prec), 6) AS "precision", round(avg(rec), 6) AS recall,
+        |       round(avg(f1), 6) AS f1, round(avg(jac), 6) AS jaccard
+        |FROM m GROUP BY fold
+        |""".stripMargin,
     "q_metrics_regression" ->
       s"""$prelude,
          |train AS (SELECT b.split AS fold, avg(ev.value) AS mu
