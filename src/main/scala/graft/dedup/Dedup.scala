@@ -443,8 +443,12 @@ object Dedup {
     * as n²·nBands/2^(bits/nBands) — with 48 bits and h≤11 that is n²·12/16,
     * right when near-dup density is itself Θ(n²) (the answer is that big),
     * wrong for sparse corpora where [[minhashLshPairs]] with the hot-bucket
-    * cap stays linear. Widen `bits` (e.g. 128) to push the collision rate
-    * down at production corpus sizes. See SCALE.md "Dedup head selection".
+    * cap stays linear. Pigeonhole recall caps key width at ~bits/maxHamming
+    * regardless of signature width, so wider keys require a smaller hamming
+    * FRACTION: for high-threshold (near-exact) corpora use
+    * [[simhashWideJaccardPairs]], whose ≥64-bit `array<bigint>` signatures
+    * make e.g. 16-bit keys at h/bits ≈ 5% expressible (4096× fewer random
+    * collisions). Measured trade-offs: SCALE.md "Wide SimHash signatures".
     */
   def simhashJaccardPairs(
       df: DataFrame,

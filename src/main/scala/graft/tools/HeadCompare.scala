@@ -98,6 +98,21 @@ object HeadCompare {
     println(f"MINHASH-LSH head: ${mh.size} verified pairs, pair recall ${pct((mh & truth).size, truth.size)}%.2f%%, $mhC clusters, label agreement $mhA%.2f%%, ${tMh}%.1f s")
     println(f"SIMHASH head (h<=$maxHamming): ${smh.size} verified pairs, pair recall ${pct((smh & truth).size, truth.size)}%.2f%%, $shC clusters, label agreement $shA%.2f%%, ${tSh}%.1f s")
     println(s"simhash-found-minus-minhash: ${(smh -- mh).size}; minhash-minus-simhash: ${(mh -- smh).size}")
+
+    // heads 3..n: the WIDE (array<bigint>) SimHash representation at
+    // several (bits, nBands, maxHamming) points — the round-4 question:
+    // which wide config keeps flagship-grade recall, and what do wider
+    // band keys buy in candidate volume / time?
+    for ((bits, nBands, maxH) <- Seq((96, 24, 22), (96, 12, 11), (96, 6, 5), (128, 32, 22))) {
+      val (wd, tWd) = time {
+        pairSet(Dedup.simhashWideJaccardPairs(docs, "doc_id", "text", n = 1,
+          threshold = thr, bits = bits, nBands = nBands, maxHamming = maxH))
+      }
+      val (wdC, wdA) = clusterAgreement(partition(wd))
+      println(f"SIMHASH-WIDE $bits%d-bit, $nBands%d bands, h<=$maxH%d: ${wd.size} verified pairs, " +
+        f"pair recall ${pct((wd & truth).size, truth.size)}%.2f%%, $wdC clusters, " +
+        f"label agreement $wdA%.2f%%, ${tWd}%.1f s")
+    }
     spark.stop()
   }
 }
