@@ -80,6 +80,29 @@ object TextQueries extends QueryPack {
     "q_pack_fill" -> ((s, dir) =>
       graft.text.Packing.packFill(docs(s, dir), "doc_id", "text",
         budget = 256, nShards = 8, maxPacksSpanned = 1000L)),
+    // CCNet-style corpus-LM quality signal: per-doc mean negative
+    // log-probability under the corpus's own add-one bigram LM
+    "q_lm_score" -> ((s, dir) =>
+      graft.text.LmScore.nllPerDoc(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll"))),
+    // RAG/context-window chunking: 64-token windows, 16-token overlap
+    "q_chunk_docs" -> ((s, dir) =>
+      graft.text.Chunking.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")),
+    // PII scrubbing stats over deterministically-injected spans (the word-
+    // soup corpus carries none of its own; the injection is replayed by
+    // the oracle so the real regex path produces non-trivial counts)
+    "q_pii_stats" -> ((s, dir) => {
+      val injected = docs(s, dir).withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 3, lit(" 40414243444546")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 5, lit(" 10.0.255.1")).otherwise(lit(""))))
+      graft.text.Pii.piiStats(injected, "doc_id", "text2")
+    }),
     "q_vocab_stats" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val counts = docs(s, dir)
@@ -207,6 +230,56 @@ object TextQueries extends QueryPack {
          |FROM tk
          |LEFT JOIN t2 ON tk.doc_id = t2.doc_id
          |LEFT JOIN d5 ON tk.doc_id = d5.doc_id
+         |""".stripMargin,
+    "q_chunk_docs" ->
+      // stride 48 = 64 - 16; integer `//` chunk-count arithmetic mirrors
+      // the engine's DIV; list_slice clamps the terminal short chunk
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |c AS (SELECT doc_id, t, len(t) AS n,
+         |        greatest((len(t) - 16 + 47) // 48, 1) AS nch FROM tk),
+         |idx AS (SELECT CAST(x AS INT) AS i FROM range(0, 1000) r(x)),
+         |e AS (SELECT doc_id, i AS chunk_idx, CAST(i * 48 AS INT) AS chunk_start,
+         |             list_slice(t, i * 48 + 1, i * 48 + 64) AS sl
+         |      FROM c JOIN idx ON i < nch)
+         |SELECT doc_id, chunk_idx, chunk_start,
+         |       CAST(len(sl) AS INT) AS n_chunk_tokens,
+         |       array_to_string(sl, ' ') AS chunk_text
+         |FROM e
+         |""".stripMargin,
+    "q_pii_stats" -> {
+      import graft.text.Pii.{EMAIL, IPV4, LONG_DIGITS}
+      // NOTE: DuckDB regexp_replace needs the 'g' flag to match Spark's
+      // always-global replacement semantics
+      s"""WITH t AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 3 THEN ' 40414243444546' ELSE '' END ||
+         |  CASE WHEN doc_id % 13 = 5 THEN ' 10.0.255.1' ELSE '' END AS t2
+         |FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '$EMAIL')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(regexp_replace(t2, '$EMAIL', '<EMAIL>', 'g'), '$IPV4')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(t2, '$EMAIL', '<EMAIL>', 'g'), '$IPV4', '<IP>', 'g'), '$LONG_DIGITS')) AS INT) AS n_long_digits,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t2, '$EMAIL', '<EMAIL>', 'g'), '$IPV4', '<IP>', 'g'), '$LONG_DIGITS', '<NUM>', 'g')) AS INT) AS n_chars_redacted
+         |FROM t
+         |""".stripMargin
+    },
+    "q_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+         |       FROM tk JOIN pos ON i + 2 <= len(t)),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM
+         |          (SELECT unnest($toks) AS w1 FROM documents) GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM
+         |        (SELECT unnest($toks) AS w1 FROM documents)),
+         |s AS (SELECT bg.doc_id, -ln(CAST(bc.c12 + 1 AS DOUBLE) / (uni.c1 + v.v)) AS nlp
+         |      FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+         |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
+         |      FROM s GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |       round(a.nll, 6) AS nll
+         |FROM documents d LEFT JOIN a USING (doc_id)
          |""".stripMargin,
     "q_vocab_stats" ->
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality scoring (beyond-reference
+  * training-data op; Wenzek et al. 2020 filter corpora by the perplexity of
+  * a small LM — here the LM is trained ON the corpus itself, in one pass).
+  *
+  * Train: bigram counts c(w1,w2) and unigram counts c(w1) over the corpus —
+  * two map-side-combined aggregates whose output axis is the VOCABULARY
+  * (bounded, ≪ corpus). Score: each document's mean negative log-probability
+  * under add-one (Laplace) smoothing,
+  *     nll(doc) = −mean_i ln[ (c(w_i, w_{i+1}) + 1) / (c(w_i) + V) ],
+  * computed by joining the document's bigrams against the count table — a
+  * shuffle keyed on the bigram (well-spread by construction) — plus a
+  * broadcast of nothing: V is one scalar. High nll = improbable text under
+  * the corpus LM (gibberish/outlier); low = boilerplate-like. All arithmetic
+  * is ln over exact integer ratios, so a SQL oracle replays it bit-for-bit
+  * (same class as the gate-green log_loss metric).
+  *
+  * Scale: bigram explode is map-local; both count aggregates combine
+  * map-side; the scoring join shuffles on the bigram key (no hot key unless
+  * the corpus is one repeated sentence — in which case the count table is
+  * tiny and Catalyst broadcasts it). No collect anywhere; V is computed with
+  * one scalar aggregate.
+  */
+object LmScore {
+
+  /** Distinct-position bigrams of a space-tokenized text column:
+    * (w1, w2) per adjacent token pair, docs shorter than 2 tokens yield
+    * none. NOT distinct — counts weight repeated bigrams, as an LM must.
+    */
+  def bigrams(text: Column): Column = {
+    val t = split(text, " ")
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Per-document mean negative log-probability under the corpus bigram LM
+    * with add-one smoothing. Documents with < 2 tokens score NULL (no
+    * bigrams — sklearn-style explicitness beats a silent 0).
+    * Output: (id, n_bigrams, nll).
+    */
+  def nllPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBigrams = df
+      .select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uniCounts = df
+      .select(explode(split(col(textCol), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = docBigrams
+      .join(biCounts, Seq("w1", "w2"))
+      .join(uniCounts, Seq("w1"))
+      .crossJoin(vocab) // one scalar row
+      .withColumn("nlp", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+    df.select(col(idCol).as("id"))
+      .join(scored.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("nll")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"))
+  }
+}

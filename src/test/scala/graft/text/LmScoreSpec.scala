@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class LmScoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus: "a b" ×2, "a b c", "x" (no bigrams)
+  // unigrams: a=3, b=3, c=1, x=1 → V=4
+  // bigrams:  (a,b)=3, (b,c)=1
+  private def corpus = Seq(
+    (0L, "a b"), (1L, "a b"), (2L, "a b c"), (3L, "x")
+  ).toDF("doc_id", "text")
+
+  test("nll matches the hand-computed add-one bigram LM") {
+    val out = LmScore.nllPerDoc(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val pAB = (3.0 + 1) / (3 + 4) // c12=3, c1(a)=3, V=4
+    val pBC = (1.0 + 1) / (3 + 4) // c12=1, c1(b)=3, V=4
+    val eps = 1e-12
+    assert(out(0L)._1 == 1L && math.abs(out(0L)._2.get - -math.log(pAB)) < eps)
+    assert(out(1L) == out(0L), "identical docs score identically")
+    assert(out(2L)._1 == 2L &&
+      math.abs(out(2L)._2.get - (-math.log(pAB) - math.log(pBC)) / 2) < eps)
+    // a doc with no bigrams scores NULL, not 0 — explicit absence
+    assert(out(3L)._1 == 0L && out(3L)._2.isEmpty)
+  }
+
+  test("rarer sequences score higher nll than corpus-typical ones") {
+    val out = LmScore.nllPerDoc(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // doc 2 contains the rare (b,c) bigram → higher mean nll than pure (a,b)
+    assert(out(2L).get > out(0L).get)
+  }
+
+  test("counts weight repeated bigrams — not distinct-gram semantics") {
+    val df = Seq((0L, "w w w")).toDF("doc_id", "text") // bigram (w,w) ×2
+    val out = LmScore.nllPerDoc(df, "doc_id", "text").collect().head
+    assert(out.getLong(1) == 2L) // both positions counted
+    // c12=2, c1(w)=3, V=1 → p=(2+1)/(3+1)
+    assert(math.abs(out.getDouble(2) - -math.log(3.0 / 4)) < 1e-12)
+  }
+}
