@@ -137,6 +137,12 @@ object ScaleQueries extends QueryPack {
       graft.ops.Mixture.mixtureReport(
         Tables.cached(s, dir, "documents"), "doc_id", "lang",
         graft.text.TextFunctions.tokenCount(col("text")), MIX_WEIGHTS)),
+    // deterministic corpus shuffle: reproducible permutation of 0..N-1,
+    // two-stage (bucket histogram + within-bucket rank), no global sort
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.ops.CorpusShuffle.shufflePositions(
+        Tables.cached(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("shuffle_pos"))),
     "q_curation_pipeline" -> (curation _),
   )
 
@@ -215,6 +221,22 @@ object ScaleQueries extends QueryPack {
         |FROM events
         |WHERE CAST(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 10
         |GROUP BY event_type
+        |""".stripMargin,
+    "q_corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('0#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+        |FROM documents),
+        |b AS (SELECT doc_id, h, CAST(h % 1024 AS INT) AS bucket FROM h),
+        |o AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        |off AS (SELECT bucket,
+        |          CAST(coalesce(sum(n) OVER (ORDER BY bucket
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+        |        FROM o),
+        |r AS (SELECT doc_id, bucket,
+        |        CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS BIGINT) - 1 AS rnk
+        |      FROM b)
+        |SELECT r.doc_id, CAST(off.o + r.rnk AS BIGINT) AS shuffle_pos
+        |FROM r JOIN off USING (bucket)
         |""".stripMargin,
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
