@@ -86,6 +86,11 @@ object TextQueries extends QueryPack {
       graft.text.LmScore.nllPerDoc(docs(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"),
           round(col("nll"), 6).as("nll"))),
+    // per-doc top-3 salient terms by smoothed tf-idf
+    "q_tfidf_terms" -> ((s, dir) =>
+      graft.text.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          round(col("tfidf"), 6).as("tfidf"), col("rnk"))),
     // RAG/context-window chunking: 64-token windows, 16-token overlap
     "q_chunk_docs" -> ((s, dir) =>
       graft.text.Chunking.chunkDocs(docs(s, dir), "doc_id", "text",
@@ -230,6 +235,22 @@ object TextQueries extends QueryPack {
          |FROM tk
          |LEFT JOIN t2 ON tk.doc_id = t2.doc_id
          |LEFT JOIN d5 ON tk.doc_id = d5.doc_id
+         |""".stripMargin,
+    "q_tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |        tf.tf * (ln(CAST(1 + n.n AS DOUBLE) / (1 + dft.df)) + 1) AS tfidf
+         |      FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, tfidf,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |                                ORDER BY tfidf DESC, term) AS INT) AS rnk
+         |      FROM s)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |       round(tfidf, 6) AS tfidf, rnk
+         |FROM r WHERE rnk <= 3
          |""".stripMargin,
     "q_chunk_docs" ->
       // stride 48 = 64 - 16; integer `//` chunk-count arithmetic mirrors
