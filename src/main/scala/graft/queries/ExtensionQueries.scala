@@ -133,6 +133,11 @@ object ExtensionQueries extends QueryPack {
     "q_stream_screen" -> ((s, dir) =>
       StreamingOps.streamScreen(s, dir,
         queryName = s"stream_screen_${math.abs(dir.hashCode)}")),
+    // filter-on-ingest: the row-local C4 heuristic filter applied to a
+    // document stream; per-doc independence ⇒ batch oracle verifies it
+    "q_stream_filter" -> ((s, dir) =>
+      StreamingOps.streamC4Filter(s, dir,
+        queryName = s"stream_c4_${math.abs(dir.hashCode)}")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -204,6 +209,8 @@ object ExtensionQueries extends QueryPack {
     // streamed union == one-shot batch screen (per-doc independence), so
     // the batch oracle verifies the streaming path verbatim
     "q_stream_screen" -> DedupQueries.screenOracleSql,
+    // same principle for the streamed filter: the batch C4 oracle verbatim
+    "q_stream_filter" -> TextQueries.oracleSql("q_c4_filter"),
     "q_bucketed_join" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value,

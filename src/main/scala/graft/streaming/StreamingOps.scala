@@ -239,6 +239,34 @@ object StreamingOps {
         col("n_events"), col("sum_value"), col("avg_value"))
   }
 
+  /** Streaming curation filter: the C4/Gopher heuristic rule flags applied
+    * to documents AS THEY ARRIVE — the filter-on-ingest deployment shape.
+    * Every rule is a row-local codegen boolean, so the streaming plan is the
+    * batch plan verbatim (append mode, no state, no watermark needed) and
+    * per-doc independence makes the streamed union identical to the
+    * one-shot batch result — the gate reuses the batch oracle.
+    */
+  def streamC4Filter(
+      spark: SparkSession,
+      dir: String,
+      queryName: String = "stream_c4"): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val flagged = graft.text.Heuristics.flags(stream, "doc_id", "text")
+    val query = flagged.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest near-dup screen: documents arrive as a stream and
     * every micro-batch is SimHash-probed against the STATIC base corpus's
     * banded index via `foreachBatch` — the deployment shape of

@@ -193,4 +193,16 @@ class WatermarkSpec extends SparkTestBase {
     assert(!plan.contains("events.parquet"), s"finalize re-scans events:\n$plan")
     assert(out.count() > 0)
   }
+
+  test("streamed C4 filter equals the one-shot batch filter row for row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamC4Filter(spark, dir,
+      queryName = s"c4_stream_${System.nanoTime()}")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.text.Heuristics.flags(
+      graft.sources.Tables.cached(spark, dir, "documents"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
