@@ -53,4 +53,29 @@ class VerifyWrapOracleSpec extends AnyFunSuite {
     val w = wrap("SELECT n FROM t;", "n" -> LongType)
     assert(!w.contains(";"))
   }
+
+  test("property: numeric schemas always wrap, non-numeric always pass through, no column dropped (200 random schemas)") {
+    val rng = new scala.util.Random(23)
+    val scalars = Seq(DoubleType, FloatType, LongType, IntegerType, ShortType,
+      ByteType, StringType, BooleanType, DateType)
+    def randType(): DataType = rng.nextInt(3) match {
+      case 0 => scalars(rng.nextInt(scalars.size))
+      case 1 => ArrayType(scalars(rng.nextInt(scalars.size)))
+      case _ => ArrayType(ArrayType(scalars(rng.nextInt(scalars.size))))
+    }
+    def numeric(dt: DataType): Boolean = dt match {
+      case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType => true
+      case ArrayType(e, _) => numeric(e)
+      case _ => false
+    }
+    for (_ <- 0 until 200) {
+      val fields = (0 until rng.nextInt(8) + 1)
+        .map(i => (s"c$i", randType()))
+      val w = wrap("SELECT 1", fields: _*)
+      if (fields.exists(f => numeric(f._2))) {
+        assert(w.contains("__graft_norm"))
+        fields.foreach { case (n, _) => assert(w.contains("\"" + n + "\""), s"dropped $n") }
+      } else assert(w == "SELECT 1")
+    }
+  }
 }

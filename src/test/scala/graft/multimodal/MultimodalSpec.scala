@@ -104,6 +104,17 @@ class MultimodalSpec extends SparkTestBase {
     assert((w, h, dur, n) == (1280, 720, 2000L, 1))
   }
 
+  test("property: every synthetic MP4 parses back to its construction parameters (200 random draws)") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val (w, h) = (rng.nextInt(4096) + 1, rng.nextInt(4096) + 1)
+      val dur = rng.nextLong(86400000L)
+      val tracks = rng.nextInt(8) + 1
+      val parsed = Multimodal.parseMp4(Multimodal.syntheticMp4(w, h, dur, tracks))
+      assert(parsed == ((w, h, dur, tracks)))
+    }
+  }
+
   test("corrupt MP4 boxes fail loudly, not silently") {
     val bytes = Multimodal.syntheticMp4(64, 64, 100L, 1)
     val truncated = bytes.take(bytes.length - 10)

@@ -59,4 +59,23 @@ class BudgetSpec extends SparkTestBase {
     }
     assert(e.getMessage != null)
   }
+
+  test("property: kept token mass = min(budget, total); rates in [0,1], monotone by bin (200 random histograms)") {
+    val rng = new scala.util.Random(42)
+    for (_ <- 0 until 200) {
+      val hist = (0 until rng.nextInt(30))
+        .map(_ => (rng.nextInt(100), rng.nextLong(10000) + 1))
+        .groupBy(_._1).map { case (b, xs) => (b, xs.map(_._2).sum) }.toSeq
+      val budget = rng.nextLong(500000)
+      val rates = Budget.binRates(hist, budget)
+      assert(rates.values.forall(r => r >= 0.0 && r <= 1.0))
+      val kept = hist.map { case (b, tok) => rates(b) * tok }.sum
+      val total = hist.map(_._2).sum
+      assert(math.abs(kept - math.min(budget, total)) < 1e-6,
+        s"kept $kept != min($budget, $total) for $hist")
+      val byBinDesc = hist.map(_._1).distinct.sorted.reverse.map(rates)
+      assert(byBinDesc.zip(byBinDesc.drop(1)).forall { case (hi, lo) => hi >= lo },
+        s"rates not monotone from top bin: $rates")
+    }
+  }
 }

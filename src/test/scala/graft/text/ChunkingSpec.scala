@@ -45,4 +45,26 @@ class ChunkingSpec extends SparkTestBase {
       Chunking.chunkDocs(df, "doc_id", "text", chunkSize = 4, overlap = 4)
     }
   }
+
+  test("property: the chunk-count arithmetic covers every token (300 random configs, pure math)") {
+    // the same integer formula the operator and the oracle share:
+    // nch = max((n - overlap + stride - 1) DIV stride, 1), starts = i·stride
+    val rng = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val n = rng.nextInt(500) + 1
+      val chunkSize = rng.nextInt(64) + 1
+      val overlap = rng.nextInt(chunkSize)
+      val stride = chunkSize - overlap
+      val nch = math.max((n - overlap + stride - 1) / stride, 1)
+      val starts = (0 until nch).map(_ * stride)
+      assert((0 until n).forall(t => starts.exists(s => t >= s && t < s + chunkSize)),
+        s"uncovered token: n=$n size=$chunkSize overlap=$overlap")
+      // minimality: dropping the last chunk must uncover something,
+      // except the degenerate single-chunk case
+      if (nch > 1)
+        assert(!(0 until n).forall(t =>
+          starts.dropRight(1).exists(s => t >= s && t < s + chunkSize)),
+          s"last chunk redundant: n=$n size=$chunkSize overlap=$overlap")
+    }
+  }
 }
