@@ -83,6 +83,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
 
+  test("row-local curation ops (chunking, PII) run shuffle-free and UDF-free") {
+    val docs = (0L until 50L).map(i => (i, s"tok$i alpha beta gamma delta")).toDF("doc_id", "text")
+    val chunked = graft.text.Chunking.chunkDocs(docs, "doc_id", "text", 3, 1)
+    chunked.collect()
+    val pii = graft.text.Pii.piiStats(docs, "doc_id", "text")
+    pii.collect()
+    for ((name, df) <- Seq("chunkDocs" -> chunked, "piiStats" -> pii)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name introduced a shuffle:\n$plan")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name has a UDF island:\n$plan")
+    }
+  }
+
+  test("corpus shuffle never performs a GLOBAL sort — only bucket-partitioned window sorts") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val out = graft.ops.CorpusShuffle.shufflePositions(docs, "doc_id", nBuckets = 8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // Spark prints Sort [...], <global>, 0 — a global sort funnels the corpus
+    // through one ordering; the two-stage shape must only sort within the
+    // bucket-hash partitions
+    assert(!plan.contains("], true, 0"), s"global sort in the shuffle plan:\n$plan")
+    assert(plan.contains("Sort"), s"expected partition-local window sorts:\n$plan")
+  }
+
   test("ivfadc ADC scan joins probes on list via broadcast hash — no cartesian scan") {
     // the scan-confinement PLAN shape: the corpus side keys on its inverted
     // list and the tiny probe table broadcasts; a BroadcastNestedLoopJoin
