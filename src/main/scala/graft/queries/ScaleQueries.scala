@@ -112,7 +112,55 @@ object ScaleQueries extends QueryPack {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Curation pipeline v2 — the ROUND-4 operator set composed end to end in
+    * one plan, the shape a real corpus release runs:
+    *
+    *   PII injection (deterministic spans; stands in for dirty input)
+    *     → C4/Gopher heuristic filter on the dirty text
+    *     → corpus-LM quality cut (bigram NLL ≤ [[NLL_MAX]], LM trained on
+    *       the raw corpus in the same plan)
+    *     → PII redaction
+    *     → exact dedup on the REDACTED text (min-id canonical)
+    *     → GPT-style packing of the survivors (budget 128, 4 shards)
+    *
+    * Output: per shard (n_docs, n_tokens, n_packs) — the corpus-release
+    * manifest. Every stage is one of the individually-gated operators, so
+    * this gate proves they COMPOSE without plan pathologies: the filter,
+    * scoring join, dedup groupBy, and packing window chain in a single
+    * lazy DataFrame with no driver materialization between stages.
+    */
+  private def curationV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Heuristics, LmScore, Packing, Pii}
+    val d = Tables.cached(spark, dir, "documents")
+    val injected = d.withColumn("text2", concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 3, lit(" 40414243444546")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 5, lit(" 10.0.255.1")).otherwise(lit(""))))
+    val filtered = injected.filter(Heuristics.keepExpr(col("text2")))
+    val nll = LmScore.nllPerDoc(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    val scored = filtered.join(nll, Seq("doc_id"))
+      .filter(col("nll").isNotNull && col("nll") <= NLL_MAX)
+    val redacted = scored.withColumn("rtext", graft.text.Pii.redact(col("text2")))
+    val canonical = redacted
+      .groupBy(md5(col("rtext")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors = redacted.join(canonical.select("doc_id"), Seq("doc_id"))
+    Packing.packOffsets(survivors, "doc_id", "rtext", budget = 128, nShards = 4)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("pack_id")) + 1).as("n_packs"))
+  }
+
+  /** LM-NLL cut for [[curationV2]]: sits in the corpus's upper tail
+    * (~p80 of the tight nll band), ≫ cross-engine summation drift away
+    * from any document's value.
+    */
+  private val NLL_MAX = 3.43
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_v2" -> (curationV2 _),
     "q_salted_agg" -> (saltedAgg _),
     "q_metric_log_loss" -> (probScores _),
     "q_cv_lineitem" -> (cvLineitem _),
@@ -152,6 +200,41 @@ object ScaleQueries extends QueryPack {
   private val BUDGET_TOKENS = 12000L
 
   def oracleSql: Map[String, String] = Map(
+    "q_curation_v2" -> {
+      import graft.text.Pii.{EMAIL, IPV4, LONG_DIGITS}
+      // inj exposes the dirty text AS `text` so the shared c4Rules strings
+      // (which reference bare `text`) apply to it; the LM CTEs read the raw
+      // documents table — LM is trained on the original corpus
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 3 THEN ' 40414243444546' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 5 THEN ' 10.0.255.1' ELSE '' END AS text
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |  ${TextQueries.c4Rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+         |FROM inj),
+         |${TextQueries.lmCtes},
+         |filt AS (SELECT i.doc_id, i.text FROM inj i
+         |         JOIN f ON f.doc_id = i.doc_id
+         |           AND f.f_len * f.f_ttr * f.f_meanlen * f.f_stop * f.f_blocklist = 1
+         |         JOIN a ON a.doc_id = i.doc_id AND a.nll <= $NLL_MAX),
+         |red AS (SELECT doc_id,
+         |          regexp_replace(regexp_replace(regexp_replace(text,
+         |            '$EMAIL', '<EMAIL>', 'g'), '$IPV4', '<IP>', 'g'),
+         |            '$LONG_DIGITS', '<NUM>', 'g') AS rtext
+         |        FROM filt),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(rtext)),
+         |surv AS (SELECT r.doc_id, r.rtext FROM red r JOIN canon c ON c.doc_id = r.doc_id),
+         |pt AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+         |              CAST(len(string_split(rtext, ' ')) AS BIGINT) AS n_tokens FROM surv),
+         |po AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset" FROM pt),
+         |pp AS (SELECT shard, n_tokens, CAST("offset" // 128 AS BIGINT) AS pack_id FROM po)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
+         |FROM pp GROUP BY shard
+         |""".stripMargin
+    },
     "q_budget_select" ->
       s"""WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok,
          |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,

@@ -121,9 +121,12 @@ object TextQueries extends QueryPack {
   private val toks = "string_split(text, ' ')"
 
   /** Shared rule expressions for the C4-filter oracles (defaults of
-    * [[graft.text.Heuristics.Bounds]] inlined).
+    * [[graft.text.Heuristics.Bounds]] inlined). The `text` reference
+    * resolves against whatever relation the enclosing SELECT scans, so the
+    * composed pipelines can apply them to derived text columns aliased
+    * `text`.
     */
-  private val c4Rules = Seq(
+  private[queries] val c4Rules = Seq(
     "f_len" -> s"CASE WHEN len($toks) BETWEEN 20 AND 95 THEN 1 ELSE 0 END",
     "f_ttr" -> s"CASE WHEN CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks) >= 0.35 THEN 1 ELSE 0 END",
     "f_meanlen" -> (s"CASE WHEN CAST(list_aggregate(list_transform($toks, x -> length(x)), 'sum') AS DOUBLE)"
@@ -136,6 +139,25 @@ object TextQueries extends QueryPack {
   // Every derived integer is CAST AS BIGINT: DuckDB widens SUM(...) OVER,
   // `//` and `%` to HUGEINT (int128), which would fail the driver's bitwise
   // hash gate against Spark's LongType even when values are identical.
+  /** Corpus-LM CTE chain ending in `a(doc_id, n_bigrams, nll)` — the add-one
+    * bigram NLL of every document WITH bigrams, UNROUNDED; shared by the
+    * `q_lm_score` gate and the composed curation pipeline.
+    */
+  private[queries] def lmCtes: String =
+    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+       |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+       |       FROM tk JOIN pos ON i + 2 <= len(t)),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |uni AS (SELECT w1, count(*) AS c1 FROM
+       |          (SELECT unnest($toks) AS w1 FROM documents) GROUP BY w1),
+       |v AS (SELECT count(DISTINCT w1) AS v FROM
+       |        (SELECT unnest($toks) AS w1 FROM documents)),
+       |s AS (SELECT bg.doc_id, -ln(CAST(bc.c12 + 1 AS DOUBLE) / (uni.c1 + v.v)) AS nlp
+       |      FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+       |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
+       |      FROM s GROUP BY doc_id)""".stripMargin
+
   private val packCte =
     s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
        |              CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
@@ -285,19 +307,7 @@ object TextQueries extends QueryPack {
          |""".stripMargin
     },
     "q_lm_score" ->
-      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
-         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
-         |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
-         |       FROM tk JOIN pos ON i + 2 <= len(t)),
-         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         |uni AS (SELECT w1, count(*) AS c1 FROM
-         |          (SELECT unnest($toks) AS w1 FROM documents) GROUP BY w1),
-         |v AS (SELECT count(DISTINCT w1) AS v FROM
-         |        (SELECT unnest($toks) AS w1 FROM documents)),
-         |s AS (SELECT bg.doc_id, -ln(CAST(bc.c12 + 1 AS DOUBLE) / (uni.c1 + v.v)) AS nlp
-         |      FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
-         |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
-         |      FROM s GROUP BY doc_id)
+      s"""WITH $lmCtes
          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
          |       round(a.nll, 6) AS nll
          |FROM documents d LEFT JOIN a USING (doc_id)
