@@ -48,10 +48,22 @@ object TextQueries extends QueryPack {
       graft.text.Decontaminate.ngramOverlap(docs(s, dir), "doc_id", "text",
         benchPred = col("doc_id") % 20 === 0, n = 8)
         .withColumnRenamed("id", "doc_id")),
+    // decontamination REMOVAL: benchmark-matching 8-gram windows masked
+    // out of every training doc (clean docs pass through, n_removed = 0)
+    "q_decontaminate_clean" -> ((s, dir) =>
+      graft.text.Decontaminate.removeContaminated(docs(s, dir), "doc_id", "text",
+        benchPred = col("doc_id") % 20 === 0, n = 8)
+        .withColumnRenamed("id", "doc_id")),
     // CCNet-style cross-document duplicated spans: per-doc fraction of
     // distinct 8-grams occurring in at least one other document
     "q_cross_dup" -> ((s, dir) =>
       graft.text.Decontaminate.crossDupStats(docs(s, dir), "doc_id", "text", n = 8)
+        .withColumnRenamed("id", "doc_id")),
+    // boilerplate strip: 8-gram windows occurring in >= 2 distinct docs
+    // masked out of every document (the removal q_cross_dup's signal feeds)
+    "q_boilerplate_strip" -> ((s, dir) =>
+      graft.text.Decontaminate.removeSharedSpans(docs(s, dir), "doc_id", "text",
+        n = 8, minDocs = 2)
         .withColumnRenamed("id", "doc_id")),
     // Gopher-style repetition: top-2-gram char fraction + dup-5-gram
     // occurrence fraction per doc (text/Repetition, map-side-combined)
@@ -223,6 +235,51 @@ object TextQueries extends QueryPack {
          |       CAST(n_grams AS BIGINT) AS n_grams,
          |       round(CAST(n_overlap AS DOUBLE) / n_grams, 6) AS overlap_ratio
          |FROM agg WHERE n_overlap > 0
+         |""".stripMargin,
+    "q_decontaminate_clean" ->
+      // positional grams (no distinct — masking needs every start); nested
+      // lambdas express "position inside any [start, start+8) window"
+      s"""WITH tk AS (SELECT doc_id, doc_id % 20 = 0 AS is_bench, $toks AS t FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |pg AS (SELECT doc_id, is_bench, i,
+         |              array_to_string(list_slice(t, i + 1, i + 8), ' ') AS g
+         |       FROM tk JOIN pos ON i + 8 <= len(t)),
+         |bench AS (SELECT DISTINCT g FROM pg WHERE is_bench),
+         |ms AS (SELECT doc_id, list(DISTINCT i) AS starts
+         |       FROM pg JOIN bench USING (g) WHERE NOT is_bench GROUP BY doc_id),
+         |tr AS (SELECT tk.doc_id, tk.t, coalesce(ms.starts, CAST([] AS INT[])) AS starts
+         |       FROM tk LEFT JOIN ms USING (doc_id) WHERE NOT tk.is_bench),
+         |k AS (SELECT doc_id, len(t) AS n_tokens, t,
+         |        list_filter(range(0, len(t)),
+         |          p -> len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0) AS keptpos
+         |      FROM tr)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |       CAST(n_tokens - len(keptpos) AS INT) AS n_removed,
+         |       coalesce(array_to_string(list_transform(keptpos, p -> t[p + 1]), ' '), '') AS text_clean
+         |FROM k
+         |""".stripMargin,
+    "q_boilerplate_strip" ->
+      // same window-union rebuild as q_decontaminate_clean, but the masked
+      // set is grams occurring in >= 2 distinct documents (no bench split)
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |pg AS (SELECT doc_id, i,
+         |              array_to_string(list_slice(t, i + 1, i + 8), ' ') AS g
+         |       FROM tk JOIN pos ON i + 8 <= len(t)),
+         |sh AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+         |                      FROM pg GROUP BY g) WHERE nd >= 2),
+         |ms AS (SELECT doc_id, list(DISTINCT i) AS starts
+         |       FROM pg JOIN sh USING (g) GROUP BY doc_id),
+         |tr AS (SELECT tk.doc_id, tk.t, coalesce(ms.starts, CAST([] AS INT[])) AS starts
+         |       FROM tk LEFT JOIN ms USING (doc_id)),
+         |k AS (SELECT doc_id, len(t) AS n_tokens, t,
+         |        list_filter(range(0, len(t)),
+         |          p -> len(list_filter(starts, s -> s <= p AND p < s + 8)) = 0) AS keptpos
+         |      FROM tr)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |       CAST(n_tokens - len(keptpos) AS INT) AS n_removed,
+         |       coalesce(array_to_string(list_transform(keptpos, p -> t[p + 1]), ' '), '') AS text_clean
+         |FROM k
          |""".stripMargin,
     "q_cross_dup" ->
       s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),

@@ -41,6 +41,91 @@ object Decontaminate {
         round(col("n_overlap") / col("n_grams"), 6).as("overlap_ratio"))
   }
 
+  /** Decontamination REMOVAL — the action [[ngramOverlap]]'s detection
+    * feeds: mask every token covered by a benchmark-matching n-gram out of
+    * the training text (the GPT-3 appendix-C discipline: remove the
+    * contaminated window, keep the rest of the document).
+    *
+    * Scale shape: positional grams explode once (position is needed to mask,
+    * so no array_distinct here); the benchmark gram set broadcasts as in
+    * [[ngramOverlap]]; matched START positions aggregate per doc (bounded by
+    * the doc's contamination, tiny); the final rebuild is row-local array
+    * logic — tokens whose position falls inside any [start, start+n) window
+    * are dropped and the survivors re-join. One corpus scan + one bounded
+    * per-doc aggregate; no corpus-sized shuffle beyond it.
+    *
+    * Output: (id, n_tokens, n_removed, text_clean) for EVERY training doc
+    * (clean docs pass through with n_removed = 0).
+    */
+  def removeContaminated(docs: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, n: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), benchPred.as("is_bench"),
+      split(col(textCol), " ").as("t"))
+    val grams = base.select(col("id"), col("is_bench"),
+      posexplode(positionalGrams(col("t"), n)).as(Seq("i", "g")))
+    val bench = grams.filter(col("is_bench")).select(col("g")).distinct()
+    val maskedStarts = grams.filter(!col("is_bench"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("id")).agg(collect_set(col("i")).as("__starts"))
+    dropWindows(base.filter(!col("is_bench")), maskedStarts, n)
+  }
+
+  /** Cross-document shared-span REMOVAL (CCNet-style boilerplate strip) —
+    * the action [[crossDupStats]]'s signal feeds: mask every token covered
+    * by an n-gram occurring in at least `minDocs` distinct documents
+    * (headers, footers, license blocks — text whose frequency across the
+    * corpus marks it as template, not content).
+    *
+    * Scale shape: positional grams explode once; the containing-doc count
+    * is a map-side-combined aggregate over the distinct (doc, gram) axis;
+    * the shared-gram set joins back on the gram axis — vocabulary-sized,
+    * well-spread hash keys (universal phrases are the hottest and exactly
+    * the ones being removed) — then per-doc start sets aggregate (bounded
+    * by each doc's boilerplate) and the rebuild is row-local. No driver
+    * collect anywhere; AQE may still broadcast the shared set when the
+    * corpus turns out to have little duplication.
+    *
+    * Output: (id, n_tokens, n_removed, text_clean) for EVERY document.
+    */
+  def removeSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): " +
+      "every gram occurs in its own document, so a lower bound strips everything")
+    val base = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val grams = base.select(col("id"),
+      posexplode(positionalGrams(col("t"), n)).as(Seq("i", "g")))
+    val shared = grams.select(col("id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs).select(col("g"))
+    val maskedStarts = grams.join(shared, Seq("g"))
+      .groupBy(col("id")).agg(collect_set(col("i")).as("__starts"))
+    dropWindows(base, maskedStarts, n)
+  }
+
+  /** All n-token windows of `t` as space-joined strings, position-aligned
+    * (element i = gram starting at token i); empty for docs shorter than n. */
+  private def positionalGrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Row-local window-union rebuild shared by the removal operators: drop
+    * every token whose position falls inside any [start, start+n) window of
+    * `startsDf` (id, __starts), re-join the survivors. */
+  private def dropWindows(base: DataFrame, startsDf: DataFrame, n: Int): DataFrame =
+    base.join(startsDf, Seq("id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(zip_with(col("t"), sequence(lit(0), size(col("t")) - 1),
+          (tok, p) => struct(tok.as("tok"), p.as("p"))),
+          x => !exists(col("__starts"),
+            s => s <= x.getField("p") && x.getField("p") < s + n)))
+      .select(col("id"),
+        size(col("t")).as("n_tokens"),
+        (size(col("t")) - size(col("__kept"))).as("n_removed"),
+        concat_ws(" ", transform(col("__kept"), x => x.getField("tok"))).as("text_clean"))
+
   /** Cross-document duplicated-span statistics (the corpus-level overlap
     * signal CCNet-style pipelines use to strip shared boilerplate): for
     * each document, the fraction of its distinct n-grams that occur in at

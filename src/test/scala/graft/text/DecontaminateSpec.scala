@@ -44,4 +44,61 @@ class DecontaminateSpec extends SparkTestBase {
       benchPred = col("doc_id") % 20 === 0).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
   }
+
+  test("removeContaminated masks exactly the matching windows, keeps the rest") {
+    // bench doc 0 carries the 4-gram "a b c d"; training doc 1 embeds it
+    // mid-text, doc 2 is clean, doc 3 is a verbatim copy of the bench doc
+    val df = Seq(
+      (0L, "a b c d"),
+      (1L, "x y a b c d z w"),
+      (2L, "p q r s t u v"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.removeContaminated(df, "doc_id", "text",
+      benchPred = col("doc_id") === 0L, n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(!out.contains(0L), "bench docs are not training output")
+    assert(out(1L) == ((8, 4, "x y z w")))
+    assert(out(2L) == ((7, 0, "p q r s t u v")))
+    assert(out(3L) == ((4, 4, ""))) // fully contaminated → empty survivor
+  }
+
+  test("removeSharedSpans strips corpus-repeated windows, keeps unique text") {
+    // "LICENSE TEXT HERE BLOCK" is shared boilerplate across docs 0 and 1;
+    // doc 2 is all-unique and must pass through untouched
+    val df = Seq(
+      (0L, "alpha beta LICENSE TEXT HERE BLOCK gamma"),
+      (1L, "LICENSE TEXT HERE BLOCK delta epsilon"),
+      (2L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.removeSharedSpans(df, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(0L) == ((7, 4, "alpha beta gamma")))
+    assert(out(1L) == ((6, 4, "delta epsilon")))
+    assert(out(2L) == ((5, 0, "zeta eta theta iota kappa")))
+  }
+
+  test("removeSharedSpans honors minDocs and rejects minDocs < 2") {
+    // the span repeats in 2 docs: minDocs=3 keeps it, minDocs=2 strips it
+    val df = Seq(
+      (0L, "a b c d x"),
+      (1L, "y a b c d"),
+      (2L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val strict = Decontaminate.removeSharedSpans(df, "doc_id", "text", n = 4, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(strict == Map(0L -> 0, 1L -> 0, 2L -> 0))
+    intercept[IllegalArgumentException] {
+      Decontaminate.removeSharedSpans(df, "doc_id", "text", n = 4, minDocs = 1)
+    }
+  }
+
+  test("overlapping matches union their windows, not double-count") {
+    // bench has "a a a a" ; training "a a a a a" matches at starts 0 and 1
+    // → masked positions 0..4 = all five tokens
+    val df = Seq((0L, "a a a a"), (1L, "a a a a a")).toDF("doc_id", "text")
+    val out = Decontaminate.removeContaminated(df, "doc_id", "text",
+      benchPred = col("doc_id") === 0L, n = 4).collect().head
+    assert(out.getInt(1) == 5 && out.getInt(2) == 5 && out.getString(3) == "")
+  }
 }
