@@ -92,6 +92,16 @@ object TextQueries extends QueryPack {
     "q_pack_fill" -> ((s, dir) =>
       graft.text.Packing.packFill(docs(s, dir), "doc_id", "text",
         budget = 256, nShards = 8, maxPacksSpanned = 1000L)),
+    // fastText-role corpus classifier as multinomial NB: train lang-ID on
+    // 80% of docs (doc_id % 5 != 0), classify the held-out 20%
+    "q_nb_classify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.NaiveBayes.classify(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "lang", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("pred", "pred_lang")
+    }),
     // CCNet-style corpus-LM quality signal: per-doc mean negative
     // log-probability under the corpus's own add-one bigram LM
     "q_lm_score" -> ((s, dir) =>
@@ -363,6 +373,34 @@ object TextQueries extends QueryPack {
          |FROM t
          |""".stripMargin
     },
+    "q_nb_classify" ->
+      // score written in the same operation order as the engine:
+      // prior + sparse_sum − n_toks·denom (seen pairs only; ln(0+1) = 0)
+      s"""WITH tr AS (SELECT doc_id, lang, $toks AS t FROM documents WHERE doc_id % 5 != 0),
+         |te AS (SELECT doc_id, $toks AS t FROM documents WHERE doc_id % 5 = 0),
+         |trtok AS (SELECT lang, unnest(t) AS tok FROM tr),
+         |model AS (SELECT lang, tok, ln(CAST(count(*) AS DOUBLE) + 1) AS lw
+         |          FROM trtok GROUP BY lang, tok),
+         |lbl AS (SELECT lang, count(*) AS nl FROM tr GROUP BY lang),
+         |tl AS (SELECT lang, count(*) AS tot FROM trtok GROUP BY lang),
+         |n AS (SELECT count(*) AS n FROM tr),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM trtok),
+         |lab AS (SELECT lbl.lang, ln(CAST(nl AS DOUBLE) / n.n) AS prior,
+         |               ln(CAST(tot + v.v AS DOUBLE)) AS denom
+         |        FROM lbl JOIN tl USING (lang) CROSS JOIN n CROSS JOIN v),
+         |tetok AS (SELECT doc_id, unnest(t) AS tok FROM te),
+         |ss AS (SELECT doc_id, lang, sum(lw) AS s
+         |       FROM tetok JOIN model USING (tok) GROUP BY doc_id, lang),
+         |sc AS (SELECT te.doc_id, lab.lang,
+         |              lab.prior + coalesce(ss.s, 0) - len(te.t) * lab.denom AS score
+         |       FROM te CROSS JOIN lab
+         |       LEFT JOIN ss ON ss.doc_id = te.doc_id AND ss.lang = lab.lang),
+         |r AS (SELECT doc_id, lang, score, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY round(score, 6) DESC, lang) AS rn
+         |      FROM sc)
+         |SELECT doc_id, lang AS pred_lang, round(score, 6) AS nb_score
+         |FROM r WHERE rn = 1
+         |""".stripMargin,
     "q_lm_score" ->
       s"""WITH $lmCtes
          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
