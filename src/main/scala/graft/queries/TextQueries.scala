@@ -92,6 +92,12 @@ object TextQueries extends QueryPack {
     "q_pack_fill" -> ((s, dir) =>
       graft.text.Packing.packFill(docs(s, dir), "doc_id", "text",
         budget = 256, nShards = 8, maxPacksSpanned = 1000L)),
+    // DSIR importance resampling: every 20th doc plays the target domain;
+    // the top-50 source docs by hashed-feature likelihood ratio are kept
+    "q_dsir_select" -> ((s, dir) =>
+      graft.text.Dsir.select(docs(s, dir), "doc_id", "text",
+        targetPred = col("doc_id") % 20 === 0, k = 50, nBuckets = 1024)
+        .withColumnRenamed("id", "doc_id")),
     // fastText-role corpus classifier as multinomial NB: train lang-ID on
     // 80% of docs (doc_id % 5 != 0), classify the held-out 20%
     "q_nb_classify" -> ((s, dir) => {
@@ -373,6 +379,27 @@ object TextQueries extends QueryPack {
          |FROM t
          |""".stripMargin
     },
+    "q_dsir_select" ->
+      // same hash60 bucket mapping as q_rolling_fingerprint; the score is
+      // written in the engine's operation order: Σlw − n·(lt − ls)
+      s"""WITH tk AS (SELECT doc_id, doc_id % 20 = 0 AS is_target, unnest($toks) AS tok
+         |            FROM documents),
+         |bk AS (SELECT doc_id, is_target,
+         |              CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) % 1024 AS b
+         |       FROM tk),
+         |bu AS (SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         |              sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS cs
+         |       FROM bk GROUP BY b),
+         |lw AS (SELECT b, ln(CAST(ct AS DOUBLE) + 1) - ln(CAST(cs AS DOUBLE) + 1) AS lw FROM bu),
+         |tot AS (SELECT ln(CAST(sum(ct) AS DOUBLE) + 1024) AS lt,
+         |               ln(CAST(sum(cs) AS DOUBLE) + 1024) AS ls FROM bu),
+         |pd AS (SELECT doc_id, count(*) AS n_toks, sum(lw) AS s
+         |       FROM bk JOIN lw USING (b) WHERE NOT is_target GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |       round(s - n_toks * (lt - ls), 6) AS logw
+         |FROM pd CROSS JOIN tot
+         |ORDER BY logw DESC, doc_id LIMIT 50
+         |""".stripMargin,
     "q_nb_classify" ->
       // score written in the same operation order as the engine:
       // prior + sparse_sum − n_toks·denom (seen pairs only; ln(0+1) = 0)
