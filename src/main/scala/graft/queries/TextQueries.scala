@@ -92,6 +92,10 @@ object TextQueries extends QueryPack {
     "q_pack_fill" -> ((s, dir) =>
       graft.text.Packing.packFill(docs(s, dir), "doc_id", "text",
         budget = 256, nShards = 8, maxPacksSpanned = 1000L)),
+    // BPE vocabulary training step: learn the best merge on the corpus word
+    // histogram, apply it, report the resulting top-20 pair counts
+    "q_bpe_merge" -> ((s, dir) =>
+      graft.text.BpeTrain.mergeStepTopPairs(docs(s, dir), "text", k = 20)),
     // DSIR importance resampling: every 20th doc plays the target domain;
     // the top-50 source docs by hashed-feature likelihood ratio are kept
     "q_dsir_select" -> ((s, dir) =>
@@ -379,6 +383,30 @@ object TextQueries extends QueryPack {
          |FROM t
          |""".stripMargin
     },
+    "q_bpe_merge" ->
+      // list_reduce replays the engine's left-to-right fold exactly: the
+      // accumulator's last symbol is regexp-extracted and conditionally
+      // replaced by the merged pair (all symbols are alphanumeric, so the
+      // regexp replacement is literal-safe)
+      s"""WITH wc AS (SELECT w, count(*) AS cnt
+         |            FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+         |sym AS (SELECT w, cnt, regexp_extract_all(w, '.') AS cs FROM wc WHERE len(w) >= 2),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 64) r(x)),
+         |p0 AS (SELECT cs[i+1] || ' ' || cs[i+2] AS pair, sum(cnt) AS c
+         |       FROM sym JOIN pos ON i + 2 <= len(cs) GROUP BY 1),
+         |best AS (SELECT string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2,
+         |                replace(pair, ' ', '') AS m
+         |         FROM p0 ORDER BY c DESC, pair LIMIT 1),
+         |merged AS (SELECT cnt,
+         |             string_split(list_reduce(cs, (acc, x) -> CASE
+         |               WHEN regexp_extract(acc, '[^ ]+$$') = b.p1 AND x = b.p2
+         |               THEN regexp_replace(acc, '[^ ]+$$', b.m)
+         |               ELSE acc || ' ' || x END), ' ') AS ms
+         |           FROM sym CROSS JOIN best b),
+         |p1 AS (SELECT ms[i+1] || ' ' || ms[i+2] AS pair, CAST(sum(cnt) AS BIGINT) AS cnt
+         |       FROM merged JOIN pos ON i + 2 <= len(ms) GROUP BY 1)
+         |SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 20
+         |""".stripMargin,
     "q_dsir_select" ->
       // same hash60 bucket mapping as q_rolling_fingerprint; the score is
       // written in the engine's operation order: Σlw − n·(lt − ls)
