@@ -21,6 +21,7 @@ object SimilarityQueries extends QueryPack {
   private val NEARDUP_THR = 0.25
   private val NQUERIES = 10
   private val SEM_CAP = 100
+  private val SEM_THR = 0.4
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.cached(spark, dir, "embeddings")
@@ -62,6 +63,15 @@ object SimilarityQueries extends QueryPack {
       Similarity.pqTopK(
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
         K, M, KSUB, DIM, PQ_ITERS, REFINE)
+    }),
+    "q_semantic_screen" -> ((s, dir) => {
+      // semantic decontamination: every 20th vector plays the benchmark
+      // set; corpus vectors within cosine 0.4 of any bench vector flag
+      val e = emb(s, dir)
+      Similarity.screenSemantic(
+        e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+        "vec_id", "embedding", SEM_THR)
+        .withColumnRenamed("id", "vec_id")
     }),
     "q_ann_ivfadc" -> ((s, dir) => {
       // the composed sub-linear production layout (Jégou PAMI 2011 §IV):
@@ -173,6 +183,18 @@ object SimilarityQueries extends QueryPack {
          |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |      FROM s)
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
+    "q_semantic_screen" ->
+      // argmax ties replay the engine's max(struct(sim, bench_id)):
+      // highest sim, then highest bench_id
+      s"""WITH b AS (SELECT vec_id AS bench_id, $dv AS bv FROM embeddings WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id, $dv AS cv FROM embeddings WHERE vec_id % 20 != 0),
+         |s AS (SELECT vec_id, bench_id, ${cosSql("cv", "bv")} AS sim FROM c CROSS JOIN b),
+         |r AS (SELECT vec_id, bench_id, sim, row_number() OVER
+         |        (PARTITION BY vec_id ORDER BY sim DESC, bench_id DESC) AS rn
+         |      FROM s)
+         |SELECT vec_id, bench_id, sim AS max_sim, sim >= $SEM_THR AS flagged
+         |FROM r WHERE rn = 1
          |""".stripMargin,
     "q_ann_srp" ->
       s"""WITH q AS (SELECT vec_id AS query_id, qv, ${bucketSql("qv")} AS bucket

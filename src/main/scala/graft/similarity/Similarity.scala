@@ -62,6 +62,36 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Semantic decontamination screen (beyond-reference training-data op):
+    * n-gram decontamination ([[graft.text.Decontaminate]]) only catches
+    * VERBATIM benchmark overlap — a paraphrased eval item sails through.
+    * This screens each corpus embedding against the benchmark embedding
+    * set by max cosine similarity and flags everything above a threshold.
+    *
+    * Scale shape: the benchmark side is fixed-size by definition, so it
+    * BROADCASTS and the corpus streams past in one scan; the per-corpus-id
+    * argmax is a decomposable `max(struct(sim, bench_id))` aggregate —
+    * map-side combined, NOT a window (a window would sort |bench| rows per
+    * corpus id; the aggregate combines them). Ties break to the highest
+    * bench_id on the 6-dp-rounded score, deterministically.
+    *
+    * Output: (id, bench_id, max_sim, flagged) for every corpus vector.
+    */
+  def screenSemantic(corpus: DataFrame, bench: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("cv"))
+    val b = bench.select(col(idCol).as("bench_id"), asDouble(col(vecCol)).as("bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("sim", round(cosineFast(col("cv"), col("bv")), 6))
+      .groupBy(col("id"))
+      .agg(max(struct(col("sim"), col("bench_id"))).as("m"))
+      .select(col("id"),
+        col("m.bench_id").as("bench_id"),
+        col("m.sim").as("max_sim"),
+        (col("m.sim") >= threshold).as("flagged"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector over the corpus.
     * Query side is expected tiny (broadcast); ranking is per-query with a
     * deterministic tie-break on neighbor id over the 6-dp-rounded score.

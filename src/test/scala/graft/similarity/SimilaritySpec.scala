@@ -252,4 +252,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(residErr < rawErr,
       f"residual coding error $residErr%.4f not below raw coding error $rawErr%.4f")
   }
+
+  test("screenSemantic: scaled copy of a bench vector flags at cosine 1, bench broadcasts") {
+    // bench = vec 0; vec 1 is its scaled copy (cosine 1 -> flagged),
+    // vec 2 is its negation (cosine -1 -> clean)
+    val screen = Similarity.screenSemantic(
+      corpus.filter(col("vec_id") =!= 0L), corpus.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", threshold = 0.9)
+    val rows = screen.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(rows.size == 20, "every corpus vector must be screened")
+    assert(rows(1L) == ((0L, 1.0, true)))
+    assert(rows(2L)._2 == -1.0 && !rows(2L)._3)
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"bench side not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must be an aggregate, not a window:\n$plan")
+  }
 }
