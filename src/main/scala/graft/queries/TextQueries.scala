@@ -96,6 +96,14 @@ object TextQueries extends QueryPack {
     // histogram, apply it, report the resulting top-20 pair counts
     "q_bpe_merge" -> ((s, dir) =>
       graft.text.BpeTrain.mergeStepTopPairs(docs(s, dir), "text", k = 20)),
+    // BPE encoding under the first two learned merges: per-doc token and
+    // post-merge symbol counts (the corpus-compression signal)
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.BpeTrain.encodePerDoc(d, "doc_id", "text",
+        graft.text.BpeTrain.learnMerges(d, "text", 2))
+        .withColumnRenamed("id", "doc_id")
+    }),
     // DSIR importance resampling: every 20th doc plays the target domain;
     // the top-50 source docs by hashed-feature likelihood ratio are kept
     "q_dsir_select" -> ((s, dir) =>
@@ -151,6 +159,16 @@ object TextQueries extends QueryPack {
   )
 
   private val toks = "string_split(text, ' ')"
+
+  /** The DuckDB replay of [[graft.text.BpeTrain.applyMerge]]'s fold, over a
+    * best-pair CTE aliased `a`: left-to-right non-overlapping merge of
+    * (p1, p2) → m on a symbol array `cs`, back to an array.
+    */
+  private def bpeReduceSql(a: String): String =
+    s"""string_split(list_reduce(cs, (acc, x) -> CASE
+       |               WHEN regexp_extract(acc, '[^ ]+$$') = $a.p1 AND x = $a.p2
+       |               THEN regexp_replace(acc, '[^ ]+$$', $a.m)
+       |               ELSE acc || ' ' || x END), ' ')""".stripMargin
 
   /** Shared rule expressions for the C4-filter oracles (defaults of
     * [[graft.text.Heuristics.Bounds]] inlined). The `text` reference
@@ -383,6 +401,31 @@ object TextQueries extends QueryPack {
          |FROM t
          |""".stripMargin
     },
+    "q_bpe_encode" ->
+      // the q_bpe_merge CTE chain iterated twice (learn pair 1 on the raw
+      // symbols, pair 2 on the once-merged symbols), then docs join the
+      // twice-merged vocabulary on the word key and sum symbol counts
+      s"""WITH wc AS (SELECT w, count(*) AS cnt
+         |            FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w),
+         |sym AS (SELECT w, cnt, regexp_extract_all(w, '.') AS cs FROM wc),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 64) r(x)),
+         |p0 AS (SELECT cs[i+1] || ' ' || cs[i+2] AS pair, sum(cnt) AS c
+         |       FROM sym JOIN pos ON i + 2 <= len(cs) GROUP BY 1),
+         |b1 AS (SELECT string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2,
+         |              replace(pair, ' ', '') AS m
+         |       FROM p0 ORDER BY c DESC, pair LIMIT 1),
+         |m1 AS (SELECT w, cnt, ${bpeReduceSql("b")} AS cs FROM sym CROSS JOIN b1 b),
+         |p1c AS (SELECT cs[i+1] || ' ' || cs[i+2] AS pair, sum(cnt) AS c
+         |        FROM m1 JOIN pos ON i + 2 <= len(cs) GROUP BY 1),
+         |b2 AS (SELECT string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2,
+         |              replace(pair, ' ', '') AS m
+         |       FROM p1c ORDER BY c DESC, pair LIMIT 1),
+         |m2 AS (SELECT w, ${bpeReduceSql("b")} AS cs FROM m1 CROSS JOIN b2 b),
+         |tok AS (SELECT doc_id, unnest($toks) AS w FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(len(m2.cs)) AS BIGINT) AS n_symbols
+         |FROM tok JOIN m2 USING (w) GROUP BY doc_id
+         |""".stripMargin,
     "q_bpe_merge" ->
       // list_reduce replays the engine's left-to-right fold exactly: the
       // accumulator's last symbol is regexp-extracted and conditionally

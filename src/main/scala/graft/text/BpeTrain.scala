@@ -86,6 +86,34 @@ object BpeTrain {
     out.result()
   }
 
+  /** Encode the corpus under an ordered merge list: per-document token and
+    * post-merge symbol counts — the "how much does this vocabulary compress
+    * my corpus" signal tokenizer training iterates on.
+    *
+    * Scale shape: the merge folds run ONCE per distinct word on the
+    * vocabulary axis (all words this time — single-char words count one
+    * symbol); documents then join back on the well-spread word key and the
+    * per-doc aggregate map-side combines. Encoding cost is proportional to
+    * |vocab|·|merges|, never corpus·|merges|.
+    *
+    * Output: (id, n_tokens, n_symbols) per document.
+    */
+  def encodePerDoc(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val enc = merges.foldLeft(col("cs")) { (c, m) =>
+      val Array(p1, p2) = m.split(" ", 2)
+      applyMerge(c, p1, p2)
+    }
+    val nsym = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .distinct()
+      .withColumn("cs", split(col("w"), ""))
+      .select(col("w"), size(enc).as("n_sym"))
+    docs.select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .join(nsym, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_symbols"))
+  }
+
   /** One full train step as a single reportable frame (the gate shape):
     * learn the best pair, apply it, return the top-k pair counts of the
     * RESULTING vocabulary — (pair, cnt), count-desc / pair-asc.

@@ -31,6 +31,26 @@ class BpeTrainSpec extends SparkTestBase {
     assert(merges == Seq("e s", "es t"))
   }
 
+  test("encodePerDoc counts post-merge symbols per document") {
+    // merges (e s) then (es t): "newest" = n e w es t -> n e w est (4),
+    // "widest" = w i d est (4), "a" stays 1 symbol
+    val df = Seq(
+      (1L, ("newest " * 6 + "widest " * 3).trim),
+      (2L, "newest a")
+    ).toDF("doc_id", "text")
+    val merges = BpeTrain.learnMerges(df, "text", 2)
+    val out = BpeTrain.encodePerDoc(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((9L, 9L * 4)))
+    assert(out(2L) == ((2L, 4L + 1)))
+  }
+
+  test("encodePerDoc with no merges counts raw characters") {
+    val df = Seq((1L, "ab cde")).toDF("doc_id", "text")
+    val out = BpeTrain.encodePerDoc(df, "doc_id", "text", Nil).collect().head
+    assert(out.getLong(1) == 2 && out.getLong(2) == 5)
+  }
+
   test("mergeStepTopPairs applies the winning merge before recounting") {
     val df = Seq((1L, ("newest " * 6 + "widest " * 3).trim)).toDF("doc_id", "text")
     val after = BpeTrain.mergeStepTopPairs(df, "text", k = 3)
