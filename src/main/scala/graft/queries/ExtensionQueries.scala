@@ -138,6 +138,12 @@ object ExtensionQueries extends QueryPack {
     "q_stream_filter" -> ((s, dir) =>
       StreamingOps.streamC4Filter(s, dir,
         queryName = s"stream_c4_${math.abs(dir.hashCode)}")),
+    // semantic screen on ingest: per-vector argmax vs the static bench
+    // side ⇒ chunking-invariant, batch oracle verifies it
+    "q_stream_semantic" -> ((s, dir) =>
+      StreamingOps.streamSemanticScreen(s, dir,
+        threshold = SimilarityQueries.SEM_THR,
+        queryName = s"stream_semantic_${math.abs(dir.hashCode)}")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -211,6 +217,8 @@ object ExtensionQueries extends QueryPack {
     "q_stream_screen" -> DedupQueries.screenOracleSql,
     // same principle for the streamed filter: the batch C4 oracle verbatim
     "q_stream_filter" -> TextQueries.oracleSql("q_c4_filter"),
+    // and for the streamed semantic screen: the batch screen oracle
+    "q_stream_semantic" -> SimilarityQueries.oracleSql("q_semantic_screen"),
     "q_bucketed_join" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value,

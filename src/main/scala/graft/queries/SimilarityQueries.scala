@@ -21,7 +21,7 @@ object SimilarityQueries extends QueryPack {
   private val NEARDUP_THR = 0.25
   private val NQUERIES = 10
   private val SEM_CAP = 100
-  private val SEM_THR = 0.4
+  private[queries] val SEM_THR = 0.4
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.cached(spark, dir, "embeddings")

@@ -318,4 +318,48 @@ object StreamingOps {
     // of the screen contract, drop it
     spark.read.parquet(outDir).drop("batch").withColumnRenamed("id", "doc_id")
   }
+
+  /** Streaming semantic decontamination: embedding micro-batches probed
+    * against the STATIC benchmark embedding set via
+    * [[graft.similarity.Similarity.screenSemantic]] in `foreachBatch` —
+    * the ingest-time deployment of the batch screen. The bench side is
+    * cached once before the stream starts; each vector's argmax depends
+    * only on that static side, so the streamed union is identical to the
+    * one-shot batch screen however ingestion is chunked, and the batch
+    * oracle verifies the streaming path verbatim. Batch outputs land in
+    * batchId-keyed subpaths (overwrite) — retried invocations replace,
+    * never duplicate.
+    */
+  def streamSemanticScreen(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double,
+      queryName: String = "stream_semantic"): DataFrame = {
+    import graft.similarity.Similarity
+    val path = s"$dir/embeddings.parquet"
+    val schema = spark.read.parquet(path).schema
+    val bench = spark.read.parquet(path).filter(col("vec_id") % 20 === 0).cache()
+    bench.count() // materialize before the stream starts
+    val outDir = s"target/stream_semantic_${math.abs(queryName.hashCode)}"
+    val root = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .filter(col("vec_id") % 20 =!= 0)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.screenSemantic(batch, bench, "vec_id", "embedding", threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    bench.unpersist()
+    spark.read.parquet(outDir).drop("batch").withColumnRenamed("id", "vec_id")
+  }
 }
