@@ -584,7 +584,10 @@ object Metrics {
     import org.apache.spark.sql.expressions.Window
     val spark = preds.sparkSession
     import spark.implicits._
-    val nClasses = preds.select(max(size(col(scoresCol)))).head().getInt(0)
+    // one-row LIMIT scan, not a full-frame max aggregate: the scores arity
+    // is uniform for valid input, so the first row carries it (ragged
+    // arrays would already fail the element_at lookups below)
+    val nClasses = preds.select(size(col(scoresCol))).limit(1).head().getInt(0)
     val pairs = (for { a <- 0 until nClasses; b <- (a + 1) until nClasses } yield (a, b)).toDF("ca", "cb")
     val sub = preds.join(broadcast(pairs),
         col(labelCol).cast("int") === col("ca") || col(labelCol).cast("int") === col("cb"))
