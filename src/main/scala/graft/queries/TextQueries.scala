@@ -96,6 +96,25 @@ object TextQueries extends QueryPack {
     // histogram, apply it, report the resulting top-20 pair counts
     "q_bpe_merge" -> ((s, dir) =>
       graft.text.BpeTrain.mergeStepTopPairs(docs(s, dir), "text", k = 20)),
+    // per-source data card: the release report a curation pipeline emits.
+    // All aggregates are map-side-combined except the exact median, which
+    // buffers per SOURCE (report axis, bounded); the 100 TB variant swaps
+    // in approx_percentile as the metrics registry already does. top_lang
+    // ties replay max(struct): highest count, then highest lang.
+    "q_data_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFunctions.tokenCount(col("text"))).cast("long").as("n_tokens"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("median_chars"))
+      val langs = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_langs"),
+          max(struct(col("cnt"), col("lang"))).as("m"))
+        .select(col("source"), col("n_langs"),
+          col("m.lang").as("top_lang"), col("m.cnt").as("top_lang_docs"))
+      base.join(langs, Seq("source"))
+    }),
     // BPE encoding under the first two learned merges: per-doc token and
     // post-merge symbol counts (the corpus-compression signal)
     "q_bpe_encode" -> ((s, dir) => {
@@ -401,6 +420,20 @@ object TextQueries extends QueryPack {
          |FROM t
          |""".stripMargin
     },
+    "q_data_card" ->
+      s"""WITH base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |                     CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+         |                     round(quantile_cont(n_chars, 0.5), 6) AS median_chars
+         |              FROM documents GROUP BY source),
+         |lc AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2),
+         |la AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY 1),
+         |top AS (SELECT source, lang AS top_lang, CAST(cnt AS BIGINT) AS top_lang_docs
+         |        FROM (SELECT *, row_number() OVER
+         |                (PARTITION BY source ORDER BY cnt DESC, lang DESC) AS rn
+         |              FROM lc) WHERE rn = 1)
+         |SELECT b.source, n_docs, n_tokens, median_chars, n_langs, top_lang, top_lang_docs
+         |FROM base b JOIN la USING (source) JOIN top USING (source)
+         |""".stripMargin,
     "q_bpe_encode" ->
       // the q_bpe_merge CTE chain iterated twice (learn pair 1 on the raw
       // symbols, pair 2 on the once-merged symbols), then docs join the
