@@ -145,6 +145,11 @@ object TextQueries extends QueryPack {
       graft.text.LmScore.nllPerDoc(docs(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"),
           round(col("nll"), 6).as("nll"))),
+    // CCNet perplexity terciles: head = most fluent third under the
+    // corpus LM (boundaries from one percentile aggregate, no ntile sort)
+    "q_ppl_buckets" -> ((s, dir) =>
+      graft.text.LmScore.perplexityBuckets(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
     // per-doc top-3 salient terms by smoothed tf-idf
     "q_tfidf_terms" -> ((s, dir) =>
       graft.text.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)
@@ -537,6 +542,19 @@ object TextQueries extends QueryPack {
          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
          |       round(a.nll, 6) AS nll
          |FROM documents d LEFT JOIN a USING (doc_id)
+         |""".stripMargin,
+    "q_ppl_buckets" ->
+      // same double literals as the engine's percentile call; boundaries
+      // interpolate strictly between data points, so <= cannot flip
+      s"""WITH $lmCtes,
+         |r AS (SELECT d.doc_id, round(a.nll, 6) AS nll
+         |      FROM documents d JOIN a USING (doc_id)),
+         |b AS (SELECT quantile_cont(nll, 0.3333333333333333) AS b1,
+         |             quantile_cont(nll, 0.6666666666666666) AS b2 FROM r)
+         |SELECT doc_id, nll,
+         |       CASE WHEN nll <= b1 THEN 'head'
+         |            WHEN nll <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r CROSS JOIN b
          |""".stripMargin,
     "q_vocab_stats" ->
       s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),

@@ -68,4 +68,35 @@ object LmScore {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("nll"))
   }
+
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): split the
+    * corpus into head/middle/tail terciles of the LM score — head = most
+    * fluent third, the part CCNet keeps preferentially. Docs without
+    * bigrams (< 2 tokens) are omitted: they have no score.
+    *
+    * Scale shape: NOT an `ntile` window (that is a global sort through one
+    * partition). The two tercile boundaries come from ONE percentile
+    * aggregate — a single-row frame cross-joined (broadcast) back — and
+    * bucket assignment is a row-local CASE. Exact percentile buffers the
+    * nll axis in the aggregate; at 100 TB swap `approx_percentile`, the
+    * same trade the metrics registry documents. Boundary robustness: a
+    * tercile boundary interpolates strictly BETWEEN adjacent distinct data
+    * points, so the `<=` compare on 6-dp-rounded scores cannot flip on
+    * engine-side interpolation arithmetic.
+    *
+    * Output: (id, nll, bucket) with bucket ∈ head/middle/tail.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = nllPerDoc(df, idCol, textCol)
+      .filter(col("nll").isNotNull)
+      .select(col("id"), round(col("nll"), 6).as("nll"))
+    val bounds = scored.agg(
+      expr("percentile(nll, 0.3333333333333333D)").as("b1"),
+      expr("percentile(nll, 0.6666666666666666D)").as("b2"))
+    scored.crossJoin(bounds) // one scalar row
+      .select(col("id"), col("nll"),
+        when(col("nll") <= col("b1"), "head")
+          .when(col("nll") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

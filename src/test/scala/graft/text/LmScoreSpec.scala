@@ -36,6 +36,22 @@ class LmScoreSpec extends SparkTestBase {
     assert(out(2L).get > out(0L).get)
   }
 
+  test("perplexityBuckets: terciles split by fluency, bigram-less docs omitted") {
+    // nine docs with three distinct nll levels (three of each): the most
+    // corpus-typical bigrams land in head, the rarest in tail
+    val rows = (0L to 2L).map(i => (i, "a b a b a b")) ++     // common (a,b)
+      (3L to 5L).map(i => (i, "a b c d")) ++                   // mixed
+      (6L to 8L).map(i => (i, "e f g h")) :+ (9L, "x")         // rare; no-bigram doc
+    val df = rows.toDF("doc_id", "text")
+    val out = LmScore.perplexityBuckets(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(!out.contains(9L), "bigram-less doc must be omitted")
+    assert((0L to 2L).forall(out(_)._2 == "head"), s"common docs not head: $out")
+    assert((6L to 8L).forall(out(_)._2 == "tail"), s"rare docs not tail: $out")
+    assert((3L to 5L).forall(out(_)._2 == "middle"))
+    assert(out(0L)._1 < out(3L)._1 && out(3L)._1 < out(6L)._1)
+  }
+
   test("counts weight repeated bigrams — not distinct-gram semantics") {
     val df = Seq((0L, "w w w")).toDF("doc_id", "text") // bigram (w,w) ×2
     val out = LmScore.nllPerDoc(df, "doc_id", "text").collect().head
