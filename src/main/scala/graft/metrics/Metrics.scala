@@ -584,14 +584,21 @@ object Metrics {
     import org.apache.spark.sql.expressions.Window
     val spark = preds.sparkSession
     import spark.implicits._
-    // one-row LIMIT scan, not a full-frame max aggregate: the scores arity
-    // is uniform for valid input, so the first row carries it (ragged
-    // arrays would already fail the element_at lookups below)
+    // one-row LIMIT scan, not a full-frame max aggregate; the arity read
+    // here is enforced against every row below (under non-ANSI Spark
+    // element_at past the end returns NULL, which would silently drop the
+    // pair from the average instead of failing — so raise explicitly)
     val nClasses = preds.select(size(col(scoresCol))).limit(1).head().getInt(0)
     val pairs = (for { a <- 0 until nClasses; b <- (a + 1) until nClasses } yield (a, b)).toDF("ca", "cb")
+    // the check lives inside the evaluated `sa` expression (a separate
+    // assert-only column would be pruned away by Catalyst)
     val sub = preds.join(broadcast(pairs),
         col(labelCol).cast("int") === col("ca") || col(labelCol).cast("int") === col("cb"))
-      .withColumn("sa", element_at(col(scoresCol), col("ca") + 1))
+      .withColumn("sa",
+        when(size(col(scoresCol)) =!= nClasses,
+          raise_error(concat(lit("roc_auc_ovo: ragged scores array — expected arity "),
+            lit(nClasses).cast("string"), lit(", got "), size(col(scoresCol)).cast("string"))))
+          .otherwise(element_at(col(scoresCol), col("ca") + 1)))
       .withColumn("sb", element_at(col(scoresCol), col("cb") + 1))
       .withColumn("isa", when(col(labelCol).cast("int") === col("ca"), 1.0).otherwise(0.0))
     // Two-stage like [[rocAuc]]: reduce to distinct (fold, pair, score)

@@ -127,7 +127,13 @@ object Multimodal {
           case "moov" | "trak" => walk(off + hdr, off + size)
           case "mvhd" =>
             val p = (off + hdr).toInt
+            require(size > hdr, s"corrupt mvhd at offset $off: empty payload")
             val ver = bytes(p) & 0xff
+            // payload must cover the fixed-offset reads below, else a
+            // truncated box would silently read into the NEXT box's bytes
+            val need = if (ver == 1) 32L else 20L
+            require(size - hdr >= need,
+              s"corrupt mvhd v$ver at offset $off: payload ${size - hdr} < $need")
             val (ts, dur) =
               if (ver == 1) (bb.getInt(p + 20) & 0xffffffffL, bb.getLong(p + 24))
               else (bb.getInt(p + 12) & 0xffffffffL, bb.getInt(p + 16) & 0xffffffffL)
@@ -135,7 +141,11 @@ object Multimodal {
           case "tkhd" =>
             nTracks += 1
             val p = (off + hdr).toInt
+            require(size > hdr, s"corrupt tkhd at offset $off: empty payload")
             val ver = bytes(p) & 0xff
+            val need = if (ver == 1) 96L else 84L
+            require(size - hdr >= need,
+              s"corrupt tkhd v$ver at offset $off: payload ${size - hdr} < $need")
             val wOff = if (ver == 1) p + 88 else p + 76
             val tw = bb.getInt(wOff) >>> 16 // 16.16 fixed point
             val th = bb.getInt(wOff + 4) >>> 16

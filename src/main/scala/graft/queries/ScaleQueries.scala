@@ -140,8 +140,11 @@ object ScaleQueries extends QueryPack {
       when(col("doc_id") % 13 === 5, lit(" 10.0.255.1")).otherwise(lit(""))))
     val filtered = injected.filter(Heuristics.keepExpr(col("text2")))
     val nll = LmScore.nllPerDoc(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    // the cut compares the 6-dp-PINNED value on both engines: avg()
+    // summation order differs between Spark and DuckDB, so an unrounded
+    // compare could flip a doc sitting within ulps of NLL_MAX
     val scored = filtered.join(nll, Seq("doc_id"))
-      .filter(col("nll").isNotNull && col("nll") <= NLL_MAX)
+      .filter(col("nll").isNotNull && round(col("nll"), 6) <= NLL_MAX)
     val redacted = scored.withColumn("rtext", graft.text.Pii.redact(col("text2")))
     val canonical = redacted
       .groupBy(md5(col("rtext")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
@@ -217,7 +220,7 @@ object ScaleQueries extends QueryPack {
          |filt AS (SELECT i.doc_id, i.text FROM inj i
          |         JOIN f ON f.doc_id = i.doc_id
          |           AND f.f_len * f.f_ttr * f.f_meanlen * f.f_stop * f.f_blocklist = 1
-         |         JOIN a ON a.doc_id = i.doc_id AND a.nll <= $NLL_MAX),
+         |         JOIN a ON a.doc_id = i.doc_id AND round(a.nll, 6) <= $NLL_MAX),
          |red AS (SELECT doc_id,
          |          regexp_replace(regexp_replace(regexp_replace(text,
          |            '$EMAIL', '<EMAIL>', 'g'), '$IPV4', '<IP>', 'g'),

@@ -12,6 +12,18 @@ import org.apache.spark.sql.types.LongType
   */
 object StreamingOps {
 
+  /** Recursive delete for a sink staging dir. `Files.walk` returns a live
+    * directory stream that must be closed — leaking it holds a handle on
+    * the directory being deleted (a hard failure on some platforms).
+    */
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+      finally s.close()
+    }
+
   /** Event projected for sessionization: micros keep the gap arithmetic in
     * exact integer math (identical in the DuckDB oracle via epoch_us); the
     * timestamp column is carried for the event-time watermark.
@@ -295,10 +307,7 @@ object StreamingOps {
     // retried foreachBatch invocation replaces its rows instead of
     // duplicating them (foreachBatch is at-least-once).
     val outDir = s"target/stream_screen_${math.abs(queryName.hashCode)}"
-    val root = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+    deleteRecursively(java.nio.file.Paths.get(outDir))
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -341,10 +350,7 @@ object StreamingOps {
     val bench = spark.read.parquet(path).filter(col("vec_id") % 20 === 0).cache()
     bench.count() // materialize before the stream starts
     val outDir = s"target/stream_semantic_${math.abs(queryName.hashCode)}"
-    val root = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+    deleteRecursively(java.nio.file.Paths.get(outDir))
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "embeddings.parquet")
       .option("maxFilesPerTrigger", "1")

@@ -28,7 +28,11 @@ object Decontaminate {
     */
   def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
       benchPred: Column, n: Int = 8): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"), benchPred.as("is_bench"),
+    // NULL-proof the predicate: a NULL benchPred row must count as a
+    // training doc, not vanish from BOTH filter sides (filter(p) and
+    // filter(!p) each drop NULLs under three-valued logic)
+    val grams = docs.select(col(idCol).as("id"),
+      coalesce(benchPred, lit(false)).as("is_bench"),
       explode(Dedup.shingles(col(textCol), n)).as("g"))
     val bench = grams.filter(col("is_bench")).select(col("g")).distinct()
     grams.filter(!col("is_bench"))
@@ -59,7 +63,9 @@ object Decontaminate {
     */
   def removeContaminated(docs: DataFrame, idCol: String, textCol: String,
       benchPred: Column, n: Int = 8): DataFrame = {
-    val base = docs.select(col(idCol).as("id"), benchPred.as("is_bench"),
+    // coalesce for the same NULL-predicate reason as [[ngramOverlap]]
+    val base = docs.select(col(idCol).as("id"),
+      coalesce(benchPred, lit(false)).as("is_bench"),
       split(col(textCol), " ").as("t"))
     val grams = base.select(col("id"), col("is_bench"),
       posexplode(positionalGrams(col("t"), n)).as(Seq("i", "g")))

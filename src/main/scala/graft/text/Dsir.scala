@@ -34,8 +34,10 @@ object Dsir {
   def logWeights(docs: DataFrame, idCol: String, textCol: String,
       targetPred: Column, nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive (got $nBuckets)")
+    // NULL-proof the predicate: a NULL targetPred row is a source doc, not
+    // a silent drop from filter(!is_target) under three-valued logic
     val toks = docs
-      .select(col(idCol).as("id"), targetPred.as("is_target"),
+      .select(col(idCol).as("id"), coalesce(targetPred, lit(false)).as("is_target"),
         explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("b", pmod(TextFunctions.hash60(col("tok")), lit(nBuckets.toLong)))
     val buckets = toks.groupBy(col("b")).agg(

@@ -216,6 +216,25 @@ class MetricsExtendedSpec extends SparkTestBase {
     assert(ovrW >= 0 && ovrW <= 1)
   }
 
+  test("OVO ROC-AUC raises on ragged scores arrays instead of dropping pairs") {
+    // under non-ANSI Spark element_at past the end returns NULL — the arity
+    // guard must fail loudly, not let the short row's pairs vanish
+    val ragged = Seq(
+      (0, 0, Seq(0.7, 0.2, 0.1)), (0, 1, Seq(0.1, 0.8, 0.1)),
+      (0, 2, Seq(0.2, 0.2, 0.6)), (0, 1, Seq(0.4, 0.6)))
+      .toDF("fold", "label", "scores")
+    val ex = intercept[Exception] {
+      Metrics.rocAucOvo(ragged, "label", "scores", weighted = false).collect()
+    }
+    // two loud paths can win the race: the arity guard (ragged), or — with
+    // ANSI on, the Spark-4 default — the unguarded element_at's own bounds
+    // error; the guard exists for ANSI-off deployments where element_at
+    // would return NULL silently
+    assert(ex.getMessage.contains("ragged")
+      || ex.getMessage.contains("INVALID_ARRAY_INDEX"),
+      s"expected a loud arity failure, got: ${ex.getMessage.take(200)}")
+  }
+
   test("response dispatch: decision_function preferred, predict_proba fallback") {
     val probOnly = Seq((0, 1.0, 0.9), (0, 0.0, 0.3), (0, 1.0, 0.6), (0, 0.0, 0.8))
       .toDF("fold", "label", "probability")

@@ -123,6 +123,24 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("truncated mvhd/tkhd payloads raise instead of reading the next box's bytes") {
+    // hand-built moov[mvhd] whose mvhd declares a 10-byte payload — too
+    // short for even the v0 fixed-offset reads (needs 20)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length)
+      bb.put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bb.put(payload)
+      bb.array()
+    }
+    val shortMvhd = box("moov", box("mvhd", new Array[Byte](10)))
+    val e1 = intercept[IllegalArgumentException] { Multimodal.parseMp4(shortMvhd) }
+    assert(e1.getMessage.contains("mvhd"))
+    val shortTkhd = box("moov", box("trak", box("tkhd", new Array[Byte](40))))
+    val e2 = intercept[IllegalArgumentException] { Multimodal.parseMp4(shortTkhd) }
+    assert(e2.getMessage.contains("tkhd"))
+  }
+
   test("decode is distributed: partition-batched over a Dataset") {
     val recs = (0L until 8L).map(i =>
       Multimodal.MediaRecord(i, Multimodal.syntheticPng(i, 16 + i.toInt, 16, gray = i % 2 == 0), "image/png"))

@@ -45,6 +45,25 @@ class DecontaminateSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
   }
 
+  test("NULL benchmark predicate counts as training doc — not a silent drop") {
+    // a predicate over a NULL column evaluates NULL; under three-valued
+    // logic both filter(p) and filter(!p) would drop the row — the
+    // coalesce-to-false guard keeps it on the training side
+    val df = Seq(
+      (0L, "a b c d e f g h i j", Some(true)),
+      (1L, "x y a b c d e f g h q", Some(false)),
+      (2L, "k l m n o p q r s t", None)
+    ).toDF("doc_id", "text", "flag")
+    val rem = Decontaminate.removeContaminated(df, "doc_id", "text",
+      benchPred = col("flag"), n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(rem === Set(1L, 2L), s"NULL-flag doc must appear in training output: $rem")
+    val ovl = Decontaminate.ngramOverlap(df, "doc_id", "text",
+      benchPred = col("flag"), n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(ovl === Set(1L), s"only doc 1 overlaps the bench set: $ovl")
+  }
+
   test("removeContaminated masks exactly the matching windows, keeps the rest") {
     // bench doc 0 carries the 4-gram "a b c d"; training doc 1 embeds it
     // mid-text, doc 2 is clean, doc 3 is a verbatim copy of the bench doc

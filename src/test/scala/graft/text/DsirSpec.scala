@@ -39,6 +39,18 @@ class DsirSpec extends SparkTestBase {
     assert(w(1L) > w(2L))
   }
 
+  test("NULL target predicate counts as source doc — not a silent drop") {
+    val df = Seq(
+      (0L, "cat dog", Some(true)),
+      (1L, "cat bird", Some(false)),
+      (2L, "rock sand", None)
+    ).toDF("doc_id", "text", "flag")
+    val w = Dsir.logWeights(df, "doc_id", "text",
+      targetPred = col("flag"), nBuckets = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(w === Set(1L, 2L), s"NULL-flag doc must be scored as source: $w")
+  }
+
   test("select takes top-k via TakeOrdered (no global sort) with id tie-break") {
     val df = (0L to 40L).map(i => (i, if (i % 4 == 0) "cat dog" else "rock sand"))
       .toDF("doc_id", "text")
