@@ -65,6 +65,14 @@ object TextQueries extends QueryPack {
       graft.text.Decontaminate.removeSharedSpans(docs(s, dir), "doc_id", "text",
         n = 8, minDocs = 2)
         .withColumnRenamed("id", "doc_id")),
+    // exact substring-level dedup (Lee et al. 2022 ExactSubstr): maximal
+    // variable-length shared spans >= 10 tokens across documents; planted
+    // license/header blocks (and any natural 10-gram runs) are recovered
+    // as ONE maximal span each, not a window list
+    "q_substring_dedup" -> ((s, dir) =>
+      graft.text.Decontaminate.maximalSharedSpans(
+        injectSpans(docs(s, dir)), "doc_id", "text2", minTokens = 10, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")),
     // Gopher-style repetition: top-2-gram char fraction + dup-5-gram
     // occurrence fraction per doc (text/Repetition, map-side-combined)
     "q_repetition" -> ((s, dir) =>
@@ -183,6 +191,20 @@ object TextQueries extends QueryPack {
   )
 
   private val toks = "string_split(text, ' ')"
+
+  /** Planted verbatim spans for the substring-dedup gate: a 17-token
+    * license block appended to every 9th doc (mod 2) and a 12-token header
+    * prepended to every 15th (mod 4) — deterministic dirty input, same
+    * discipline as [[ScaleQueries.curationV2]]'s PII injection. Tokens are
+    * out-of-vocab so the spans are unambiguous.
+    */
+  private[queries] val LIC_SPAN = (0 until 17).map(i => s"lic$i").mkString(" ")
+  private[queries] val HDR_SPAN = (0 until 12).map(i => s"hdr$i").mkString(" ")
+  private def injectSpans(d: DataFrame): DataFrame =
+    d.withColumn("text2", concat(
+      when(col("doc_id") % 15 === 4, lit(HDR_SPAN + " ")).otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % 9 === 2, lit(" " + LIC_SPAN)).otherwise(lit(""))))
 
   /** The DuckDB replay of [[graft.text.BpeTrain.applyMerge]]'s fold, over a
     * best-pair CTE aliased `a`: left-to-right non-overlapping merge of
@@ -319,6 +341,31 @@ object TextQueries extends QueryPack {
          |       CAST(n_tokens - len(keptpos) AS INT) AS n_removed,
          |       coalesce(array_to_string(list_transform(keptpos, p -> t[p + 1]), ' '), '') AS text_clean
          |FROM k
+         |""".stripMargin,
+    "q_substring_dedup" ->
+      // maximal-span recovery replayed in SQL: shared 10-gram starts per
+      // doc, run heads/tails via lag/lead, paired 1:1 by within-doc rank
+      s"""WITH inj AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 15 = 4 THEN '$HDR_SPAN ' ELSE '' END || text ||
+         |    CASE WHEN doc_id % 9 = 2 THEN ' $LIC_SPAN' ELSE '' END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM inj),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |pg AS (SELECT doc_id, i,
+         |              array_to_string(list_slice(t, i + 1, i + 10), ' ') AS g
+         |       FROM tk JOIN pos ON i + 10 <= len(t)),
+         |sh AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+         |                      FROM pg GROUP BY g) WHERE nd >= 2),
+         |ss AS (SELECT doc_id, i FROM pg JOIN sh USING (g)),
+         |r AS (SELECT doc_id, i,
+         |        lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi,
+         |        lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS ni FROM ss),
+         |hd AS (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+         |       FROM r WHERE pi IS NULL OR pi <> i - 1),
+         |tl AS (SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+         |       FROM r WHERE ni IS NULL OR ni <> i + 1)
+         |SELECT h.doc_id, h.i AS span_start, CAST(t.i - h.i + 10 AS INT) AS span_len
+         |FROM hd h JOIN tl t ON t.doc_id = h.doc_id AND t.rn = h.rn
          |""".stripMargin,
     "q_boilerplate_strip" ->
       // same window-union rebuild as q_decontaminate_clean, but the masked

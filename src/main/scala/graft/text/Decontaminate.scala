@@ -108,6 +108,59 @@ object Decontaminate {
     dropWindows(base, maskedStarts, n)
   }
 
+  /** Maximal cross-document shared spans — the exact substring-level dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", the ExactSubstr operator): every maximal run of
+    * `>= minTokens` consecutive tokens appearing verbatim in at least
+    * `minDocs` distinct documents, reported as (id, span_start, span_len).
+    *
+    * Re-expressed Spark-first without a suffix array: a shared span of
+    * length L >= k (k = minTokens) contains exactly its L−k+1 shared
+    * k-gram start positions, and they are CONSECUTIVE; conversely a
+    * maximal run of consecutive shared starts i..j certifies the maximal
+    * shared span [i, j+k). So k-gram seeds + consecutive-start coalescing
+    * recover the variable-length maximal spans. Maximality holds by
+    * construction: a run head has no shared start at i−1 and a run tail
+    * none at i+1, so no longer shared span contains the reported one.
+    *
+    * Scale shape: identical to [[removeSharedSpans]] — positional grams
+    * explode once; the containing-doc count is a map-side-combined
+    * aggregate on the gram axis; shared grams join back on the same
+    * well-spread axis; per-doc start sets are bounded by doc length and
+    * the run coalescing is O(doc) row-local array arithmetic (shifted-
+    * neighbor compare, no per-element set scans). No driver collect.
+    *
+    * NOTE on semantics vs the paper: spans are CROSS-document (a phrase
+    * repeated only inside one document is content, not corpus duplication)
+    * — the same minDocs discipline as [[removeSharedSpans]].
+    */
+  def maximalSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2 (got $minTokens)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): " +
+      "every span occurs in its own document, so a lower bound reports everything")
+    val k = minTokens
+    val base = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+    val grams = base.select(col("id"),
+      posexplode(positionalGrams(col("t"), k)).as(Seq("i", "g")))
+    val shared = grams.select(col("id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") >= minDocs).select(col("g"))
+    val starts = grams.join(shared, Seq("g"))
+      .groupBy(col("id")).agg(sort_array(collect_set(col("i"))).as("ss"))
+    // run coalescing against shifted neighbors: heads have no shared start
+    // at i−1, tails none at i+1; sorted order pairs them 1:1 per run
+    val ss = col("ss")
+    val prev = concat(array(lit(-2)), slice(ss, lit(1), size(ss) - 1))
+    val next = concat(slice(ss, lit(2), size(ss) - 1), array(lit(-2)))
+    val heads = filter(zip_with(ss, prev, (s, p) => when(p + 1 =!= s, s)), x => x.isNotNull)
+    val tails = filter(zip_with(ss, next, (s, nx) => when(nx =!= s + 1, s)), x => x.isNotNull)
+    starts
+      .select(col("id"), explode(zip_with(heads, tails,
+        (h, t) => struct(h.as("span_start"), (t - h + k).as("span_len")))).as("sp"))
+      .select(col("id"), col("sp.span_start"), col("sp.span_len"))
+  }
+
   /** All n-token windows of `t` as space-joined strings, position-aligned
     * (element i = gram starting at token i); empty for docs shorter than n. */
   private def positionalGrams(t: Column, n: Int): Column =

@@ -45,6 +45,59 @@ class DecontaminateSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$plan")
   }
 
+  test("maximalSharedSpans recovers planted variable-length spans as ONE maximal span") {
+    // docs 0 and 1 share the 5-token run "x1 x2 x3 x4 x5" at different
+    // offsets; with k=3 that run seeds 3 consecutive shared starts which
+    // must coalesce into a single (start, 5) span per doc — not 3 windows
+    val df = Seq(
+      (0L, "p1 p2 x1 x2 x3 x4 x5 p3 p4"),
+      (1L, "q1 x1 x2 x3 x4 x5 q2"),
+      (2L, "r1 r2 r3 r4 r5 r6 r7")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.maximalSharedSpans(df, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set((0L, 2, 5), (1L, 1, 5)), s"got $out")
+  }
+
+  test("maximalSharedSpans reports disjoint runs as separate spans, maximality per run") {
+    // docs share TWO runs ("a1 a2 a3" and "b1 b2 b3 b4") split by
+    // unshared filler — two spans each, lengths 3 and 4
+    val df = Seq(
+      (0L, "a1 a2 a3 u1 u2 b1 b2 b3 b4"),
+      (1L, "a1 a2 a3 v1 v2 v3 b1 b2 b3 b4")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.maximalSharedSpans(df, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set((0L, 0, 3), (0L, 5, 4), (1L, 0, 3), (1L, 6, 4)), s"got $out")
+  }
+
+  test("maximalSharedSpans is cross-document: within-doc repetition alone is not a span") {
+    val df = Seq(
+      (0L, "x1 x2 x3 f1 x1 x2 x3"), // repeats internally, shared with nobody
+      (1L, "z1 z2 z3 z4 z5 z6")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.maximalSharedSpans(df, "doc_id", "text", minTokens = 3).collect()
+    assert(out.isEmpty, s"within-doc repetition must not report spans: ${out.mkString(",")}")
+  }
+
+  test("maximal-span union equals the window-union removal mask of removeSharedSpans") {
+    // the removal action drops exactly the tokens covered by maximal
+    // spans: token-count check per doc against removeSharedSpans(n=k)
+    val df = Seq(
+      (0L, "p1 p2 x1 x2 x3 x4 x5 p3 p4"),
+      (1L, "q1 x1 x2 x3 x4 x5 q2"),
+      (2L, "r1 r2 r3 r4 r5 r6 r7")
+    ).toDF("doc_id", "text")
+    val spanCover = Decontaminate.maximalSharedSpans(df, "doc_id", "text", minTokens = 3)
+      .groupBy(col("id")).agg(sum(col("span_len")).as("covered"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removed = Decontaminate.removeSharedSpans(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    assert(removed === Map(0L -> spanCover.getOrElse(0L, 0L),
+      1L -> spanCover.getOrElse(1L, 0L), 2L -> 0L),
+      s"span cover $spanCover vs removed $removed")
+  }
+
   test("NULL benchmark predicate counts as training doc — not a silent drop") {
     // a predicate over a NULL column evaluates NULL; under three-valued
     // logic both filter(p) and filter(!p) would drop the row — the
