@@ -29,10 +29,21 @@ object Bench {
     println(json)
     // Also persist to a file: stdout is pipe-captured by the driver and a
     // truncated tail once lost 18 of 78 per-query timings (round 3). The
-    // file is the lossless record; stdout stays the contract.
+    // file is the lossless record; stdout stays the contract. The file
+    // holds an ARRAY of runs (append semantics) so a multi-run variance
+    // band survives in one artifact — a lone number proved unjudgeable
+    // against run-to-run noise in round 4.
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), json)
+      val path = java.nio.file.Paths.get("target/bench.json")
+      val merged =
+        if (java.nio.file.Files.exists(path)) {
+          val old = java.nio.file.Files.readString(path).trim
+          if (old.startsWith("[")) old.dropRight(1) + ",\n" + json + "]"
+          else if (old.startsWith("{")) "[" + old + ",\n" + json + "]"
+          else "[" + json + "]"
+        } else "[" + json + "]"
+      java.nio.file.Files.writeString(path, merged)
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
