@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * The codec is REAL for the formats the JDK ships decoders for (round 3):
   * `image/png` / `image/bmp` / `image/gif` / `image/jpeg` via `javax.imageio`
   * and `audio/wav` via `javax.sound.sampled` — actual byte-stream parsing,
-  * not pseudo-metadata. Only mediaTypes with no JVM-native decoder (video,
-  * compressed audio) fall back to a clearly-marked deterministic stub so the
-  * pipeline shape stays total; swapping in a JNI/JavaCV decoder replaces only
-  * that branch.
+  * not pseudo-metadata. Container METADATA is parsed natively for
+  * `video/mp4` (ISO-BMFF box walk, round 4), `audio/flac` (STREAMINFO) and
+  * `audio/mpeg` (Layer III frame-header walk) (round 5) — plain header
+  * reads, no payload decode. Only mediaTypes with no parseable container
+  * left (non-MP4 video) fall back to a clearly-marked deterministic stub so
+  * the pipeline shape stays total; swapping in a JNI/JavaCV decoder
+  * replaces only that branch.
   */
 object Multimodal {
 
@@ -84,8 +87,28 @@ object Multimodal {
       require(nTracks > 0, s"no trak boxes in video/mp4 payload for id ${m.id}")
       DecodedMedia(m.id, m.mediaType, m.media.length,
         width = w, height = h, channels = nTracks, durationMs = durMs)
+    case "audio/flac" =>
+      // REAL container parse: FLAC STREAMINFO block (plain header read,
+      // pure JVM) — same envelope mapping as audio/wav: width = total
+      // samples, height = sample rate
+      val (rate, channels, totalSamples) = parseFlac(m.media)
+      DecodedMedia(m.id, m.mediaType, m.media.length,
+        width = totalSamples.toInt,
+        height = rate,
+        channels = channels,
+        durationMs = if (rate > 0) totalSamples * 1000L / rate else 0L)
+    case "audio/mpeg" =>
+      // REAL frame-header walk: MPEG audio Layer III sync-word scan over
+      // every frame (ID3v2 prefix skipped, ID3v1 trailer tolerated) —
+      // duration from summed samples-per-frame, no payload decode needed
+      val (rate, channels, totalSamples) = parseMp3(m.media)
+      DecodedMedia(m.id, m.mediaType, m.media.length,
+        width = totalSamples.toInt,
+        height = rate,
+        channels = channels,
+        durationMs = if (rate > 0) totalSamples * 1000L / rate else 0L)
     case _ =>
-      // STUB for formats without a JVM-native decoder (compressed audio,
+      // STUB only for formats with no parseable container left (e.g.
       // non-MP4 video): deterministic pseudo-metadata from the byte stream
       val n = m.media.length
       val first = if (n > 0) java.lang.Byte.toUnsignedInt(m.media(0)) else 0
@@ -158,6 +181,167 @@ object Multimodal {
     }
     walk(0L, bytes.length.toLong)
     (w, h, durationMs, nTracks)
+  }
+
+  /** FLAC STREAMINFO parse (the mandatory first metadata block of every
+    * FLAC stream): "fLaC" magic, then [1B last-flag+type][u24 length]
+    * blocks; STREAMINFO (type 0, 34 bytes) carries a bit-packed
+    * 20-bit sample rate / 3-bit channels-1 / 5-bit bps-1 / 36-bit total
+    * samples. Plain big-endian header reads, pure JVM, no frame decode.
+    * Returns (sampleRate, channels, totalSamples).
+    */
+  private[multimodal] def parseFlac(bytes: Array[Byte]): (Int, Int, Long) = {
+    def u(i: Int): Int = java.lang.Byte.toUnsignedInt(bytes(i))
+    require(bytes.length >= 8 &&
+      bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' && bytes(3) == 'C',
+      "not a FLAC stream: missing fLaC magic")
+    var off = 4
+    var first = true
+    var result: Option[(Int, Int, Long)] = None
+    var last = false
+    while (!last) {
+      require(off + 4 <= bytes.length, s"corrupt FLAC metadata header at offset $off")
+      val b0 = u(off)
+      last = (b0 & 0x80) != 0
+      val btype = b0 & 0x7f
+      val blen = (u(off + 1) << 16) | (u(off + 2) << 8) | u(off + 3)
+      require(off + 4 + blen <= bytes.length,
+        s"corrupt FLAC metadata block type $btype at offset $off (length $blen)")
+      // spec: STREAMINFO MUST be the first metadata block
+      require(!first || btype == 0, s"FLAC stream does not start with STREAMINFO (type $btype)")
+      if (btype == 0) {
+        require(blen >= 34, s"corrupt STREAMINFO: length $blen < 34")
+        val p = off + 4
+        val rate = (u(p + 10) << 12) | (u(p + 11) << 4) | (u(p + 12) >>> 4)
+        val channels = ((u(p + 12) >>> 1) & 0x7) + 1
+        val totalSamples = ((u(p + 13) & 0xf).toLong << 32) |
+          ((u(p + 14).toLong << 24) | (u(p + 15) << 16) | (u(p + 16) << 8) | u(p + 17))
+        require(rate > 0, "corrupt STREAMINFO: sample rate 0")
+        result = Some((rate, channels, totalSamples))
+      }
+      first = false
+      off += 4 + blen
+    }
+    result.getOrElse(sys.error("unreachable: STREAMINFO enforced first"))
+  }
+
+  private val Mp3BitrateKbpsV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateKbpsV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RatesV1 = Array(44100, 48000, 32000)
+
+  /** MPEG audio (MP3, Layer III) frame-header walk: skip an ID3v2 prefix
+    * (syncsafe size), then hop frame to frame on the computed frame length
+    * (144·bitrate/rate + padding for MPEG1; half for MPEG2/2.5), summing
+    * samples per frame (1152 MPEG1 / 576 MPEG2/2.5); an ID3v1 "TAG"
+    * trailer is tolerated. Duration needs no payload decode — CBR and VBR
+    * both walk exactly, frame by frame.
+    * Returns (sampleRate, channels, totalSamples).
+    */
+  private[multimodal] def parseMp3(bytes: Array[Byte]): (Int, Int, Long) = {
+    def u(i: Int): Int = java.lang.Byte.toUnsignedInt(bytes(i))
+    var off = 0
+    // ID3v2: "ID3" + ver(2) + flags(1) + 28-bit syncsafe size
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+      val sz = (u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9)
+      off = 10 + sz
+      require(off <= bytes.length, s"corrupt ID3v2 tag: declared size $sz overruns payload")
+    }
+    var rate = 0
+    var channels = 0
+    var totalSamples = 0L
+    var nFrames = 0
+    var done = false
+    while (!done && off + 4 <= bytes.length) {
+      if (bytes(off) == 'T' && off + 3 <= bytes.length &&
+        bytes(off + 1) == 'A' && bytes(off + 2) == 'G') {
+        done = true // ID3v1 trailer: last 128 bytes, no more frames
+      } else {
+        require(u(off) == 0xff && (u(off + 1) & 0xe0) == 0xe0,
+          s"corrupt MP3: no frame sync at offset $off after $nFrames frames")
+        val verBits = (u(off + 1) >>> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        val layerBits = (u(off + 1) >>> 1) & 0x3 // 1 = Layer III
+        require(verBits != 1, s"corrupt MP3: reserved MPEG version at offset $off")
+        require(layerBits == 1, s"unsupported MPEG layer at offset $off (Layer III only)")
+        val brIdx = (u(off + 2) >>> 4) & 0xf
+        val srIdx = (u(off + 2) >>> 2) & 0x3
+        require(brIdx >= 1 && brIdx <= 14, s"corrupt MP3: bitrate index $brIdx at offset $off")
+        require(srIdx != 3, s"corrupt MP3: reserved sample-rate index at offset $off")
+        val mpeg1 = verBits == 3
+        val kbps = (if (mpeg1) Mp3BitrateKbpsV1L3 else Mp3BitrateKbpsV2L3)(brIdx)
+        val baseRate = Mp3RatesV1(srIdx)
+        val frameRate = if (mpeg1) baseRate else if (verBits == 2) baseRate / 2 else baseRate / 4
+        val padding = (u(off + 2) >>> 1) & 0x1
+        val frameLen = (if (mpeg1) 144000 else 72000) * kbps / frameRate + padding
+        require(frameLen > 4 && off + frameLen <= bytes.length,
+          s"corrupt MP3: frame at offset $off (length $frameLen) overruns payload")
+        val chan = if (((u(off + 3) >>> 6) & 0x3) == 3) 1 else 2
+        if (nFrames == 0) { rate = frameRate; channels = chan }
+        else require(frameRate == rate, s"sample-rate change mid-stream at offset $off")
+        totalSamples += (if (mpeg1) 1152 else 576)
+        nFrames += 1
+        off += frameLen
+      }
+    }
+    require(nFrames > 0, "corrupt MP3: no audio frames found")
+    (rate, channels, totalSamples)
+  }
+
+  /** Deterministic synthetic FLAC: "fLaC" magic + a single STREAMINFO
+    * block (marked last) with the given stream parameters bit-packed
+    * exactly per spec — the fixture exercising the REAL header parser.
+    */
+  def syntheticFlac(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"sample rate $sampleRate not 20-bit")
+    require(channels >= 1 && channels <= 8, s"channels $channels out of FLAC range")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "total samples not 36-bit")
+    val si = new Array[Byte](34)
+    val bps = 16
+    si(0) = 0x10; si(1) = 0x00 // min block size 4096
+    si(2) = 0x10; si(3) = 0x00 // max block size 4096
+    // min/max frame size (bytes 4..9) left 0 = unknown
+    si(10) = ((sampleRate >>> 12) & 0xff).toByte
+    si(11) = ((sampleRate >>> 4) & 0xff).toByte
+    si(12) = (((sampleRate & 0xf) << 4) | (((channels - 1) & 0x7) << 1) |
+      (((bps - 1) >>> 4) & 0x1)).toByte
+    si(13) = ((((bps - 1) & 0xf) << 4) | ((totalSamples >>> 32) & 0xf).toInt).toByte
+    si(14) = ((totalSamples >>> 24) & 0xff).toByte
+    si(15) = ((totalSamples >>> 16) & 0xff).toByte
+    si(16) = ((totalSamples >>> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    // bytes 18..33: MD5 of the (absent) audio data — zeros = unknown
+    Array[Byte]('f', 'L', 'a', 'C', 0x80.toByte, 0, 0, 34) ++ si
+  }
+
+  /** Deterministic synthetic MP3: `nFrames` CBR MPEG1 Layer III frames at
+    * 128 kbps (deterministic filler bytes), optionally prefixed with an
+    * ID3v2 tag — exercises the REAL frame walk including the tag skip.
+    * `rateIdx`: 0=44100, 1=48000, 2=32000.
+    */
+  def syntheticMp3(rateIdx: Int, mono: Boolean, nFrames: Int, withId3: Boolean): Array[Byte] = {
+    require(rateIdx >= 0 && rateIdx <= 2, s"rateIdx $rateIdx out of range")
+    require(nFrames >= 1, "at least one frame")
+    val rate = Mp3RatesV1(rateIdx)
+    val frameLen = 144000 * 128 / rate // no padding
+    val out = new java.io.ByteArrayOutputStream()
+    if (withId3) {
+      val tagPayload = 32
+      out.write(Array[Byte]('I', 'D', '3', 3, 0, 0))
+      out.write(Array[Byte](0, 0, (tagPayload >>> 7).toByte, (tagPayload & 0x7f).toByte))
+      (0 until tagPayload).foreach(i => out.write(i * 13 % 256))
+    }
+    (0 until nFrames).foreach { f =>
+      val frame = new Array[Byte](frameLen)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      frame(2) = ((9 << 4) | (rateIdx << 2)).toByte // 128 kbps, no padding
+      frame(3) = (if (mono) 0xc0 else 0x00).toByte
+      var i = 4
+      while (i < frameLen) { frame(i) = ((f * 31 + i * 7) % 256).toByte; i += 1 }
+      out.write(frame)
+    }
+    out.toByteArray
   }
 
   /** Deterministic synthetic MP4: a structurally-valid ISO-BMFF file

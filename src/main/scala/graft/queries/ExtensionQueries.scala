@@ -33,10 +33,13 @@ object ExtensionQueries extends QueryPack {
       }
   }
 
-  /** Mixed-modality records for the DECODE gate: every 5th doc carries a
-    * structurally-valid synthetic MP4 (real ISO-BMFF box parse on the Spark
-    * side — dims from the same n_chars formulas, duration 10·n_chars ms,
-    * 1 or 2 tracks by id parity), the rest the real PNGs.
+  /** Mixed-modality records for the DECODE gate: by doc_id mod 5 —
+    * 4 → structurally-valid synthetic MP4 (real ISO-BMFF box parse: dims
+    * from the n_chars formulas, duration 10·n_chars ms, 1 or 2 tracks by
+    * id parity); 1 → synthetic FLAC (real STREAMINFO parse: rate from
+    * n_chars mod 3, 97·n_chars total samples); 2 → synthetic MP3 (real
+    * Layer III frame walk, ID3v2 prefix on even ids: 1+n_chars%7 frames
+    * of 1152 samples); rest → the real PNGs.
     */
   private def mediaMixed(spark: SparkSession, dir: String) = {
     import spark.implicits._
@@ -46,14 +49,30 @@ object ExtensionQueries extends QueryPack {
       .map { case (id, nChars) =>
         val w = 16 + (nChars % 48).toInt
         val h = 16 + ((nChars * 7) % 48).toInt
-        if (id % 5 == 4)
-          Multimodal.MediaRecord(id,
-            Multimodal.syntheticMp4(w, h, durationMs = nChars * 10,
-              nTracks = 1 + (id % 2).toInt),
-            "video/mp4")
-        else
-          Multimodal.MediaRecord(id, Multimodal.syntheticPng(id, w, h, gray = id % 2 == 0),
-            "image/png")
+        (id % 5: @unchecked) match {
+          case 4 =>
+            Multimodal.MediaRecord(id,
+              Multimodal.syntheticMp4(w, h, durationMs = nChars * 10,
+                nTracks = 1 + (id % 2).toInt),
+              "video/mp4")
+          case 1 =>
+            val rate = (nChars % 3) match {
+              case 0 => 16000; case 1 => 22050; case _ => 44100
+            }
+            Multimodal.MediaRecord(id,
+              Multimodal.syntheticFlac(rate, channels = 1 + (id % 2).toInt,
+                totalSamples = nChars * 97),
+              "audio/flac")
+          case 2 =>
+            Multimodal.MediaRecord(id,
+              Multimodal.syntheticMp3(rateIdx = (nChars % 3).toInt,
+                mono = id % 2 == 0, nFrames = 1 + (nChars % 7).toInt,
+                withId3 = id % 2 == 0),
+              "audio/mpeg")
+          case _ =>
+            Multimodal.MediaRecord(id, Multimodal.syntheticPng(id, w, h, gray = id % 2 == 0),
+              "image/png")
+        }
       }
   }
 
@@ -148,17 +167,34 @@ object ExtensionQueries extends QueryPack {
 
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_decode" ->
-      // the Spark side DECODES real PNGs and parses real MP4 box trees; the
-      // oracle recomputes the known construction formulas (dims from
-      // n_chars; PNG: gray/RGB by id parity, duration 0; MP4 on every 5th
-      // doc: track count by id parity, duration 10·n_chars ms)
-      """SELECT doc_id AS id,
-        |  CAST(16 + n_chars % 48 AS INT) AS width,
-        |  CAST(16 + (n_chars * 7) % 48 AS INT) AS height,
+      // the Spark side DECODES real PNGs and parses real MP4 box trees,
+      // FLAC STREAMINFO blocks, and MP3 frame chains; the oracle recomputes
+      // the known construction formulas (PNG: dims from n_chars, gray/RGB
+      // by id parity, duration 0; MP4 on ids ≡4 mod 5: track count by id
+      // parity, duration 10·n_chars ms; FLAC on ≡1: 97·n_chars samples at
+      // a rate from n_chars mod 3; MP3 on ≡2: (1+n_chars%7)·1152 samples)
+      """WITH m AS (SELECT doc_id, n_chars,
+        |    CASE n_chars % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END AS flac_rate,
+        |    CASE n_chars % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS mp3_rate,
+        |    n_chars * 97 AS flac_samples,
+        |    (1 + n_chars % 7) * 1152 AS mp3_samples
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN flac_samples
+        |            WHEN doc_id % 5 = 2 THEN mp3_samples
+        |            ELSE 16 + n_chars % 48 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 5 = 1 THEN flac_rate
+        |            WHEN doc_id % 5 = 2 THEN mp3_rate
+        |            ELSE 16 + (n_chars * 7) % 48 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 2
+        |            WHEN doc_id % 5 = 1 THEN 1 + doc_id % 2
+        |            WHEN doc_id % 5 = 2 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
         |            WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
-        |  CAST(CASE WHEN doc_id % 5 = 4 THEN n_chars * 10 ELSE 0 END AS BIGINT) AS duration_ms
-        |FROM documents
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN n_chars * 10
+        |            WHEN doc_id % 5 = 1 THEN flac_samples * 1000 // flac_rate
+        |            WHEN doc_id % 5 = 2 THEN mp3_samples * 1000 // mp3_rate
+        |            ELSE 0 END AS BIGINT) AS duration_ms
+        |FROM m
         |""".stripMargin,
     // replay the synthetic pixel formula (31x+7y+13id+11b mod 256) over
     // every sample; per-stripe integer sums, one division, 16-term sum —

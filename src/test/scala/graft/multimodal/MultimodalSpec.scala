@@ -63,6 +63,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(d.durationMs == 0L)
   }
 
+  test("FLAC roundtrip: real STREAMINFO bit-unpack of rate, channels, total samples") {
+    val bytes = Multimodal.syntheticFlac(sampleRate = 44100, channels = 2, totalSamples = 441_000L)
+    assert(new String(bytes, 0, 4, java.nio.charset.StandardCharsets.US_ASCII) == "fLaC")
+    val d = Multimodal.decodeOne(Multimodal.MediaRecord(3L, bytes, "audio/flac"))
+    assert((d.width, d.height, d.channels, d.durationMs) == (441000, 44100, 2, 10000L))
+    // 36-bit total-samples field: a >2^32 count survives the bit packing
+    val big = Multimodal.parseFlac(Multimodal.syntheticFlac(96000, 8, (1L << 33) + 7))
+    assert(big == ((96000, 8, (1L << 33) + 7)))
+  }
+
+  test("FLAC parse skips trailing metadata blocks and rejects corrupt streams") {
+    val base = Multimodal.syntheticFlac(22050, 1, 1000L)
+    // splice in a PADDING block (type 1) after STREAMINFO: unset the last
+    // flag on STREAMINFO, append [last|type=1][len 4][4 zero bytes]
+    val spliced = base.clone()
+    spliced(4) = 0x00 // STREAMINFO no longer last
+    val padded = spliced ++ Array[Byte](0x81.toByte, 0, 0, 4, 0, 0, 0, 0)
+    assert(Multimodal.parseFlac(padded) == ((22050, 1, 1000L)))
+    intercept[IllegalArgumentException] { // missing magic
+      Multimodal.parseFlac("not a flac".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated STREAMINFO
+      Multimodal.parseFlac(base.take(20))
+    }
+    intercept[IllegalArgumentException] { // first block not STREAMINFO
+      Multimodal.parseFlac(Array[Byte]('f', 'L', 'a', 'C', 0x81.toByte, 0, 0, 0))
+    }
+  }
+
+  test("MP3 roundtrip: frame walk sums samples across frames, with and without ID3v2") {
+    for (withId3 <- Seq(false, true); (rateIdx, rate) <- Seq((0, 44100), (1, 48000), (2, 32000))) {
+      val bytes = Multimodal.syntheticMp3(rateIdx, mono = true, nFrames = 5, withId3 = withId3)
+      val (r, ch, samples) = Multimodal.parseMp3(bytes)
+      assert((r, ch, samples) == ((rate, 1, 5L * 1152)), s"rateIdx=$rateIdx id3=$withId3")
+    }
+    val stereo = Multimodal.decodeOne(Multimodal.MediaRecord(7L,
+      Multimodal.syntheticMp3(0, mono = false, nFrames = 3, withId3 = false), "audio/mpeg"))
+    assert((stereo.width, stereo.height, stereo.channels) == ((3 * 1152, 44100, 2)))
+    assert(stereo.durationMs == 3L * 1152 * 1000 / 44100)
+  }
+
+  test("MP3 parse tolerates an ID3v1 trailer and rejects corrupt frames") {
+    val frames = Multimodal.syntheticMp3(1, mono = true, nFrames = 2, withId3 = false)
+    val tagged = frames ++ ("TAG" + "x" * 125).getBytes
+    assert(Multimodal.parseMp3(tagged) == ((48000, 1, 2L * 1152)))
+    intercept[IllegalArgumentException] { // garbage where a sync word must be
+      Multimodal.parseMp3(frames ++ Array[Byte](0x12, 0x34, 0x56, 0x78))
+    }
+    intercept[IllegalArgumentException] { // truncated final frame
+      Multimodal.parseMp3(frames.dropRight(10))
+    }
+    intercept[IllegalArgumentException] { // ID3 tag only, no frames
+      Multimodal.parseMp3(Multimodal.syntheticMp3(0, mono = true, nFrames = 1,
+        withId3 = true).take(42))
+    }
+  }
+
   test("MP4 roundtrip: real ISO-BMFF box walk reads back dims, duration, track count") {
     val bytes = Multimodal.syntheticMp4(width = 640, height = 360, durationMs = 12345L, nTracks = 2)
     // it is a real ISO-BMFF payload: box 1 is ftyp with brand isom
