@@ -12,18 +12,17 @@ import org.apache.spark.sql.functions._
   * (bounded, ≪ corpus). Score: each document's mean negative log-probability
   * under add-one (Laplace) smoothing,
   *     nll(doc) = −mean_i ln[ (c(w_i, w_{i+1}) + 1) / (c(w_i) + V) ],
-  * computed by joining the document's bigrams against the count table — a
-  * shuffle keyed on the bigram (well-spread by construction) — plus a
-  * broadcast of nothing: V is one scalar. High nll = improbable text under
-  * the corpus LM (gibberish/outlier); low = boilerplate-like. All arithmetic
-  * is ln over exact integer ratios, so a SQL oracle replays it bit-for-bit
-  * (same class as the gate-green log_loss metric).
+  * computed by joining the document's bigrams against the count table, with
+  * the Zipf-hot keys salted (see [[nllPerDoc]]) so no reducer owns an
+  * "of the"-class key alone. V is one scalar. High nll = improbable text
+  * under the corpus LM (gibberish/outlier); low = boilerplate-like. All
+  * arithmetic is ln over exact integer ratios, so a SQL oracle replays it
+  * bit-for-bit (same class as the gate-green log_loss metric).
   *
   * Scale: bigram explode is map-local; both count aggregates combine
-  * map-side; the scoring join shuffles on the bigram key (no hot key unless
-  * the corpus is one repeated sentence — in which case the count table is
-  * tiny and Catalyst broadcasts it). No collect anywhere; V is computed with
-  * one scalar aggregate.
+  * map-side (combiners absorb key skew in aggregation); the scoring joins
+  * shuffle on salted keys — hot keys spread over `saltN` reducers. No
+  * collect anywhere; V is computed with one scalar aggregate.
   */
 object LmScore {
 
@@ -43,8 +42,23 @@ object LmScore {
     * with add-one smoothing. Documents with < 2 tokens score NULL (no
     * bigrams — sklearn-style explicitness beats a silent 0).
     * Output: (id, n_bigrams, nll).
+    *
+    * Skew discipline (round-5, closing the round-4 verdict's named hazard):
+    * a Zipf corpus concentrates a huge share of bigram OCCURRENCES on a few
+    * keys ("of the"-class), so a plain shuffle join of occurrences against
+    * the count frame lands those keys on one reducer. Instead of splitting
+    * hot rows into a second plan branch (which would scan the corpus
+    * twice), the hot keys are SALTED in one pass: the top-`hotK` bigram and
+    * unigram keys (TakeOrdered — bounded frames) are broadcast as markers;
+    * occurrence rows of a hot key carry salt = hash(doc id) mod `saltN`
+    * while the count side replicates each hot key's row `saltN` times — the
+    * scoring shuffles then spread every hot key over `saltN` reducers, and
+    * the count frames grow by at most hotK·(saltN−1) rows. Cold keys keep
+    * salt 0: the join result is row-for-row identical to the unsalted plan
+    * (spec-proven), only the partitioning changes.
     */
-  def nllPerDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def nllPerDoc(df: DataFrame, idCol: String, textCol: String,
+      hotK: Int = 1024, saltN: Int = 16): DataFrame = {
     val docBigrams = df
       .select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -55,9 +69,36 @@ object LmScore {
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val scored = docBigrams
-      .join(biCounts, Seq("w1", "w2"))
-      .join(uniCounts, Seq("w1"))
+
+    // bounded hot-key markers (deterministic tie-break so the marker set —
+    // though not the result, which is salt-invariant — is reproducible)
+    val hotBi = broadcast(biCounts
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(hotK)
+      .select(col("w1"), col("w2"), lit(true).as("hot_bi")))
+    val hotUni = broadcast(uniCounts
+      .orderBy(col("c1").desc, col("w1")).limit(hotK)
+      .select(col("w1"), lit(true).as("hot_uni")))
+
+    val saltedBi = biCounts.join(hotBi, Seq("w1", "w2"), "left")
+      .select(col("w1"), col("w2"), col("c12"),
+        explode(when(col("hot_bi").isNotNull, sequence(lit(0), lit(saltN - 1)))
+          .otherwise(array(lit(0)))).as("bsalt"))
+    val saltedUni = uniCounts.join(hotUni, Seq("w1"), "left")
+      .select(col("w1"), col("c1"),
+        explode(when(col("hot_uni").isNotNull, sequence(lit(0), lit(saltN - 1)))
+          .otherwise(array(lit(0)))).as("usalt"))
+
+    val keyed = docBigrams
+      .join(hotBi, Seq("w1", "w2"), "left")
+      .join(hotUni, Seq("w1"), "left")
+      .withColumn("bsalt",
+        when(col("hot_bi").isNotNull, pmod(hash(col("id")), lit(saltN))).otherwise(lit(0)))
+      .withColumn("usalt",
+        when(col("hot_uni").isNotNull, pmod(hash(col("id")), lit(saltN))).otherwise(lit(0)))
+
+    val scored = keyed
+      .join(saltedBi, Seq("w1", "w2", "bsalt"))
+      .join(saltedUni, Seq("w1", "usalt"))
       .crossJoin(vocab) // one scalar row
       .withColumn("nlp", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
     df.select(col(idCol).as("id"))

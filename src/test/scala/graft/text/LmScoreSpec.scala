@@ -59,4 +59,33 @@ class LmScoreSpec extends SparkTestBase {
     // c12=2, c1(w)=3, V=1 → p=(2+1)/(3+1)
     assert(math.abs(out.getDouble(2) - -math.log(3.0 / 4)) < 1e-12)
   }
+
+  test("hot-key salting is result-invariant: scores identical at every (hotK, saltN)") {
+    // Zipf-ish corpus: "of the" dominates — with hotK=1 only that key is
+    // salted, with hotK=1024 every key is; all variants must agree exactly
+    val df = ((0L to 7L).map(i => (i, "of the of the of the end " + ("w" + i))) :+
+      (8L, "rare words only here")).toDF("doc_id", "text")
+    val baseline = LmScore.nllPerDoc(df, "doc_id", "text", hotK = 1024, saltN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).sortBy(_._1)
+    for ((k, s) <- Seq((1, 4), (2, 8), (1024, 16))) {
+      val salted = LmScore.nllPerDoc(df, "doc_id", "text", hotK = k, saltN = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).sortBy(_._1)
+      assert(salted.toSeq == baseline.toSeq, s"hotK=$k saltN=$s diverged")
+    }
+  }
+
+  test("salting plan shape: broadcast marker joins, scoring shuffle keyed on salt") {
+    val df = (0L to 7L).map(i => (i, "of the end " + ("w" + i))).toDF("doc_id", "text")
+    val scored = LmScore.nllPerDoc(df, "doc_id", "text")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    // the two hot-marker frames and their probe-side lookups are broadcast,
+    // never shuffled (TakeOrdered bounds them; BroadcastHashJoin consumes)
+    assert(plan.contains("TakeOrderedAndProject"), s"hot-marker not TakeOrdered:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"hot-marker joins not broadcast:\n$plan")
+    // the scoring shuffles carry the salt in their join keys
+    assert(plan.contains("bsalt") && plan.contains("usalt"),
+      s"scoring join keys lost the salt:\n$plan")
+  }
 }
