@@ -430,7 +430,16 @@ object Dedup {
       .crossJoin(broadcast((0 until nBands).toDF("band")))
       .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
       .select(col("id"), col("simhash").as("sig_n"), col("band"), col("bkey"))
-    probe.join(index, Seq("band", "bkey"))
+    verifyScreenMatches(probe.join(index, Seq("band", "bkey")), maxHamming)
+  }
+
+  /** Shared screen tail: matched (id, sig_n, base_id, sig_b) candidate rows
+    * → hamming verify → per-batch-doc (n_matches, min_hamming, match_id)
+    * with the deterministic (hamming, id) min-encoding tie-break.
+    */
+  private def verifyScreenMatches(matched: DataFrame, maxHamming: Int): DataFrame = {
+    val ENC = 1000000000000L // hamming ≤ 63 ≪ 10¹², ids < 10¹² by contract
+    matched
       // enforce the id contract at runtime: an out-of-range base_id would
       // silently corrupt the (hamming, id) min-encoding tie-break below —
       // fail the job instead
@@ -451,6 +460,87 @@ object Dedup {
         col("n_matches"),
         expr(s"__e div $ENC").cast("int").as("min_hamming"),
         pmod(col("__e"), lit(ENC)).as("match_id"))
+  }
+
+  /** Persist the banded signature index as an on-disk BUCKETED table,
+    * hash-bucketed on the combined band key `bk = band·2^bandBits + bkey`
+    * (injective in (band, bkey), so a join on `bk` alone is exact) — the
+    * cross-JOB layout the incremental screen needs at 100 TB: the base
+    * corpus is hashed and banded ONCE, lives on disk, and every future
+    * probe joins it CO-LOCATED (zero shuffle on either side, asserted by
+    * the gate) instead of rebuilding or re-shuffling the index per run.
+    * Idempotent per (session, table).
+    */
+  def persistentBandedIndex(
+      base: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      bits: Int = 48,
+      nBands: Int = 12,
+      nBuckets: Int = 16): DataFrame = {
+    val bandBits = bits / nBands
+    graft.sources.PartitionedSink.writeBucketedTable(
+      simhashBandedIndex(base, idCol, textCol, bits, nBands)
+        .withColumn("bk", col("band") * (1L << bandBits) + col("bkey")),
+      "bk", nBuckets, table)
+  }
+
+  /** Probe a batch against a [[persistentBandedIndex]] with a co-located
+    * join: the batch's probe frame is written bucketed on the same `bk`
+    * (the batch is the SMALL side — bucketing it is O(|batch|·nBands)),
+    * so the index↔probe join runs with NO shuffle exchange on either side
+    * — the on-disk bucket layout IS the join distribution, asserted at
+    * runtime (the job fails loudly if a plan change reintroduces a
+    * shuffle). Same screen contract and output as [[simhashScreen]].
+    */
+  def screenAgainstPersistentIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeTable: String,
+      bits: Int = 48,
+      nBands: Int = 12,
+      maxHamming: Int = 11,
+      nBuckets: Int = 16): DataFrame = {
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+    val joined = probeJoinAgainstPersistentIndex(index, batch, idCol, textCol,
+      probeTable, bits, nBands, nBuckets)
+    require(graft.sources.PartitionedSink.isShuffleFree(joined),
+      "persistent-index probe join introduced a shuffle exchange — " +
+        "index and probe must be co-bucketed on bk")
+    verifyScreenMatches(joined, maxHamming)
+  }
+
+  /** The matched-candidates join of [[screenAgainstPersistentIndex]],
+    * exposed so callers can runtime-assert its plan has no shuffle
+    * exchange before aggregating.
+    */
+  def probeJoinAgainstPersistentIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      probeTable: String,
+      bits: Int = 48,
+      nBands: Int = 12,
+      nBuckets: Int = 16): DataFrame = {
+    require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val probe = simhash(batch, idCol, textCol, bits)
+      .crossJoin(broadcast((0 until nBands).toDF("band")))
+      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+      .select(col("id"), col("simhash").as("sig_n"),
+        (col("band") * (1L << bandBits) + col("bkey")).as("bk"))
+    val probeTbl = graft.sources.PartitionedSink.writeBucketedTable(
+      probe, "bk", nBuckets, probeTable)
+    probeTbl.hint("merge")
+      .join(index.select(col("bk"), col("base_id"), col("sig_b")), Seq("bk"))
   }
 
   /** SimHash-headed Jaccard near-dup pairs: banded SimHash multi-index

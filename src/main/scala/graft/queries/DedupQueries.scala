@@ -93,6 +93,21 @@ object DedupQueries extends QueryPack {
         "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
     }),
+    "q_screen_persistent" -> ((s, dir) => {
+      // the cross-JOB deployment shape of the incremental screen (round-5
+      // verdict item): the base corpus's banded index lives ON DISK as a
+      // bucketed table, the arriving batch's probe frame is bucketed the
+      // same way, and the probe join runs with zero shuffle exchanges
+      // (runtime-asserted inside screenAgainstPersistentIndex). Same
+      // screen semantics — and the same oracle — as q_incremental_screen.
+      val d = docs(s, dir)
+      val suffix = math.abs(dir.hashCode)
+      val index = Dedup.persistentBandedIndex(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", s"graft_simhash_index_$suffix")
+      Dedup.screenAgainstPersistentIndex(index, d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", s"graft_simhash_probe_$suffix")
+        .withColumnRenamed("id", "doc_id")
+    }),
     "q_dedup_clusters_capped" -> ((s, dir) => {
       // The sparse-corpus scale path: MinHash-LSH with the hot-bucket cap —
       // mega-buckets contribute linear hub stars instead of O(bucket²)
@@ -241,6 +256,9 @@ object DedupQueries extends QueryPack {
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM ver WHERE sim >= $THR
          |""".stripMargin,
     "q_incremental_screen" -> screenOracleSql,
+    // identical semantics to q_incremental_screen — only the physical
+    // layout (on-disk bucketed index, co-located probe join) differs
+    "q_screen_persistent" -> screenOracleSql,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},
          |cc(id, lbl) AS (

@@ -159,6 +159,34 @@ class DedupSpec extends SparkTestBase {
     assert(out.keySet.forall(_ >= 10L))
   }
 
+  test("persistent bucketed index screen: shuffle-free probe join, output equals in-memory screen") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words live here nowhere else"),
+      (3L, "yet more unrelated base corpus content words")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of base 1
+      (11L, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff")       // novel vocab
+    ).toDF("doc_id", "text")
+    val suffix = "spec_" + System.nanoTime() // fresh tables per run
+    val index = Dedup.persistentBandedIndex(base, "doc_id", "text",
+      s"graft_test_index_$suffix")
+    // the probe join must be exchange-free: both sides read bucketed on bk
+    val joined = Dedup.probeJoinAgainstPersistentIndex(index, batch, "doc_id", "text",
+      s"graft_test_probe_$suffix")
+    assert(graft.sources.PartitionedSink.isShuffleFree(joined),
+      s"probe join shuffled:\n${joined.queryExecution.executedPlan}")
+    val persistent = Dedup.screenAgainstPersistentIndex(index, batch, "doc_id", "text",
+      s"graft_test_probe_$suffix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    val inMemory = Dedup.simhashScreen(base, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    assert(persistent.toSeq == inMemory.toSeq,
+      "persistent-index screen diverged from the in-memory screen")
+    assert(persistent.exists(r => r._1 == 10L && r._3 == 0 && r._4 == 1L))
+  }
+
   test("simhashWide at 48 bits reproduces the narrow signature word-for-word") {
     // one word per band, bandBits=4: word w of the wide signature must equal
     // (narrow >> 4w) & 15 — narrow and wide heads are interchangeable
