@@ -129,23 +129,37 @@ object ScaleQueries extends QueryPack {
     * scoring join, dedup groupBy, and packing window chain in a single
     * lazy DataFrame with no driver materialization between stages.
     */
-  private def curationV2(spark: SparkSession, dir: String): DataFrame = {
-    import graft.text.{Heuristics, LmScore, Packing, Pii}
-    val d = Tables.cached(spark, dir, "documents")
-    val injected = d.withColumn("text2", concat(col("text"),
+  /** Stages 1–4 of [[curationV2]] — PII injection (dirty-input fixture),
+    * C4/Gopher filter, LM-NLL cut against a PRE-TRAINED score frame,
+    * redaction. Per-document given the static `nll` side, which is what
+    * makes the streamed composition ([[q_stream_curation]]) provably equal
+    * to the batch run however ingestion is chunked.
+    */
+  private[queries] def curationPerDoc(docs: DataFrame, nll: DataFrame): DataFrame = {
+    import graft.text.Heuristics
+    val injected = docs.withColumn("text2", concat(col("text"),
       when(col("doc_id") % 7 === 0,
         concat(lit(" user"), col("doc_id").cast("string"), lit("@example.com")))
         .otherwise(lit("")),
       when(col("doc_id") % 11 === 3, lit(" 40414243444546")).otherwise(lit("")),
       when(col("doc_id") % 13 === 5, lit(" 10.0.255.1")).otherwise(lit(""))))
     val filtered = injected.filter(Heuristics.keepExpr(col("text2")))
-    val nll = LmScore.nllPerDoc(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
     // the cut compares the 6-dp-PINNED value on both engines: avg()
     // summation order differs between Spark and DuckDB, so an unrounded
     // compare could flip a doc sitting within ulps of NLL_MAX
     val scored = filtered.join(nll, Seq("doc_id"))
       .filter(col("nll").isNotNull && round(col("nll"), 6) <= NLL_MAX)
-    val redacted = scored.withColumn("rtext", graft.text.Pii.redact(col("text2")))
+    scored.withColumn("rtext", graft.text.Pii.redact(col("text2")))
+  }
+
+  /** Stages 5–6 of [[curationV2]] — the release-CLOSE step over the full
+    * accumulated survivor set: exact dedup on redacted text (min-id
+    * canonical) + GPT-style packing → per-shard manifest. Corpus-global by
+    * nature (a doc's canonicity and pack offsets depend on every other
+    * survivor), so it runs once per release, not per micro-batch.
+    */
+  private[queries] def curationClose(redacted: DataFrame): DataFrame = {
+    import graft.text.Packing
     val canonical = redacted
       .groupBy(md5(col("rtext")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
     val survivors = redacted.join(canonical.select("doc_id"), Seq("doc_id"))
@@ -154,6 +168,30 @@ object ScaleQueries extends QueryPack {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         (max(col("pack_id")) + 1).as("n_packs"))
+  }
+
+  private def curationV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.LmScore
+    val d = Tables.cached(spark, dir, "documents")
+    val nll = LmScore.nllPerDoc(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    curationClose(curationPerDoc(d, nll))
+  }
+
+  /** [[curationV2]] deployed ON INGEST (round-5 verdict item): the LM is
+    * trained once on the static corpus, the per-document stages run inside
+    * `foreachBatch` as documents arrive, and the corpus-global release
+    * close (dedup + packing) runs once over the accumulated survivors —
+    * the batch oracle verifies the whole path verbatim.
+    */
+  private def streamCurationQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.LmScore
+    val d = Tables.cached(spark, dir, "documents")
+    val nll = LmScore.nllPerDoc(d, "doc_id", "text").withColumnRenamed("id", "doc_id").cache()
+    nll.count() // train the LM once, BEFORE the stream starts
+    graft.streaming.StreamingOps.streamReleaseCompose(spark, dir,
+      batch => curationPerDoc(batch, nll),
+      redacted => curationClose(redacted),
+      queryName = s"stream_curation_${math.abs(dir.hashCode)}")
   }
 
   /** LM-NLL cut for [[curationV2]]: sits in the corpus's upper tail
@@ -195,6 +233,7 @@ object ScaleQueries extends QueryPack {
         Tables.cached(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("shuffle_pos"))),
     "q_curation_pipeline" -> (curation _),
+    "q_stream_curation" -> (streamCurationQ _),
   )
 
   private[queries] val MIX_WEIGHTS = Map(
@@ -202,42 +241,49 @@ object ScaleQueries extends QueryPack {
 
   private val BUDGET_TOKENS = 12000L
 
+  /** Shared by `q_curation_v2` and `q_stream_curation` (streamed ≡ batch).
+    * inj exposes the dirty text AS `text` so the shared c4Rules strings
+    * (which reference bare `text`) apply to it; the LM CTEs read the raw
+    * documents table — LM is trained on the original corpus.
+    */
+  private lazy val curationV2Oracle: String = {
+    import graft.text.Pii.{EMAIL, IPV4, LONG_DIGITS}
+    s"""WITH inj AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 3 THEN ' 40414243444546' ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 5 THEN ' 10.0.255.1' ELSE '' END AS text
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |  ${TextQueries.c4Rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+       |FROM inj),
+       |${TextQueries.lmCtes},
+       |filt AS (SELECT i.doc_id, i.text FROM inj i
+       |         JOIN f ON f.doc_id = i.doc_id
+       |           AND f.f_len * f.f_ttr * f.f_meanlen * f.f_stop * f.f_blocklist = 1
+       |         JOIN a ON a.doc_id = i.doc_id AND round(a.nll, 6) <= $NLL_MAX),
+       |red AS (SELECT doc_id,
+       |          regexp_replace(regexp_replace(regexp_replace(text,
+       |            '$EMAIL', '<EMAIL>', 'g'), '$IPV4', '<IP>', 'g'),
+       |            '$LONG_DIGITS', '<NUM>', 'g') AS rtext
+       |        FROM filt),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(rtext)),
+       |surv AS (SELECT r.doc_id, r.rtext FROM red r JOIN canon c ON c.doc_id = r.doc_id),
+       |pt AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
+       |              CAST(len(string_split(rtext, ' ')) AS BIGINT) AS n_tokens FROM surv),
+       |po AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset" FROM pt),
+       |pp AS (SELECT shard, n_tokens, CAST("offset" // 128 AS BIGINT) AS pack_id FROM po)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
+       |FROM pp GROUP BY shard
+       |""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
-    "q_curation_v2" -> {
-      import graft.text.Pii.{EMAIL, IPV4, LONG_DIGITS}
-      // inj exposes the dirty text AS `text` so the shared c4Rules strings
-      // (which reference bare `text`) apply to it; the LM CTEs read the raw
-      // documents table — LM is trained on the original corpus
-      s"""WITH inj AS (SELECT doc_id, text ||
-         |    CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-         |    CASE WHEN doc_id % 11 = 3 THEN ' 40414243444546' ELSE '' END ||
-         |    CASE WHEN doc_id % 13 = 5 THEN ' 10.0.255.1' ELSE '' END AS text
-         |  FROM documents),
-         |f AS (SELECT doc_id,
-         |  ${TextQueries.c4Rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
-         |FROM inj),
-         |${TextQueries.lmCtes},
-         |filt AS (SELECT i.doc_id, i.text FROM inj i
-         |         JOIN f ON f.doc_id = i.doc_id
-         |           AND f.f_len * f.f_ttr * f.f_meanlen * f.f_stop * f.f_blocklist = 1
-         |         JOIN a ON a.doc_id = i.doc_id AND round(a.nll, 6) <= $NLL_MAX),
-         |red AS (SELECT doc_id,
-         |          regexp_replace(regexp_replace(regexp_replace(text,
-         |            '$EMAIL', '<EMAIL>', 'g'), '$IPV4', '<IP>', 'g'),
-         |            '$LONG_DIGITS', '<NUM>', 'g') AS rtext
-         |        FROM filt),
-         |canon AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(rtext)),
-         |surv AS (SELECT r.doc_id, r.rtext FROM red r JOIN canon c ON c.doc_id = r.doc_id),
-         |pt AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard,
-         |              CAST(len(string_split(rtext, ' ')) AS BIGINT) AS n_tokens FROM surv),
-         |po AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset" FROM pt),
-         |pp AS (SELECT shard, n_tokens, CAST("offset" // 128 AS BIGINT) AS pack_id FROM po)
-         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
-         |FROM pp GROUP BY shard
-         |""".stripMargin
-    },
+    "q_curation_v2" -> curationV2Oracle,
+    // streamed composition ≡ batch release (LM static, per-doc stages
+    // chunk-invariant, close step global) — same oracle verbatim
+    "q_stream_curation" -> curationV2Oracle,
     "q_budget_select" ->
       s"""WITH q AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS ntok,
          |             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,

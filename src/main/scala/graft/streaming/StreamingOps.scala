@@ -368,4 +368,46 @@ object StreamingOps {
     bench.unpersist()
     spark.read.parquet(outDir).drop("batch").withColumnRenamed("id", "vec_id")
   }
+
+  /** Generic stream-then-close composition for corpus RELEASE pipelines
+    * (round-5 verdict item, deployed by `q_stream_curation`): the
+    * per-document prefix (`perDoc` — filters, scoring against static
+    * state, redaction) runs inside `foreachBatch` as documents arrive,
+    * each micro-batch landing idempotently in a batchId-keyed subpath
+    * (overwrite — retried invocations replace, never duplicate); the
+    * corpus-GLOBAL `close` step (dedup canonicalization, packing — stages
+    * whose result depends on every survivor) runs ONCE over the
+    * accumulated survivor store after the stream drains.
+    *
+    * Because `perDoc` is per-document given its static sides, the
+    * accumulated union equals the batch run of the same prefix no matter
+    * how ingestion is chunked, and `close` is then literally the batch
+    * close — so a batch oracle verifies the streamed release verbatim.
+    * At scale the survivor store is the release staging table: ingest
+    * runs continuously, the close step runs at release cut time.
+    */
+  def streamReleaseCompose(
+      spark: SparkSession,
+      dir: String,
+      perDoc: DataFrame => DataFrame,
+      close: DataFrame => DataFrame,
+      queryName: String = "stream_release"): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val outDir = s"target/stream_release_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(outDir))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        perDoc(batch).write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    close(spark.read.parquet(outDir).drop("batch"))
+  }
 }

@@ -205,4 +205,25 @@ class WatermarkSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streamReleaseCompose: streamed per-doc prefix + batch close equals the all-batch run") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // per-doc stage: a row-local quality projection + filter; close stage:
+    // a corpus-global min-id canonical dedup on the projected text
+    val perDoc = (df: DataFrame) => df
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) > 40)
+    val close = (acc: DataFrame) => acc
+      .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy().agg(count(lit(1)).as("n_canonical"), sum(col("doc_id")).as("id_sum"))
+    val streamed = StreamingOps.streamReleaseCompose(spark, dir, perDoc, close,
+      queryName = s"release_${System.nanoTime()}")
+      .collect().map(_.toSeq).toSet
+    val batch = close(perDoc(spark.read.parquet(s"$dir/documents.parquet")))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
