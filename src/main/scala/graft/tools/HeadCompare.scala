@@ -38,7 +38,13 @@ object HeadCompare {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val docs = graft.sources.Tables.cached(spark, dir, "documents")
+    // "sparse:<sfDir>" measures on the crawl-like SparseCorpus fixture
+    // (realistic vocabulary, low median similarity, planted clusters)
+    // instead of the harness's dense-similarity documents table
+    val docs = if (dir.startsWith("sparse:")) {
+      val real = graft.sources.Tables.cached(spark, dir.stripPrefix("sparse:"), "documents")
+      graft.dedup.SparseCorpus.generate(real.select("doc_id")).cache()
+    } else graft.sources.Tables.cached(spark, dir, "documents")
     def pairSet(df: DataFrame): Set[(Long, Long)] =
       df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
 
