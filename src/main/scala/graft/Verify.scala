@@ -43,7 +43,15 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional third arg: regex over query names — subset runs for scale
+    // probes beyond the driver's gate scale (e.g. the non-quadratic tree
+    // at 10× sf0.1). oracle_sql.json is filtered to the selected subset so
+    // check_oracle verifies exactly what ran.
+    val (sfDir, outDir, nameFilter) = args match {
+      case Array(s, o) => (s, o, (_: String) => true)
+      case Array(s, o, re) => val p = re.r; (s, o, (n: String) => p.findFirstIn(n).isDefined)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [nameRegex]")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,7 +62,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val schemas = scala.collection.mutable.Map.empty[String, StructType]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -76,6 +84,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => nameFilter(kv._1))
       .map { case (k, v) =>
         val sql = schemas.get(k).map(s => wrapOracle(v, s)).getOrElse(v)
         s"${q(k)}: ${q(sql)}"

@@ -31,12 +31,16 @@ object RelationalQueries extends QueryPack {
     }),
     // order-revenue join: fact-fact equi-join, dimension broadcast
     "q_rel_order_revenue" -> ((s, dir) => {
+      // money semantics, scale-proof: round each line's revenue to 4 dp,
+      // sum EXACT decimals (order-independent — double SUM drifted past
+      // the 4-dp pin at the sf1 probe's 2×10¹⁰ magnitudes), cast back
       val li = Tables.lineitem(s, dir)
       val ord = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .cast("decimal(28,4)")).cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     }),
     // per-month top-3 revenue days: window rank over a time-bucketed agg
@@ -105,7 +109,7 @@ object RelationalQueries extends QueryPack {
         |""".stripMargin,
     "q_rel_order_revenue" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'

@@ -11,12 +11,25 @@ import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+# optional third arg: regex over query names (scale probes re-check subsets
+# in fresh processes — one runaway oracle otherwise poisons the allocator
+# for every query after it)
+name_re = None
+if len(sys.argv) > 3:
+    import re
+    name_re = re.compile(sys.argv[3])
 con = duckdb.connect()
+# spill instead of dying on the big scale-probe oracles
+con.execute("SET temp_directory='/tmp/duckdb_spill'")
+if os.environ.get("GRAFT_DUCKDB_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if name_re is not None:
+    oracle = {k: v for k, v in oracle.items() if name_re.search(k)}
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
