@@ -71,6 +71,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Directional n-gram CONTAINMENT pairs (Broder 1997 §2's second
+    * resemblance measure): c(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct
+    * n-gram shingle sets. Jaccard structurally misses the asymmetric
+    * near-dup — a short doc quoted whole inside a much larger one scores
+    * J ≈ |A|/|B| ≈ 0 but c(A→B) = 1 — so containment is THE signal for
+    * quote/subset detection (it is also the dedup-eval measure in Lee et
+    * al. 2022 §4.1).
+    *
+    * Scale shape: no block cross-join — documents meet on the GRAM axis
+    * (explode distinct grams → self-join on gram → pair-count aggregate),
+    * so cost is Σ_g df(g)², not |block|². The df(g) ≤ `maxDf` cap bounds
+    * the per-gram quadratic term; ultra-common shingles ("of the and"-class
+    * boilerplate, which carry no dedup signal — standard stop-shingle
+    * practice) are dropped from the gram space BEFORE pairing. The cap also
+    * redefines |S(A)| to the informative-gram set — numerator and
+    * denominator see the same space, so containment remains a true fraction
+    * and the SQL oracle replays the cap exactly. Docs whose informative set
+    * is empty pair with nothing.
+    *
+    * Output: (id_a, id_b, inter, size_a, containment) per DIRECTED pair
+    * with containment ≥ threshold — (a,b) and (b,a) are distinct rows with
+    * different denominators, by design.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("g"))
+    // shingles are distinct per doc, so count(*) per gram IS doc frequency
+    val informative = grams.join(
+      grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= maxDf)
+        .select(col("g")),
+      Seq("g"))
+    val sizes = informative.groupBy(col("id")).agg(count(lit(1)).as("size_a"))
+    informative.select(col("g"), col("id").as("id_a"))
+      .join(informative.select(col("g"), col("id").as("id_b")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .withColumn("containment", col("inter").cast("double") / col("size_a"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+        col("containment"))
+  }
+
   /** MinHash parameters: k universal-hash functions h_i(x) = (a_i·x + b_i)
     * mod p over the 60-bit shingle hash reduced mod p. Constants are fixed
     * (seeded LCG) so Scala and the SQL oracle share them exactly.

@@ -62,6 +62,19 @@ object DedupQueries extends QueryPack {
       Dedup.minhashSignatures(docs(s, dir).filter(col("doc_id") < 50), "doc_id", "text", N, K)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", N, K, BANDS, THR)),
+    // directional containment: every 10th doc is quoted (30-token prefix)
+    // as a new doc — the asymmetric near-dup Jaccard scores near 0 but
+    // containment scores 1; natural corpus pairs surface alongside
+    "q_containment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quotes = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 30)).as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionByName(quotes)
+      Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 5)
+        .select(col("id_a"), col("id_b"), col("inter"), col("size_a"),
+          round(col("containment"), 6).as("containment"))
+    }),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
     "q_simhash_neardup" -> ((s, dir) =>
@@ -262,6 +275,28 @@ object DedupQueries extends QueryPack {
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardRaw AS sim
          |          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= $THR
+         |""".stripMargin,
+    "q_containment" ->
+      // same quote planting, same df<=5 informative-gram cap, same
+      // directed-pair arithmetic; threshold compares the raw double on
+      // both engines (0.5 is binary-exact)
+      s"""WITH q AS (SELECT doc_id + 10000000 AS doc_id,
+         |             array_to_string(string_split(text, ' ')[1:30], ' ') AS text
+         |           FROM documents WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM q),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |g AS (SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+         |      FROM tk JOIN pos ON i + 3 <= len(t)),
+         |keep AS (SELECT g FROM (SELECT g, count(*) AS d FROM g GROUP BY g) WHERE d <= 5),
+         |gf AS (SELECT doc_id, g.g FROM g JOIN keep USING (g)),
+         |sz AS (SELECT doc_id, count(*) AS size_a FROM gf GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM gf a JOIN gf b USING (g) WHERE a.doc_id != b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, size_a,
+         |       round(CAST(inter AS DOUBLE) / size_a, 6) AS containment
+         |FROM p JOIN sz ON sz.doc_id = p.id_a
+         |WHERE CAST(inter AS DOUBLE) / size_a >= 0.5
          |""".stripMargin,
     "q_dedup_minhash_sig" ->
       s"""WITH ${sigCte("WHERE doc_id < 50")}

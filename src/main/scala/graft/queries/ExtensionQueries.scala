@@ -157,6 +157,12 @@ object ExtensionQueries extends QueryPack {
     "q_stream_filter" -> ((s, dir) =>
       StreamingOps.streamC4Filter(s, dir,
         queryName = s"stream_c4_${math.abs(dir.hashCode)}")),
+    // stream-stream attribution join: purchases pair with the same user's
+    // clicks in the preceding hour, both sides unbounded; watermark +
+    // time-range bound the join state
+    "q_stream_join" -> ((s, dir) =>
+      StreamingOps.streamStreamJoin(s, dir,
+        queryName = s"stream_join_${math.abs(dir.hashCode)}")),
     // semantic screen on ingest: per-vector argmax vs the static bench
     // side ⇒ chunking-invariant, batch oracle verifies it
     "q_stream_semantic" -> ((s, dir) =>
@@ -255,6 +261,18 @@ object ExtensionQueries extends QueryPack {
     "q_stream_filter" -> TextQueries.oracleSql("q_c4_filter"),
     // and for the streamed semantic screen: the batch screen oracle
     "q_stream_semantic" -> SimilarityQueries.oracleSql("q_semantic_screen"),
+    // stream-stream join drains to exactly the batch interval join (single
+    // co-present micro-batch per side; watermark advances only post-batch)
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_event_id, p.event_id AS purchase_event_id,
+        |  c.user_id AS user_id,
+        |  epoch_us(c.ts) AS click_ts_us, epoch_us(p.ts) AS purchase_ts_us,
+        |  round(c.value, 6) AS click_value, round(p.value, 6) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |""".stripMargin,
     "q_bucketed_join" ->
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 4) AS sum_value,

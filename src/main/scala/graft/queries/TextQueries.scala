@@ -153,6 +153,12 @@ object TextQueries extends QueryPack {
       graft.text.LmScore.nllPerDoc(docs(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"),
           round(col("nll"), 6).as("nll"))),
+    // Kneser-Ney upgrade of the corpus LM (the KenLM smoothing CCNet
+    // actually filters with): interpolated absolute discounting, D=0.75
+    "q_lm_kneser_ney" -> ((s, dir) =>
+      graft.text.LmScore.nllKneserNey(docs(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("nll"), 6).as("nll"))),
     // CCNet perplexity terciles: head = most fluent third under the
     // corpus LM (boundaries from one percentile aggregate, no ntile sort)
     "q_ppl_buckets" -> ((s, dir) =>
@@ -586,6 +592,30 @@ object TextQueries extends QueryPack {
          |""".stripMargin,
     "q_lm_score" ->
       s"""WITH $lmCtes
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |       round(a.nll, 6) AS nll
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |""".stripMargin,
+    "q_lm_kneser_ney" ->
+      // same bigram CTEs as the add-one gate; the KN probability is written
+      // in the engine's exact operation order (D=0.75 is binary-exact, so
+      // c12 - D is exact in both engines)
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+         |       FROM tk JOIN pos ON i + 2 <= len(t)),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         |cx AS (SELECT w1, sum(c12) AS ctx1, count(*) AS fanout1 FROM bc GROUP BY w1),
+         |ct AS (SELECT w2, count(*) AS cont2 FROM bc GROUP BY w2),
+         |nt AS (SELECT count(*) AS ntypes FROM bc),
+         |s AS (SELECT bg.doc_id,
+         |        -ln((bc.c12 - 0.75) / cx.ctx1
+         |            + 0.75 * cx.fanout1 / cx.ctx1
+         |              * (CAST(ct.cont2 AS DOUBLE) / nt.ntypes)) AS nlp
+         |      FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1)
+         |      JOIN ct USING (w2) CROSS JOIN nt),
+         |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
+         |      FROM s GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
          |       round(a.nll, 6) AS nll
          |FROM documents d LEFT JOIN a USING (doc_id)

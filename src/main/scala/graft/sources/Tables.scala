@@ -4,17 +4,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Harness-table loader. The only wrinkle: `events.ts` is written as parquet
-  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
-  * ([PARQUET_TYPE_ILLEGAL]). We read nanos as raw longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
-  * timestamp — lossless for this data and bit-identical to what DuckDB's
-  * date_trunc sees at month granularity.
+/** Harness-table loader. The only wrinkle: `events.ts` has shipped in two
+  * parquet flavors across driver data generations, and both must normalize
+  * to a session-TZ TIMESTAMP so `unix_micros`/watermarks work and DuckDB
+  * (which reads either flavor as a naive timestamp) sees identical values
+  * under the UTC sessions every entry point pins:
+  *
+  *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright
+  *    ([PARQUET_TYPE_ILLEGAL]) — read nanos as raw longs
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
+  *    timestamp, lossless for this data.
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+  *    TIMESTAMP_NTZ by default, which watermarks and `unix_micros` reject —
+  *    disable `spark.sql.parquet.inferTimestampNTZ.enabled` so it reads as
+  *    TIMESTAMP (same bits interpreted in the UTC session, exactly
+  *    DuckDB's view of the naive column).
   */
 object Tables {
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Parquet-reader confs normalizing both harness timestamp flavors; must
+    * run before ANY events scan or stream-schema inference in the session.
+    */
+  def tsConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tsConf(spark)
     var df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -138,7 +138,7 @@ object StreamingOps {
   def sessionize(spark: SparkSession, dir: String, gapHours: Int = 12,
       queryName: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.tsConf(spark)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
 
     var stream = spark.readStream.schema(rawSchema)
@@ -185,7 +185,7 @@ object StreamingOps {
       spark: SparkSession,
       dir: String,
       queryName: String = "stream_dedup"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.tsConf(spark)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     var stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -219,7 +219,7 @@ object StreamingOps {
       spark: SparkSession,
       dir: String,
       queryName: String = "stream_period_agg"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.tsConf(spark)
     // schema from a batch peek (ts arrives as raw nanos long)
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
 
@@ -249,6 +249,60 @@ object StreamingOps {
     spark.table(queryName)
       .select(to_date(col("w.start")).as("period"),
         col("n_events"), col("sum_value"), col("avg_value"))
+  }
+
+  /** Watermarked STREAM–STREAM inner join — the attribution join deployed
+    * on ingest: every purchase pairs with the same user's clicks in the
+    * preceding hour, BOTH sides arriving as unbounded streams. The one
+    * streaming shape the rest of the pack doesn't cover: Spark must buffer
+    * each side's tail in join state, and the retention bound is derived
+    * from the watermark plus the time-range predicate
+    * (`purchase_ts BETWEEN click_ts AND click_ts + 1h`) — state holds only
+    * the window the other side could still match, not the full history.
+    *
+    * Determinism at the gate: both sides stream the same single events
+    * file, so every row is co-present in the first micro-batch and the
+    * watermark (which only advances AFTER a batch) can drop nothing — the
+    * streamed result is exactly the batch join, which the oracle replays.
+    * At scale the watermark delay is the real lateness bound: a row
+    * arriving more than `delay` behind max seen event time may no longer
+    * find its buffered counterparts — the standard stream-join contract.
+    */
+  def streamStreamJoin(
+      spark: SparkSession,
+      dir: String,
+      queryName: String = "stream_join"): DataFrame = {
+    graft.sources.Tables.tsConf(spark)
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def side(tpe: String, alias: String): DataFrame = {
+      var s0 = spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      if (rawSchema("ts").dataType == LongType)
+        s0 = s0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      s0.filter(col("event_type") === tpe)
+        .select(col("event_id").as(s"${alias}_event_id"),
+          col("user_id").as(s"${alias}_user_id"),
+          col("ts").as(s"${alias}_ts"),
+          col("value").as(s"${alias}_value"))
+        .withWatermark(s"${alias}_ts", "40 days")
+    }
+    val joined = side("click", "click").join(side("purchase", "purchase"),
+      col("click_user_id") === col("purchase_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val query = joined.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+      .select(col("click_event_id"), col("purchase_event_id"),
+        col("click_user_id").as("user_id"),
+        unix_micros(col("click_ts")).as("click_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        round(col("click_value"), 6).as("click_value"),
+        round(col("purchase_value"), 6).as("purchase_value"))
   }
 
   /** Streaming curation filter: the C4/Gopher heuristic rule flags applied

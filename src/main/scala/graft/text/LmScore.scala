@@ -110,6 +110,78 @@ object LmScore {
         col("nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 18) — the smoothing family KenLM implements, i.e. the
+    * LM CCNet actually filters with (Wenzek et al. 2020 §3), upgrading
+    * [[nllPerDoc]]'s add-one baseline. Absolute discounting with
+    * continuation-probability interpolation:
+    *
+    *   P_KN(w2 | w1) = (c(w1,w2) − D) / ctx(w1)
+    *                 + D · N1+(w1,·) / ctx(w1) · N1+(·,w2) / N1+(·,·)
+    *
+    * where ctx(w1) = Σ_w2 c(w1,w2) (bigram-context total, NOT the raw
+    * unigram count — the last token of a doc opens no bigram), N1+(w1,·) =
+    * distinct continuations of w1, N1+(·,w2) = distinct contexts preceding
+    * w2, and N1+(·,·) = distinct bigram types. Scoring the training corpus
+    * itself keeps every term positive: c12 ≥ 1 > D and every scored w2 ends
+    * at least one observed bigram type. D = 0.75 (the Chen–Goodman fixed
+    * discount) is binary-exact, so c12 − D is exact in both engines and a
+    * SQL oracle replays the arithmetic bit-for-bit.
+    *
+    * Scale shape IMPROVES on the add-one path: all four count frames live
+    * on the vocabulary axis and pre-join there (bigram-type keys, well
+    * spread), so the corpus-sized occurrence frame makes ONE scoring join —
+    * against the per-bigram nlp frame — instead of add-one's two. That one
+    * join salts its Zipf-hot keys exactly like [[nllPerDoc]]: top-`hotK`
+    * bigrams broadcast as markers, hot occurrence rows take
+    * hash(id) mod `saltN`, the stats side replicates hot rows `saltN`×.
+    * Output: (id, n_bigrams, nll); docs with < 2 tokens score NULL.
+    */
+  def nllKneserNey(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, hotK: Int = 1024, saltN: Int = 16): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount must be in (0,1): $discount")
+    val docBigrams = df
+      .select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = biCounts.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("ctx1"), count(lit(1)).as("fanout1"))
+    val cont = biCounts.groupBy(col("w2")).agg(count(lit(1)).as("cont2"))
+    val ntypes = biCounts.agg(count(lit(1)).as("ntypes"))
+
+    // per-bigram-type −ln P_KN, assembled on the vocabulary axis; the
+    // operation order here is mirrored verbatim by the SQL oracle
+    val stats = biCounts
+      .join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(ntypes) // one scalar row
+      .withColumn("nlp", -log(
+        (col("c12") - lit(discount)) / col("ctx1") +
+          lit(discount) * col("fanout1") / col("ctx1") *
+            (col("cont2").cast("double") / col("ntypes"))))
+      .select(col("w1"), col("w2"), col("nlp"))
+
+    val hotBi = broadcast(biCounts
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(hotK)
+      .select(col("w1"), col("w2"), lit(true).as("hot_bi")))
+    val saltedStats = stats.join(hotBi, Seq("w1", "w2"), "left")
+      .select(col("w1"), col("w2"), col("nlp"),
+        explode(when(col("hot_bi").isNotNull, sequence(lit(0), lit(saltN - 1)))
+          .otherwise(array(lit(0)))).as("bsalt"))
+    val keyed = docBigrams.join(hotBi, Seq("w1", "w2"), "left")
+      .withColumn("bsalt",
+        when(col("hot_bi").isNotNull, pmod(hash(col("id")), lit(saltN))).otherwise(lit(0)))
+
+    val scored = keyed.join(saltedStats, Seq("w1", "w2", "bsalt"))
+    df.select(col(idCol).as("id"))
+      .join(scored.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("nll")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"))
+  }
+
   /** CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): split the
     * corpus into head/middle/tail terciles of the LM score — head = most
     * fluent third, the part CCNet keeps preferentially. Docs without

@@ -243,6 +243,37 @@ class DedupSpec extends SparkTestBase {
     assert(wide.exists { case (a, b, _) => a == 0L && b == 1L }) // exact dup
   }
 
+  test("containment catches the asymmetric quote Jaccard misses, directionally") {
+    import spark.implicits._
+    // B = 40 distinct-gram tokens; A = B's first 10 tokens verbatim.
+    // 3-grams: |S(B)| = 38, |S(A)| = 8, all of S(A) ⊂ S(B).
+    val long = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val short = (0 until 10).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, short), (2L, long), (3L, "unrelated words only here now")).toDF("id", "text")
+    val out = Dedup.containmentPairs(df, "id", "text", n = 3, threshold = 0.5, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(out((1L, 2L)) == 1.0, s"quote not fully contained: $out")
+    assert(!out.contains((2L, 1L)), "reverse direction (8/38) must fall below threshold")
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair under symmetric Jaccard: 8/38 — invisible at any
+    // near-dup threshold; that asymmetry is the operator's reason to exist
+    val j = Dedup.ngramJaccardPairs(
+      df.withColumn("blk", lit(1)), "id", "text", "blk", n = 3, threshold = 0.5)
+    assert(j.filter(col("id_a") === 1 && col("id_b") === 2).isEmpty, "Jaccard should miss the quote")
+  }
+
+  test("containment maxDf cap: boilerplate grams beyond the cap carry no signal") {
+    import spark.implicits._
+    // the same 5-token block in 6 docs: every one of its grams has df 6 > maxDf 5
+    // → informative sets are empty → no pairs at all
+    val block = "shared legal boilerplate block"
+    val df = (1L to 6L).map(i => (i, block)).toDF("id", "text")
+    assert(Dedup.containmentPairs(df, "id", "text", n = 3, threshold = 0.1, maxDf = 5).isEmpty)
+    // at maxDf 6 the block is informative again and all 30 directed pairs emerge
+    assert(Dedup.containmentPairs(df, "id", "text", n = 3, threshold = 0.1, maxDf = 6)
+      .count() == 30L)
+  }
+
   test("wide head at matched fractional hamming (96 bits, 24 bands, h<=22) finds the same verified pairs here") {
     // same 23% fractional cut as the narrow default (11/48 = 22/96): on the
     // planted corpus the verified pair sets coincide

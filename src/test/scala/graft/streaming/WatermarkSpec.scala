@@ -206,6 +206,31 @@ class WatermarkSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join drains to exactly the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingOps.streamStreamJoin(spark, dir,
+      queryName = "wm_stream_join_test")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_event_id"), col("user_id"),
+        col("ts").as("cts"), col("value").as("cv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts").as("pts"), col("value").as("pv"))
+    val batch = c.join(p, Seq("user_id"))
+      .filter(col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_event_id"), col("purchase_event_id"), col("user_id"),
+        unix_micros(col("cts")).as("click_ts_us"),
+        unix_micros(col("pts")).as("purchase_ts_us"),
+        round(col("cv"), 6).as("click_value"),
+        round(col("pv"), 6).as("purchase_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty, "join produced no pairs on the fixture")
+    assert(streamed == batch, "streamed join diverged from the batch interval join")
+  }
+
   test("streamReleaseCompose: streamed per-doc prefix + batch close equals the all-batch run") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.DataFrame

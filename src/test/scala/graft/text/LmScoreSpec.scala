@@ -74,6 +74,64 @@ class LmScoreSpec extends SparkTestBase {
     }
   }
 
+  test("Kneser-Ney: hand-computed interpolated probabilities") {
+    // docs: "a b a b", "a c"
+    // bigram occurrences doc0: (a,b),(b,a),(a,b); doc1: (a,c)
+    // types: (a,b)=2, (b,a)=1, (a,c)=1
+    // ctx(a)=3 fanout(a)=2; ctx(b)=1 fanout(b)=1
+    // cont(a)=1, cont(b)=1, cont(c)=1; ntypes=3
+    val df = Seq((0L, "a b a b"), (1L, "a c"), (2L, "x")).toDF("doc_id", "text")
+    val out = LmScore.nllKneserNey(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val pAB = (2 - 0.75) / 3 + 0.75 * 2 / 3.0 * (1.0 / 3) // 0.5833...
+    val pBA = (1 - 0.75) / 1 + 0.75 * 1 / 1.0 * (1.0 / 3) // 0.5
+    val pAC = (1 - 0.75) / 3 + 0.75 * 2 / 3.0 * (1.0 / 3) // 0.25
+    val eps = 1e-9
+    assert(out(0L)._1 == 3L)
+    assert(math.abs(out(0L)._2.get - -(2 * math.log(pAB) + math.log(pBA)) / 3) < eps)
+    assert(out(1L)._1 == 1L && math.abs(out(1L)._2.get - -math.log(pAC)) < eps)
+    // a doc with no bigrams scores NULL, not 0
+    assert(out(2L)._1 == 0L && out(2L)._2.isEmpty)
+  }
+
+  test("Kneser-Ney: per-context probabilities sum to exactly 1") {
+    // For every context w1: sum_{observed w2} (c12-D)/ctx1 = 1 - D*fanout1/ctx1,
+    // and the interpolation weight times sum_{all second words} Pcont = that
+    // remainder — so summing exp(-nll) of single-bigram probes over the FULL
+    // (context x second-word) grid must give exactly |contexts|. The corpus
+    // here is built so the grid IS the observed bigram set.
+    val df = Seq((0L, "a b"), (1L, "a c"), (2L, "b b"), (3L, "b c")).toDF("doc_id", "text")
+    // every doc is one bigram; all 4 (w1,w2) types observed once.
+    // ctx(a)=2 fanout(a)=2; ctx(b)=2 fanout(b)=2; cont(b)=2, cont(c)=2; ntypes=4
+    val nll = LmScore.nllKneserNey(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val total = nll.values.map(v => math.exp(-v)).sum
+    assert(math.abs(total - 2.0) < 1e-9, s"prob mass != |contexts|: $total")
+  }
+
+  test("Kneser-Ney: hot-key salting is result-invariant (to summation order)") {
+    // the per-bigram nlp values are computed BEFORE salting, so variants
+    // score the same multiset per doc; only the avg's partition-dependent
+    // summation ORDER can move the result, by ulps — far inside the gate's
+    // 6-dp rounding
+    val df = ((0L to 7L).map(i => (i, "of the of the of the end " + ("w" + i))) :+
+      (8L, "rare words only here")).toDF("doc_id", "text")
+    val baseline = LmScore.nllKneserNey(df, "doc_id", "text", hotK = 1024, saltN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1)
+    for ((k, s) <- Seq((1, 4), (2, 8), (1024, 16))) {
+      val salted = LmScore.nllKneserNey(df, "doc_id", "text", hotK = k, saltN = s)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1)
+      baseline.zip(salted).foreach { case ((i0, n0, v0), (i1, n1, v1)) =>
+        assert(i0 == i1 && n0 == n1, s"hotK=$k saltN=$s structure diverged")
+        assert((v0.isEmpty && v1.isEmpty) ||
+          math.abs(v0.get - v1.get) < 1e-12, s"hotK=$k saltN=$s value diverged")
+      }
+    }
+  }
+
   test("salting plan shape: broadcast marker joins, scoring shuffle keyed on salt") {
     val df = (0L to 7L).map(i => (i, "of the end " + ("w" + i))).toDF("doc_id", "text")
     val scored = LmScore.nllPerDoc(df, "doc_id", "text")
