@@ -23,6 +23,10 @@ object SimilarityQueries extends QueryPack {
   private val SEM_CAP = 100
   private[queries] val SEM_THR = 0.4
 
+  /** PCA gate parameters: 2 components, 8 quantized power iterations. */
+  private val PCA_COMPS = 2
+  private val PCA_ITERS = 8
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.cached(spark, dir, "embeddings")
 
@@ -37,6 +41,16 @@ object SimilarityQueries extends QueryPack {
       Similarity.srpTopK(
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, PLANES, DIM)
     }),
+    // one-pass covariance moments (custom typed Aggregator, no d²-row
+    // explode), entries quantized to 6 dp
+    "q_pca_covariance" -> ((s, dir) =>
+      graft.similarity.Pca.covarianceFrame(emb(s, dir), "embedding", DIM)),
+    // learned dimensionality reduction: quantized power-iteration top-2
+    // principal directions + row-local projection of every vector
+    "q_pca_project" -> ((s, dir) =>
+      graft.similarity.Pca.pcaProjections(emb(s, dir), "vec_id", "embedding",
+        DIM, PCA_COMPS, PCA_ITERS)
+        .withColumnRenamed("id", "vec_id")),
     "q_cosine_neardup" -> ((s, dir) =>
       // SRP-bucket blocking (scale path) — bucket population shrinks with
       // nPlanes instead of growing O(n) like a static attribute block
@@ -173,7 +187,65 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN list_dot_product($v, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** Shared covariance CTEs: per-coordinate explode (the oracle CAN afford
+    * the d² blow-up the engine's Aggregator avoids), then the engine's
+    * exact covariance operation order g/n − (s_i/n)·(s_j/n), 6-dp-rounded.
+    */
+  private def pcaCovCtes: String =
+    s"""dims AS (SELECT CAST(x AS INT) AS i FROM range(0, $DIM) r(x)),
+       |px AS MATERIALIZED (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+       |       FROM embeddings CROSS JOIN dims),
+       |pn AS (SELECT count(*) AS n FROM embeddings),
+       |pg AS (SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+       |       FROM px a JOIN px b USING (vec_id) GROUP BY 1, 2),
+       |pmu AS (SELECT i, sum(v) AS s1 FROM px GROUP BY i),
+       |cd0 AS MATERIALIZED (SELECT pg.i, pg.j,
+       |          round(pg.s / pn.n - (ma.s1 / pn.n) * (mb.s1 / pn.n), 6) AS cov
+       |        FROM pg CROSS JOIN pn
+       |        JOIN pmu ma ON ma.i = pg.i JOIN pmu mb ON mb.i = pg.j)""".stripMargin
+
+  /** Power iteration + Hotelling deflation for component `comp` over cd\$comp,
+    * replaying `Pca.powerComponents` step-for-step: init e_comp, `iters`
+    * rounds of v ← round6(Cv/‖Cv‖), λ = round6(vᵀCv), deflate into
+    * cd{comp+1}. Every quantity both engines see is 6-dp-quantized, so
+    * summation-order drift (~1e-16) sits nine orders below the quantum.
+    */
+  private def pcaIterCtes(comp: Int, iters: Int): String = {
+    val v0 =
+      s"v${comp}_0 AS (SELECT i, CASE WHEN i = $comp THEN 1.0 ELSE 0.0 END AS w FROM dims),"
+    val its = (0 until iters).map { t =>
+      // each step MATERIALIZED: the chain otherwise re-inlines its whole
+      // ancestry per reference — exponential plan blow-up in DuckDB
+      s"""u${comp}_${t + 1} AS MATERIALIZED (SELECT c.i AS i, sum(c.cov * v.w) AS u
+         |  FROM cd$comp c JOIN v${comp}_$t v ON v.i = c.j GROUP BY c.i),
+         |v${comp}_${t + 1} AS MATERIALIZED (SELECT i,
+         |    round(u / (SELECT sqrt(sum(u * u)) FROM u${comp}_${t + 1}), 6) AS w
+         |  FROM u${comp}_${t + 1}),""".stripMargin
+    }.mkString("\n")
+    val vN = s"v${comp}_$iters"
+    s"""$v0
+       |$its
+       |lam$comp AS (SELECT round(sum(va.w * c.cov * vb.w), 6) AS l
+       |  FROM cd$comp c JOIN $vN va ON va.i = c.i JOIN $vN vb ON vb.i = c.j),
+       |cd${comp + 1} AS MATERIALIZED (SELECT c.i, c.j,
+       |    round(c.cov - (SELECT l FROM lam$comp) * va.w * vb.w, 6) AS cov
+       |  FROM cd$comp c JOIN $vN va ON va.i = c.i JOIN $vN vb ON vb.i = c.j),""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pca_covariance" ->
+      s"""WITH $pcaCovCtes
+         |SELECT i, j, cov FROM cd0
+         |""".stripMargin,
+    "q_pca_project" ->
+      s"""WITH $pcaCovCtes,
+         |${(0 until PCA_COMPS).map(c => pcaIterCtes(c, PCA_ITERS)).mkString("\n")}
+         |pr0 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p0
+         |        FROM px JOIN v0_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id),
+         |pr1 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p1
+         |        FROM px JOIN v1_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id)
+         |SELECT pr0.vec_id, pr0.p0, pr1.p1 FROM pr0 JOIN pr1 USING (vec_id)
+         |""".stripMargin,
     "q_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),
          |c AS (SELECT vec_id AS neighbor_id, $dv AS cv FROM embeddings),
