@@ -51,6 +51,14 @@ object SimilarityQueries extends QueryPack {
       graft.similarity.Pca.pcaProjections(emb(s, dir), "vec_id", "embedding",
         DIM, PCA_COMPS, PCA_ITERS)
         .withColumnRenamed("id", "vec_id")),
+    // PCA-ANN composition: candidates by L2 in the projected space,
+    // exact cosine refine on the shortlist only
+    "q_ann_pca" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.similarity.Pca.pcaTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
+        K, REFINE, DIM, PCA_COMPS, PCA_ITERS)
+    }),
     "q_cosine_neardup" -> ((s, dir) =>
       // SRP-bucket blocking (scale path) — bucket population shrinks with
       // nPlanes instead of growing O(n) like a static attribute block
@@ -245,6 +253,38 @@ object SimilarityQueries extends QueryPack {
          |pr1 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p1
          |        FROM px JOIN v1_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id)
          |SELECT pr0.vec_id, pr0.p0, pr1.p1 FROM pr0 JOIN pr1 USING (vec_id)
+         |""".stripMargin,
+    "q_ann_pca" ->
+      // same projection CTEs; candidate rank by 6-dp-rounded NEGATED
+      // projected L2 (ties → lowest neighbor), exact cosine on the
+      // shortlist, both ranks replaying the engine's (score desc, id) order
+      s"""WITH $pcaCovCtes,
+         |${(0 until PCA_COMPS).map(c => pcaIterCtes(c, PCA_ITERS)).mkString("\n")}
+         |pr0 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p0
+         |        FROM px JOIN v0_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id),
+         |pr1 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p1
+         |        FROM px JOIN v1_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id),
+         |pj AS MATERIALIZED (SELECT pr0.vec_id, pr0.p0, pr1.p1
+         |                    FROM pr0 JOIN pr1 USING (vec_id)),
+         |qj AS (SELECT * FROM pj WHERE vec_id < $NQUERIES),
+         |cand AS (SELECT qj.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |           round(-((qj.p0 - c.p0) * (qj.p0 - c.p0)
+         |                   + (qj.p1 - c.p1) * (qj.p1 - c.p1)), 6) AS nd
+         |         FROM pj c CROSS JOIN qj WHERE qj.vec_id != c.vec_id),
+         |sh AS (SELECT query_id, neighbor_id FROM (
+         |         SELECT query_id, neighbor_id,
+         |                row_number() OVER (PARTITION BY query_id
+         |                  ORDER BY nd DESC, neighbor_id) AS rr
+         |         FROM cand) WHERE rr <= $REFINE),
+         |dvs AS (SELECT vec_id, $dv AS v FROM embeddings),
+         |rs AS (SELECT sh.query_id, sh.neighbor_id,
+         |         ${cosSql("qd.v", "cd.v")} AS sim
+         |       FROM sh JOIN dvs cd ON cd.vec_id = sh.neighbor_id
+         |       JOIN dvs qd ON qd.vec_id = sh.query_id)
+         |SELECT query_id, neighbor_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |FROM rs QUALIFY rnk <= $K
          |""".stripMargin,
     "q_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),

@@ -159,4 +159,56 @@ object Pca {
     val cov = covarianceMatrix(df, vecCol, dim)
     project(df, idCol, vecCol, powerComponents(cov, nComps, iters))
   }
+
+  /** PCA-ANN composition (the learned-reduction analog of the PQ ADC scan):
+    * candidates come from L2 distance in the nComps-dim PROJECTED space —
+    * per query the `refine` closest projected points (ties → lowest id on
+    * the 6-dp-rounded distance) — and the exact top-k re-ranks only those
+    * candidates by true full-dimensional cosine. refine = corpus size
+    * degenerates to brute force exactly (spec-proven), the same contract
+    * as `pqTopK`'s refine=∞.
+    *
+    * Scale: the projection is row-local; candidate scoring works on
+    * nComps-dim arrays (32× smaller at d=64, nComps=2) and at 100 TB is
+    * where the IVF/banded index would build — over the reduced space —
+    * while the exact refine touches raw vectors for refine·|queries| rows
+    * only. Both top-k stages run the salted two-stage rank.
+    */
+  def pcaTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      refine: Int,
+      dim: Int,
+      nComps: Int,
+      iters: Int): DataFrame = {
+    val comps = powerComponents(covarianceMatrix(corpus, vecCol, dim), nComps, iters)
+    val cp = project(corpus, idCol, vecCol, comps)
+    val qp = project(queries, idCol, vecCol, comps)
+    val pcols = (0 until nComps).map(c => s"p$c")
+    val cSide = cp.select(
+      col("id").as("neighbor_id") +: pcols.map(p => col(p).as(s"c_$p")): _*)
+    val qSide = qp.select(
+      col("id").as("query_id") +: pcols.map(p => col(p).as(s"q_$p")): _*)
+    val dist2 = pcols.map(p => (col(s"q_$p") - col(s"c_$p")) * (col(s"q_$p") - col(s"c_$p")))
+      .reduce(_ + _)
+    val cands = cSide.join(broadcast(qSide),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("nd", round(-dist2, 6)) // negate: topKPerQuery ranks desc
+    val shortlist = Similarity.topKPerQuery(cands, "nd", refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val raw = corpus.select(col(idCol).as("neighbor_id"),
+      Similarity.asDouble(col(vecCol)).as("cv"))
+    val qraw = queries.select(col(idCol).as("query_id"),
+      Similarity.asDouble(col(vecCol)).as("qv"))
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val rescored = shortlist
+      .join(raw, Seq("neighbor_id"))
+      .join(broadcast(qraw), Seq("query_id"))
+      .withColumn("sim", round(Similarity.cosineFast(col("qv"), col("cv")), 6))
+    Similarity.topKPerQuery(rescored, "sim", k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
 }

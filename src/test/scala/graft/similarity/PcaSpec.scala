@@ -69,6 +69,35 @@ class PcaSpec extends SparkTestBase {
     assert(out(0L) == ((1.5, 3.0)) && out(1L) == ((-0.5, 1.0)))
   }
 
+  test("pcaTopK with refine = corpus size degenerates to brute force exactly") {
+    val dim = 8
+    val df = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 3)
+    val full = Pca.pcaTopK(q, df, "vec_id", "embedding",
+      k = 5, refine = 40, dim = dim, nComps = 2, iters = 8)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    assert(full == brute, "refine=corpus must reproduce exact top-k")
+  }
+
+  test("pcaTopK shortlist really confines the exact rescoring") {
+    val dim = 8
+    val df = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 2)
+    val out = Pca.pcaTopK(q, df, "vec_id", "embedding",
+      k = 3, refine = 5, dim = dim, nComps = 2, iters = 8)
+    val rows = out.collect()
+    // k results per query, ranks contiguous, sims within [-1, 1]
+    assert(rows.length == 6)
+    assert(rows.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(3)).sorted.sameElements(1 to 3)))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
   test("quantized recipe is deterministic across repeated runs") {
     val df = (0L until 30L).map { i =>
       (i, Array.tabulate(6)(d => math.sin(i * 3 + d).toFloat))
