@@ -109,6 +109,46 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("Sort"), s"expected partition-local window sorts:\n$plan")
   }
 
+  test("PCA projection is row-local: no exchange, no UDF, literal weights in codegen") {
+    val path = s"target/planquality/pca_${System.nanoTime()}"
+    (0L until 50L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i + d).toFloat))
+    }.toDF("vec_id", "embedding").write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val comps = Seq(Array(0.5, 0.5, 0.0, 0.0), Array(0.0, 0.0, 0.5, 0.5))
+    val proj = graft.similarity.Pca.project(df, "vec_id", "embedding", comps)
+    proj.collect()
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF island:\n$plan")
+    assert(plan.contains("*("), s"projection fell out of codegen:\n$plan")
+  }
+
+  test("Kneser-Ney scoring plan: broadcast hot markers, salt in the scoring join keys") {
+    val df = ((0L to 7L).map(i => (i, "of the of the end " + ("w" + i))) :+
+      (8L, "rare words only")).toDF("doc_id", "text")
+    val scored = graft.text.LmScore.nllKneserNey(df, "doc_id", "text")
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"hot-marker not TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"hot-marker join not broadcast:\n$plan")
+    assert(plan.contains("bsalt"), s"scoring join lost the salt key:\n$plan")
+  }
+
+  test("containment pairs meet on the gram axis — no block cross-join in the plan") {
+    val df = (0L until 30L).map(i => (i, (0 until 12).map(t => s"t${(i + t) % 40}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.1, maxDf = 10)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment degenerated to a cross join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no keyed join found:\n$plan")
+  }
+
   test("ivfadc ADC scan joins probes on list via broadcast hash — no cartesian scan") {
     // the scan-confinement PLAN shape: the corpus side keys on its inverted
     // list and the tiny probe table broadcasts; a BroadcastNestedLoopJoin
