@@ -71,6 +71,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Leakage-free train/holdout split: assign each document's near-dup
+    * CLUSTER — not the document — to a side, so no near-duplicate pair can
+    * straddle the boundary (the classic eval-contamination failure mode: a
+    * doc-level hash split puts one copy of a near-dup in train and its
+    * twin in test, and the "held-out" metric measures memorization).
+    * Composition of the existing scale paths: capped-LSH pair generation →
+    * connected components → split = pure function of the cluster label via
+    * the cross-engine 60-bit md5 hash (RNG-free, layout-independent, the
+    * [[graft.text.TextFunctions.hash60]] discipline every sampling op
+    * here uses). Singleton docs are their own cluster and split i.i.d.
+    * Output: (id, cluster, split) with split ∈ train/holdout.
+    */
+  def clusterSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      nBands: Int,
+      threshold: Double,
+      maxBucketSize: Option[Int],
+      holdoutPct: Int): DataFrame = {
+    require(holdoutPct > 0 && holdoutPct < 100, s"holdoutPct in (0,100): $holdoutPct")
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, nBands, threshold, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val clusters = connectedComponents(df.select(col(idCol).as("id")), pairs)
+    clusters.select(col("id"), col("cluster"),
+      when(pmod(graft.text.TextFunctions.hash60(col("cluster").cast("string")),
+        lit(100)) < holdoutPct, "holdout").otherwise("train").as("split"))
+  }
+
   /** Directional n-gram CONTAINMENT pairs (Broder 1997 §2's second
     * resemblance measure): c(A→B) = |S(A) ∩ S(B)| / |S(A)| over distinct
     * n-gram shingle sets. Jaccard structurally misses the asymmetric

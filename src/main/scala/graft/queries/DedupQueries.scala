@@ -130,6 +130,11 @@ object DedupQueries extends QueryPack {
         maxBucketSize = Some(BUCKET_CAP))
       Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     }),
+    // leakage-free split: near-dup clusters (capped-LSH + CC) assigned
+    // whole to train/holdout by cluster-label hash — twins never straddle
+    "q_leakage_split" -> ((s, dir) =>
+      Dedup.clusterSplit(docs(s, dir), "doc_id", "text", N, K, BANDS,
+        CLUSTER_THR, Some(BUCKET_CAP), holdoutPct = 20)),
     "q_dedup_clusters_sparse" -> ((s, dir) => {
       // the capped-LSH head IN ITS OWN REGIME (round-5 verdict item): a
       // crawl-like sparse-similarity corpus (500-hot/10k-cold vocabulary,
@@ -325,6 +330,20 @@ object DedupQueries extends QueryPack {
          |  UNION
          |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src)
          |SELECT id, min(lbl) AS cluster FROM cc GROUP BY id
+         |""".stripMargin,
+    "q_leakage_split" ->
+      // the capped-cluster recursive CTE + the cross-engine md5-prefix
+      // hash of the cluster label (same construction as q_sample_hash)
+      s"""WITH RECURSIVE ${lshEdgesCtes(CLUSTER_THR, Some(BUCKET_CAP))},
+         |cc(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src),
+         |cl AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id)
+         |SELECT id, cluster,
+         |  CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 20
+         |       THEN 'holdout' ELSE 'train' END AS split
+         |FROM cl
          |""".stripMargin,
     "q_dedup_clusters_sparse" ->
       // the generated corpus CTEs feed the SAME capped-LSH chain the

@@ -243,6 +243,32 @@ class DedupSpec extends SparkTestBase {
     assert(wide.exists { case (a, b, _) => a == 0L && b == 1L }) // exact dup
   }
 
+  test("clusterSplit: no near-dup pair ever straddles train/holdout") {
+    import spark.implicits._
+    // three exact-dup families + singletons: every family must land whole
+    val rows = (0L until 30L).flatMap { f =>
+      Seq((f * 10, s"family $f body text shared"), (f * 10 + 1, s"family $f body text shared"))
+    } ++ (1000L until 1020L).map(i => (i, s"singleton unique $i content"))
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.clusterSplit(df, "doc_id", "text",
+      n = 1, k = 16, nBands = 4, threshold = 0.9,
+      maxBucketSize = Some(250), holdoutPct = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // duplicates share cluster AND split
+    (0L until 30L).foreach { f =>
+      assert(out(f * 10) == out(f * 10 + 1), s"family $f straddles: ${out(f * 10)} vs ${out(f * 10 + 1)}")
+    }
+    // the hash split actually uses both sides
+    val splits = out.values.map(_._2).toSet
+    assert(splits == Set("train", "holdout"), s"degenerate split: $splits")
+    // split is a pure function of the cluster label: layout-independent
+    val out2 = Dedup.clusterSplit(df.repartition(7), "doc_id", "text",
+      n = 1, k = 16, nBands = 4, threshold = 0.9,
+      maxBucketSize = Some(250), holdoutPct = 30)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == out2)
+  }
+
   test("containment catches the asymmetric quote Jaccard misses, directionally") {
     import spark.implicits._
     // B = 40 distinct-gram tokens; A = B's first 10 tokens verbatim.
