@@ -17,9 +17,9 @@ import graft.sources.Tables
   */
 object DedupQueries extends QueryPack {
 
-  private val K = 16        // minhash functions
-  private val BANDS = 4     // lsh bands (band size 4)
-  private val N = 1         // shingle size
+  private[queries] val K = 16   // minhash functions
+  private[queries] val BANDS = 4 // lsh bands (band size 4)
+  private[queries] val N = 1    // shingle size
   private val THR = 0.8     // jaccard near-dup threshold
   /** Cluster/curation threshold: 0.9, not 0.8. The synthetic corpus has a
     * ~31-word vocab, so thr 0.8 admits ~2.9M true pairs at sf0.1 (the LSH

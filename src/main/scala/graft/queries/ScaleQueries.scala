@@ -135,7 +135,8 @@ object ScaleQueries extends QueryPack {
     * makes the streamed composition ([[q_stream_curation]]) provably equal
     * to the batch run however ingestion is chunked.
     */
-  private[queries] def curationPerDoc(docs: DataFrame, nll: DataFrame): DataFrame = {
+  private[queries] def curationPerDoc(docs: DataFrame, nll: DataFrame,
+      nllMax: Double = NLL_MAX): DataFrame = {
     import graft.text.Heuristics
     val injected = docs.withColumn("text2", concat(col("text"),
       when(col("doc_id") % 7 === 0,
@@ -148,7 +149,7 @@ object ScaleQueries extends QueryPack {
     // summation order differs between Spark and DuckDB, so an unrounded
     // compare could flip a doc sitting within ulps of NLL_MAX
     val scored = filtered.join(nll, Seq("doc_id"))
-      .filter(col("nll").isNotNull && round(col("nll"), 6) <= NLL_MAX)
+      .filter(col("nll").isNotNull && round(col("nll"), 6) <= nllMax)
     scored.withColumn("rtext", graft.text.Pii.redact(col("text2")))
   }
 
@@ -176,6 +177,51 @@ object ScaleQueries extends QueryPack {
     val nll = LmScore.nllPerDoc(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
     curationClose(curationPerDoc(d, nll))
   }
+
+  /** Curation pipeline v3 — the ROUND-5 operator set composed into the
+    * release path: the LM cut upgrades from add-one to Kneser–Ney (the
+    * smoothing CCNet's filter actually uses) and the release ships a
+    * LEAKAGE-FREE train/holdout partition with per-side packing:
+    *
+    *   inject → C4 filter → KN-LM cut (round-6 nll ≤ [[KN_NLL_MAX]])
+    *     → redact → exact dedup (min-id canonical)
+    *     → cluster split over the REDACTED survivors (capped-LSH + CC;
+    *       split = md5-hash of the cluster label, so near-dup twins never
+    *       straddle the boundary)
+    *     → packing per (split, shard) — each side a self-contained pack
+    *       sequence that ships and resumes independently
+    *
+    * Output: per (split, shard) release manifest. One lazy plan; the only
+    * iterative piece is CC's bounded label propagation.
+    */
+  private def curationV3(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.{LmScore, Packing}
+    val d = Tables.cached(spark, dir, "documents")
+    val nll = LmScore.nllKneserNey(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+    val redacted = curationPerDoc(d, nll, nllMax = KN_NLL_MAX)
+    val canonical = redacted
+      .groupBy(md5(col("rtext")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors = redacted.join(canonical.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("rtext"))
+    val split = Dedup.clusterSplit(survivors, "doc_id", "rtext",
+        DedupQueries.N, DedupQueries.K, DedupQueries.BANDS,
+        DedupQueries.CLUSTER_THR, Some(DedupQueries.BUCKET_CAP), holdoutPct = 20)
+      .select(col("id").as("doc_id"), col("split"))
+    Packing.packOffsetsKeyed(survivors.join(split, Seq("doc_id")),
+        "doc_id", "rtext", budget = 128, nShards = 4, keyCol = col("split"))
+      .groupBy(col("pkey").as("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("pack_id")) + 1).as("n_packs"))
+  }
+
+  /** KN-LM cut for [[curationV3]]: ~p80 of the Kneser–Ney nll band (the
+    * corpus' KN scores sit lower than add-one's — less mass stolen from
+    * seen bigrams than Laplace steals). Nearest doc values at all three
+    * scale factors sit ≥ 1.5e-6 from the cut AFTER the 6-dp pin.
+    */
+  private val KN_NLL_MAX = 3.41
 
   /** [[curationV2]] deployed ON INGEST (round-5 verdict item): the LM is
     * trained once on the static corpus, the per-document stages run inside
@@ -233,6 +279,7 @@ object ScaleQueries extends QueryPack {
         Tables.cached(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("shuffle_pos"))),
     "q_curation_pipeline" -> (curation _),
+    "q_curation_v3" -> (curationV3 _),
     "q_stream_curation" -> (streamCurationQ _),
   )
 
@@ -279,8 +326,61 @@ object ScaleQueries extends QueryPack {
        |""".stripMargin
   }
 
+  /** v3: the v2 per-doc stages with the KN CTEs + the capped-LSH/CC
+    * cluster split over redacted survivors + per-(split, shard) packing.
+    * Every fragment is a proven piece (knCtes, c4Rules, the redact chain,
+    * lshEdgesCtes, the q_sample_hash md5 construction); this assembles
+    * them CTE-for-CTE in the engine's operation order.
+    */
+  private lazy val curationV3Oracle: String = {
+    import graft.text.Pii.{EMAIL, IPV4, LONG_DIGITS}
+    s"""WITH RECURSIVE inj AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 3 THEN ' 40414243444546' ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 5 THEN ' 10.0.255.1' ELSE '' END AS text
+       |  FROM documents),
+       |f AS (SELECT doc_id,
+       |  ${TextQueries.c4Rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+       |FROM inj),
+       |${TextQueries.knCtes},
+       |filt AS (SELECT i.doc_id, i.text FROM inj i
+       |         JOIN f ON f.doc_id = i.doc_id
+       |           AND f.f_len * f.f_ttr * f.f_meanlen * f.f_stop * f.f_blocklist = 1
+       |         JOIN a ON a.doc_id = i.doc_id AND round(a.nll, 6) <= $KN_NLL_MAX),
+       |red AS (SELECT doc_id,
+       |          regexp_replace(regexp_replace(regexp_replace(text,
+       |            '$EMAIL', '<EMAIL>', 'g'), '$IPV4', '<IP>', 'g'),
+       |            '$LONG_DIGITS', '<NUM>', 'g') AS rtext
+       |        FROM filt),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(rtext)),
+       |surv AS (SELECT r.doc_id, r.rtext FROM red r JOIN canon c ON c.doc_id = r.doc_id),
+       |survt AS (SELECT doc_id, rtext AS text FROM surv),
+       |${DedupQueries.lshEdgesCtes(DedupQueries.CLUSTER_THR,
+            Some(DedupQueries.BUCKET_CAP), src = "survt")},
+       |cc(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM survt
+       |  UNION
+       |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src),
+       |cl AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id),
+       |sp AS (SELECT id AS doc_id,
+       |         CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 20
+       |              THEN 'holdout' ELSE 'train' END AS split
+       |       FROM cl),
+       |pt AS (SELECT s.doc_id, sp.split, CAST(s.doc_id % 4 AS INT) AS shard,
+       |              CAST(len(string_split(s.rtext, ' ')) AS BIGINT) AS n_tokens
+       |       FROM surv s JOIN sp USING (doc_id)),
+       |po AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split, shard ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset" FROM pt),
+       |pp AS (SELECT split, shard, n_tokens, CAST("offset" // 128 AS BIGINT) AS pack_id FROM po)
+       |SELECT split, shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs
+       |FROM pp GROUP BY split, shard
+       |""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_curation_v2" -> curationV2Oracle,
+    "q_curation_v3" -> curationV3Oracle,
     // streamed composition ≡ batch release (LM static, per-doc stages
     // chunk-invariant, close step global) — same oracle verbatim
     "q_stream_curation" -> curationV2Oracle,

@@ -245,6 +245,28 @@ object TextQueries extends QueryPack {
     * bigram NLL of every document WITH bigrams, UNROUNDED; shared by the
     * `q_lm_score` gate and the composed curation pipeline.
     */
+  /** Kneser–Ney CTE chain ending in `a(doc_id, n_bigrams, nll)` —
+    * `LmScore.nllKneserNey`'s exact operation order; shared by the
+    * `q_lm_kneser_ney` gate and the curation-v3 composition.
+    */
+  private[queries] def knCtes: String =
+    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+       |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
+       |       FROM tk JOIN pos ON i + 2 <= len(t)),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |cx AS (SELECT w1, sum(c12) AS ctx1, count(*) AS fanout1 FROM bc GROUP BY w1),
+       |ct AS (SELECT w2, count(*) AS cont2 FROM bc GROUP BY w2),
+       |nt AS (SELECT count(*) AS ntypes FROM bc),
+       |s AS (SELECT bg.doc_id,
+       |        -ln((bc.c12 - 0.75) / cx.ctx1
+       |            + 0.75 * cx.fanout1 / cx.ctx1
+       |              * (CAST(ct.cont2 AS DOUBLE) / nt.ntypes)) AS nlp
+       |      FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1)
+       |      JOIN ct USING (w2) CROSS JOIN nt),
+       |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
+       |      FROM s GROUP BY doc_id)""".stripMargin
+
   private[queries] def lmCtes: String =
     s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
        |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
@@ -600,22 +622,7 @@ object TextQueries extends QueryPack {
       // same bigram CTEs as the add-one gate; the KN probability is written
       // in the engine's exact operation order (D=0.75 is binary-exact, so
       // c12 - D is exact in both engines)
-      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
-         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
-         |bg AS (SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2
-         |       FROM tk JOIN pos ON i + 2 <= len(t)),
-         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
-         |cx AS (SELECT w1, sum(c12) AS ctx1, count(*) AS fanout1 FROM bc GROUP BY w1),
-         |ct AS (SELECT w2, count(*) AS cont2 FROM bc GROUP BY w2),
-         |nt AS (SELECT count(*) AS ntypes FROM bc),
-         |s AS (SELECT bg.doc_id,
-         |        -ln((bc.c12 - 0.75) / cx.ctx1
-         |            + 0.75 * cx.fanout1 / cx.ctx1
-         |              * (CAST(ct.cont2 AS DOUBLE) / nt.ntypes)) AS nlp
-         |      FROM bg JOIN bc USING (w1, w2) JOIN cx USING (w1)
-         |      JOIN ct USING (w2) CROSS JOIN nt),
-         |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
-         |      FROM s GROUP BY doc_id)
+      s"""WITH $knCtes
          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
          |       round(a.nll, 6) AS nll
          |FROM documents d LEFT JOIN a USING (doc_id)

@@ -60,6 +60,45 @@ object Packing {
           .as("packs_spanned"))
   }
 
+  /** [[packOffsets]] with an extra partition key (e.g. a train/holdout
+    * split label): packing runs independently within every (key, shard)
+    * stripe — each side of a release gets its own self-contained pack
+    * sequence, which is what lets the two sides ship and resume
+    * separately. Same shape otherwise: the only ordered work is the
+    * running sum within one stripe.
+    * Output: idCol, pkey, shard, n_tokens, offset, pack_id, offset_in_pack,
+    * packs_spanned.
+    */
+  def packOffsetsKeyed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nShards: Int,
+      keyCol: org.apache.spark.sql.Column): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val w = Window.partitionBy(col("pkey"), col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(
+        col(idCol),
+        keyCol.as("pkey"),
+        pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+        tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col(idCol),
+        col("pkey"),
+        col("shard"),
+        col("n_tokens"),
+        col("offset"),
+        expr(s"offset div $budget").as("pack_id"),
+        pmod(col("offset"), lit(budget.toLong)).as("offset_in_pack"),
+        (when(col("n_tokens") === 0, lit(1L)).otherwise(
+          expr(s"(offset + n_tokens - 1) div $budget")
+            - expr(s"offset div $budget") + 1L))
+          .as("packs_spanned"))
+  }
+
   /** Pack-level fill report: tokens landing in each (shard, pack) and the
     * fill ratio vs budget. The last pack of a shard is allowed to be
     * partial; every other pack is exactly full by construction — the spec

@@ -81,4 +81,23 @@ class PackingSpec extends SparkTestBase {
       .orderBy("doc_id").collect().toSeq
     assert(run() === run())
   }
+
+  test("packOffsetsKeyed: each key stripe packs exactly like a standalone run") {
+    val docs = (0L until 40L).map(i =>
+      (i, (0 until (i % 7 + 1).toInt).map(t => s"w$t").mkString(" "),
+        if (i % 3 == 0) "holdout" else "train")).toDF("doc_id", "text", "split")
+    val keyed = Packing.packOffsetsKeyed(docs, "doc_id", "text",
+        budget = 16, nShards = 2, keyCol = col("split"))
+      .collect().map(r => (r.getString(1), r.getLong(0)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (side <- Seq("train", "holdout")) {
+      val alone = Packing.packOffsets(docs.filter(col("split") === side),
+          "doc_id", "text", budget = 16, nShards = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      alone.foreach { case (id, v) =>
+        assert(keyed((side, id)) == v, s"$side doc $id diverged from standalone packing")
+      }
+    }
+  }
 }
