@@ -191,8 +191,13 @@ object ScaleQueries extends QueryPack {
     *     → packing per (split, shard) — each side a self-contained pack
     *       sequence that ships and resumes independently
     *
-    * Output: per (split, shard) release manifest. One lazy plan; the only
-    * iterative piece is CC's bounded label propagation.
+    * Output: per (split, shard) release manifest. The survivor frame is
+    * CHECKPOINTED between the per-doc phase and the corpus-global close —
+    * deliberately: the cluster split's LSH banding references the
+    * survivors in four self-join branches, and without the barrier each
+    * branch re-runs the whole filter/KN-score/redact chain (measured 130 s
+    * vs ~20 s at sf0.1). A real release materializes exactly here too —
+    * the cleaned corpus is the artifact both sides consume.
     */
   private def curationV3(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
@@ -204,6 +209,7 @@ object ScaleQueries extends QueryPack {
       .groupBy(md5(col("rtext")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
     val survivors = redacted.join(canonical.select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("rtext"))
+      .localCheckpoint()
     val split = Dedup.clusterSplit(survivors, "doc_id", "rtext",
         DedupQueries.N, DedupQueries.K, DedupQueries.BANDS,
         DedupQueries.CLUSTER_THR, Some(DedupQueries.BUCKET_CAP), holdoutPct = 20)
