@@ -51,6 +51,12 @@ object SimilarityQueries extends QueryPack {
       graft.similarity.Pca.pcaProjections(emb(s, dir), "vec_id", "embedding",
         DIM, PCA_COMPS, PCA_ITERS)
         .withColumnRenamed("id", "vec_id")),
+    // whitened projections: unit variance along each kept direction —
+    // the pre-ANN normalization for anisotropic clouds
+    "q_pca_whiten" -> ((s, dir) =>
+      graft.similarity.Pca.whitenedProjections(emb(s, dir), "vec_id", "embedding",
+        DIM, PCA_COMPS, PCA_ITERS)
+        .withColumnRenamed("id", "vec_id")),
     // PCA-ANN composition: candidates by L2 in the projected space,
     // exact cosine refine on the shortlist only
     "q_ann_pca" -> ((s, dir) => {
@@ -253,6 +259,19 @@ object SimilarityQueries extends QueryPack {
          |pr1 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p1
          |        FROM px JOIN v1_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id)
          |SELECT pr0.vec_id, pr0.p0, pr1.p1 FROM pr0 JOIN pr1 USING (vec_id)
+         |""".stripMargin,
+    "q_pca_whiten" ->
+      // projection CTEs + division by the chain's own quantized sqrt(λ)
+      s"""WITH $pcaCovCtes,
+         |${(0 until PCA_COMPS).map(c => pcaIterCtes(c, PCA_ITERS)).mkString("\n")}
+         |pr0 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p0
+         |        FROM px JOIN v0_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id),
+         |pr1 AS (SELECT px.vec_id, round(sum(px.v * w.w), 6) AS p1
+         |        FROM px JOIN v1_$PCA_ITERS w ON w.i = px.i GROUP BY px.vec_id)
+         |SELECT pr0.vec_id,
+         |       round(pr0.p0 / (SELECT sqrt(l) FROM lam0), 6) AS w0,
+         |       round(pr1.p1 / (SELECT sqrt(l) FROM lam1), 6) AS w1
+         |FROM pr0 JOIN pr1 USING (vec_id)
          |""".stripMargin,
     "q_ann_pca" ->
       // same projection CTEs; candidate rank by 6-dp-rounded NEGATED

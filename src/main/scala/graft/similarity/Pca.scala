@@ -107,7 +107,16 @@ object Pca {
   def powerComponents(
       cov: Array[Array[Double]],
       nComps: Int,
-      iters: Int): Seq[Array[Double]] = {
+      iters: Int): Seq[Array[Double]] =
+    powerComponentsWithValues(cov, nComps, iters).map(_._1)
+
+  /** [[powerComponents]] plus each direction's (6-dp-quantized) eigenvalue
+    * λ_c = vᵀCv — the variance along the component, which whitening needs.
+    */
+  def powerComponentsWithValues(
+      cov: Array[Array[Double]],
+      nComps: Int,
+      iters: Int): Seq[(Array[Double], Double)] = {
     val dim = cov.length
     var c = cov.map(_.clone())
     (0 until nComps).map { comp =>
@@ -125,8 +134,30 @@ object Pca {
       for (i <- 0 until dim; j <- 0 until dim) lam += v(i) * c(i)(j) * v(j)
       val l = r6(lam)
       c = Array.tabulate(dim, dim)((i, j) => r6(c(i)(j) - l * v(i) * v(j)))
-      v
+      (v, l)
     }
+  }
+
+  /** Whitened projections: p_c / √λ_c — unit variance along every kept
+    * direction, the standard pre-ANN normalization (anisotropic embedding
+    * clouds otherwise let one dominant axis swamp L2 candidate ranking).
+    * Same row-local shape as [[project]]; λ comes from the quantized
+    * recipe, so the oracle divides by the identical sqrt.
+    */
+  def whitenedProjections(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nComps: Int,
+      iters: Int): DataFrame = {
+    val cv = powerComponentsWithValues(covarianceMatrix(df, vecCol, dim), nComps, iters)
+    cv.foreach { case (_, l) => require(l > 0.0, s"non-positive eigenvalue $l — fewer real components than requested") }
+    val base = project(df, idCol, vecCol, cv.map(_._1))
+    val wcols = cv.zipWithIndex.map { case ((_, lam), ci) =>
+      round(col(s"p$ci") / math.sqrt(lam), 6).as(s"w$ci")
+    }
+    base.select(col("id") +: wcols: _*)
   }
 
   /** Project every vector onto the learned components — row-local dot

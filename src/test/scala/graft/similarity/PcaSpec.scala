@@ -98,6 +98,31 @@ class PcaSpec extends SparkTestBase {
     assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
   }
 
+  test("whitened projections have unit variance along every kept direction") {
+    val dim = 4
+    // anisotropic: coordinate 0 swings ~10x wider than the rest
+    val df = (0L until 200L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 13.0 + d) * (if (d == 0) 10.0 else 1.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val w = Pca.whitenedProjections(df, "vec_id", "embedding", dim, 2, 10)
+    val stats = w.agg(
+      var_pop(col("w0")).as("v0"), var_pop(col("w1")).as("v1"),
+      avg(col("w0")).as("m0")).collect().head
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.05, s"w0 var ${stats.getDouble(0)}")
+    assert(math.abs(stats.getDouble(1) - 1.0) < 0.05, s"w1 var ${stats.getDouble(1)}")
+    // and the definition: w_c == round6(p_c / sqrt(lambda_c))
+    val cv = Pca.powerComponentsWithValues(
+      Pca.covarianceMatrix(df, "embedding", dim), 2, 10)
+    val p = Pca.project(df, "vec_id", "embedding", cv.map(_._1))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val wm = w.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    wm.foreach { case (id, (w0, w1)) =>
+      assert(w0 == Pca.r6(p(id)._1 / math.sqrt(cv(0)._2)))
+      assert(w1 == Pca.r6(p(id)._2 / math.sqrt(cv(1)._2)))
+    }
+  }
+
   test("quantized recipe is deterministic across repeated runs") {
     val df = (0L until 30L).map { i =>
       (i, Array.tabulate(6)(d => math.sin(i * 3 + d).toFloat))
