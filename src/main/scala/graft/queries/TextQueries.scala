@@ -164,6 +164,12 @@ object TextQueries extends QueryPack {
     "q_ppl_buckets" -> ((s, dir) =>
       graft.text.LmScore.perplexityBuckets(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
+    // the faithful CCNet composition: terciles under the KN LM (KenLM's
+    // smoothing), head = most fluent third
+    "q_ppl_buckets_kn" -> ((s, dir) =>
+      graft.text.LmScore.perplexityBuckets(docs(s, dir), "doc_id", "text",
+        kneserNey = true)
+        .withColumnRenamed("id", "doc_id")),
     // per-doc top-3 salient terms by smoothed tf-idf
     "q_tfidf_terms" -> ((s, dir) =>
       graft.text.TfIdf.topTerms(docs(s, dir), "doc_id", "text", k = 3)
@@ -631,6 +637,18 @@ object TextQueries extends QueryPack {
       // same double literals as the engine's percentile call; boundaries
       // interpolate strictly between data points, so <= cannot flip
       s"""WITH $lmCtes,
+         |r AS (SELECT d.doc_id, round(a.nll, 6) AS nll
+         |      FROM documents d JOIN a USING (doc_id)),
+         |b AS (SELECT quantile_cont(nll, 0.3333333333333333) AS b1,
+         |             quantile_cont(nll, 0.6666666666666666) AS b2 FROM r)
+         |SELECT doc_id, nll,
+         |       CASE WHEN nll <= b1 THEN 'head'
+         |            WHEN nll <= b2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r CROSS JOIN b
+         |""".stripMargin,
+    "q_ppl_buckets_kn" ->
+      // KN CTEs feeding the identical tercile construction
+      s"""WITH $knCtes,
          |r AS (SELECT d.doc_id, round(a.nll, 6) AS nll
          |      FROM documents d JOIN a USING (doc_id)),
          |b AS (SELECT quantile_cont(nll, 0.3333333333333333) AS b1,

@@ -199,8 +199,14 @@ object LmScore {
     *
     * Output: (id, nll, bucket) with bucket ∈ head/middle/tail.
     */
-  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val scored = nllPerDoc(df, idCol, textCol)
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      kneserNey: Boolean = false): DataFrame = {
+    // CCNet's actual filter LM is KenLM — Kneser–Ney smoothed — so the
+    // faithful bucket composition scores with [[nllKneserNey]]; the
+    // add-one default keeps the original gate's semantics
+    val raw = if (kneserNey) nllKneserNey(df, idCol, textCol)
+      else nllPerDoc(df, idCol, textCol)
+    val scored = raw
       .filter(col("nll").isNotNull)
       .select(col("id"), round(col("nll"), 6).as("nll"))
     val bounds = scored.agg(

@@ -74,6 +74,24 @@ class LmScoreSpec extends SparkTestBase {
     }
   }
 
+  test("perplexityBuckets under the KN LM: same fluency ordering, bigram-less omitted") {
+    val rows = (0L to 2L).map(i => (i, "a b a b a b")) ++
+      (3L to 5L).map(i => (i, "a b c d")) ++
+      (6L to 8L).map(i => (i, "e f g h")) :+ (9L, "x")
+    val df = rows.toDF("doc_id", "text")
+    val out = LmScore.perplexityBuckets(df, "doc_id", "text", kneserNey = true)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(!out.contains(9L))
+    // the heavily-supported (a,b) docs are the most fluent under KN too
+    assert((0L to 2L).forall(out(_) == "head"), s"KN head wrong: $out")
+    // identical docs always share a bucket, and the other two groups fill
+    // the other two terciles (KN ranks them by ITS counts — "e f g h"'s
+    // self-supported bigrams beat "a b c d"'s rare tail, unlike add-one)
+    assert(Set(out(3L)) == (3L to 5L).map(out).toSet)
+    assert(Set(out(6L)) == (6L to 8L).map(out).toSet)
+    assert(Set(out(3L), out(6L)) == Set("middle", "tail"), s"KN buckets wrong: $out")
+  }
+
   test("Kneser-Ney: hand-computed interpolated probabilities") {
     // docs: "a b a b", "a c"
     // bigram occurrences doc0: (a,b),(b,a),(a,b); doc1: (a,c)
