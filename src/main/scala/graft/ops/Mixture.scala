@@ -65,6 +65,32 @@ object Mixture {
         < rateExpr * lit(1000000.0))
   }
 
+  /** Temperature-scaled mixture weights (XLM-R / mC4-style multilingual
+    * rebalancing — public papers): target weight_g ∝ share_g^(1/T) with
+    * 1/T = 0.5, i.e. sqrt — flattening the head languages and boosting the
+    * tail without any hand-set weight map. sqrt (not pow) on purpose:
+    * IEEE-754 requires sqrt correctly rounded, so Spark and any SQL oracle
+    * compute bit-identical weights from the same masses, where a libm
+    * pow(x, α) may differ by an ulp between engines.
+    *
+    * One map-side-combined aggregate (|groups| rows shuffle), denominators
+    * via broadcast of the 1-row total — no collect, no window.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      groupCol: String,
+      tokenExpr: Column): DataFrame = {
+    val masses = df.groupBy(col(groupCol)).agg(sum(tokenExpr).as("n_tokens"))
+    val totals = masses.agg(
+      sum(col("n_tokens")).as("__tot"),
+      sum(sqrt(col("n_tokens"))).as("__sq_tot"))
+    masses.crossJoin(broadcast(totals))
+      .select(col(groupCol),
+        col("n_tokens"),
+        round(col("n_tokens") / col("__tot"), 6).as("share"),
+        round(sqrt(col("n_tokens")) / col("__sq_tot"), 6).as("weight"))
+  }
+
   /** Gate-friendly report: per-group kept docs/tokens and the rate. */
   def mixtureReport(
       df: DataFrame,

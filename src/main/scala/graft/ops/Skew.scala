@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Skew DIAGNOSTIC: the report that decides whether a key needs salting
+    * (saltedStats above), an AQE skew-join hint, or a broadcast. Per-key
+    * counts (map-side combined) reduced to the top-`k` hottest keys with
+    * their corpus share and a rank. The plan is groupBy + TakeOrdered(k):
+    * no global sort, no window over the full key space — the full
+    * histogram never leaves the executors, only k rows reach the driver
+    * side of the report.
+    */
+  def topHotKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = df.select(count(lit(1)).as("__total"))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col(keyCol))))
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .select(col("rank"), col(keyCol), col("n"), col("share"))
+  }
+
   /** Salted count/sum/min/max of `valueCol` grouped by `keyCols`. */
   def saltedStats(
       df: DataFrame,
