@@ -114,6 +114,39 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Hard-negative mining for contrastive/embedding training — for each
+    * query vector, the k most similar corpus vectors with a DIFFERENT
+    * label (same-label vectors are positives; the near-boundary negatives
+    * are the informative training pairs). Composition of the exact top-k
+    * machinery with a label-disagreement predicate applied BEFORE ranking,
+    * so the per-query rank space only ever contains admissible negatives.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — query side broadcasts,
+    * corpus streams in one scan, salted two-stage top-k. For corpus-×-corpus
+    * mining swap the scored head for the IVF/PQ candidate generators; the
+    * label filter and ranking stages are unchanged.
+    * Output: (query_id, neighbor_id, sim, rnk).
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("qlabel"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("clabel"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("qlabel") =!= col("clabel"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, "sim", k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** Deterministic "random" hyperplanes for sign-LSH: plane j, dimension d
     * has component sin(1 + j·dim + d) — fixed, engine-independent, zero-mean
     * across dimensions. Returns an array-of-arrays column expression builder.
