@@ -76,6 +76,43 @@ object ExtensionQueries extends QueryPack {
       }
   }
 
+  /** Image-dedup fixture: one grayscale pattern PNG per doc. Even/odd id
+    * pairs (2k, 2k+1) share pattern k — a brightness-shifted copy — only
+    * when k % 3 == 0 (planted near-dups); every other odd id renders its
+    * own distinct pattern (offset far past the even-id pattern range).
+    * Dims derive from the PATTERN (not the doc), so planted pairs pool on
+    * identical grids and their dHash equality is exact by construction.
+    */
+  private def imagePairMedia(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val k = id / 2
+        val paired = k % 3 == 0
+        val patternId = if (id % 2 == 0 || paired) k else k + 1000000L
+        val shift = if (id % 2 == 1 && paired) 24 else 0
+        val w = 16 + (patternId * 13 % 48).toInt
+        val h = 16 + (patternId * 7 % 48).toInt
+        Multimodal.MediaRecord(id,
+          graft.multimodal.ImageHash.syntheticPatternPng(patternId, w, h, shift),
+          "image/png")
+      }
+  }
+
+  /** Perceptual-hash image near-dup: REAL PNG decode → pooled luminance →
+    * dHash equi-join → centered-L1 exact verify. The oracle replays the
+    * planted-pair construction (which even ids got a shifted twin); the
+    * verify distance is exactly 0 for every planted pair because the shift
+    * is constant and the pooling grids coincide.
+    */
+  private def imageNearDupQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageHash
+    val sig = ImageHash.signatures(imagePairMedia(spark, dir)).toDF()
+    ImageHash.nearDupPairs(sig, tol = 2.0).orderBy(col("id_a"))
+  }
+
   private def decodeQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decode(mediaMixed(spark, dir)).toDF()
       // nBytes is the PNG-compressed size — real but not SQL-derivable, so
@@ -139,9 +176,55 @@ object ExtensionQueries extends QueryPack {
     joined
   }
 
+  /** Pure range join (no equi key): every event against the 30 daily
+    * 06:00–18:00 windows. Without bucketing Spark plans this as
+    * BroadcastNestedLoopJoin; [[graft.ops.RangeJoin]] turns it into a hash
+    * join on the 12h bucket id — asserted at runtime on the executed plan.
+    */
+  private def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.cached(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val iv = ev.select(to_date(col("ts")).as("day")).distinct()
+      .withColumn("start_us", unix_micros(col("day").cast("timestamp")) + lit(6 * hourUs))
+      .withColumn("end_us", unix_micros(col("day").cast("timestamp")) + lit(18 * hourUs))
+    val joined = graft.ops.RangeJoin.joinPointsToIntervals(
+      ev, "ts_us", iv, "start_us", "end_us",
+      bucketWidth = 12 * hourUs, maxBucketsPerInterval = 3)
+    val out = joined.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("day"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "range join fell back to a nested-loop plan")
+    out
+  }
+
+  /** JSONL round-trip: documents → newline-delimited JSON under target/ →
+    * schema-declared PERMISSIVE read back → aggregate. The oracle runs the
+    * same aggregate on the parquet table, so the gate proves the JSONL
+    * path is lossless for every row and field it touches; corrupt-line
+    * quarantine is spec-exercised (`JsonlSourceSpec`).
+    */
+  private def jsonlSourceQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonlSource
+    val docs = Tables.documents(spark, dir)
+    val path = s"target/jsonl/docs_${math.abs(dir.hashCode)}"
+    JsonlSource.writeJsonl(docs, path)
+    val (clean, bad) = JsonlSource.splitCorrupt(
+      JsonlSource.readJsonl(spark, path, docs.schema))
+    require(bad.count() == 0, "JSONL round-trip produced corrupt records")
+    clean.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (decodeQ _),
     "q_multimodal_features" -> (featuresQ _),
+    "q_image_neardup" -> (imageNearDupQ _),
+    "q_range_join" -> (rangeJoinQ _),
+    "q_jsonl_source" -> (jsonlSourceQ _),
     "q_stream_period_agg" -> (streamQ _),
     "q_stream_sessionize" -> (sessionQ _),
     "q_partitioned_fold_scan" -> (partitionedScanQ _),
@@ -201,6 +284,35 @@ object ExtensionQueries extends QueryPack {
         |            WHEN doc_id % 5 = 2 THEN mp3_samples * 1000 // mp3_rate
         |            ELSE 0 END AS BIGINT) AS duration_ms
         |FROM m
+        |""".stripMargin,
+    // the Spark side really decodes + pools + hashes + verifies; the oracle
+    // replays the planted-pair construction: (2k, 2k+1) is a near-dup pair
+    // iff k % 3 = 0 and both ids exist, and the centered-L1 verify distance
+    // for a constant-brightness-shifted twin is exactly 0
+    // lossless JSONL round-trip: the aggregate over the re-read corpus
+    // must equal the same aggregate over the parquet original
+    "q_jsonl_source" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source
+        |""".stripMargin,
+    // the oracle states the range join declaratively (BETWEEN predicate);
+    // the Spark side must produce the identical answer from the bucketed
+    // equi-join plan
+    "q_range_join" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |iv AS (SELECT day,
+        |         epoch_us(CAST(day AS TIMESTAMP)) + CAST(6 AS BIGINT) * 3600 * 1000000 AS s,
+        |         epoch_us(CAST(day AS TIMESTAMP)) + CAST(18 AS BIGINT) * 3600 * 1000000 AS e
+        |       FROM days)
+        |SELECT iv.day, count(*) AS n_events, round(sum(ev.value), 6) AS sum_value
+        |FROM iv JOIN events ev ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
+        |GROUP BY iv.day ORDER BY iv.day
+        |""".stripMargin,
+    "q_image_neardup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0.0 AS pooled_l1
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0 AND (a.doc_id // 2) % 3 = 0
+        |ORDER BY id_a
         |""".stripMargin,
     // replay the synthetic pixel formula (31x+7y+13id+11b mod 256) over
     // every sample; per-stripe integer sums, one division, 16-term sum —

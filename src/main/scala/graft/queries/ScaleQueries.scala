@@ -287,6 +287,42 @@ object ScaleQueries extends QueryPack {
     "q_curation_pipeline" -> (curation _),
     "q_curation_v3" -> (curationV3 _),
     "q_stream_curation" -> (streamCurationQ _),
+    // snapshot-versioning diff: v2 = v1 minus ids ≡0 (mod 7), texts of
+    // ids ≡0 (mod 5) appended-to, plus re-keyed copies of ids ≡0 (mod 10).
+    // Each side reduces to (key, md5 fingerprint) BEFORE the full-outer
+    // join — payloads never shuffle
+    // temperature-scaled multilingual rebalancing weights (XLM-R-style,
+    // 1/T = 0.5 via IEEE-exact sqrt)
+    "q_mixture_temperature" -> ((s, dir) =>
+      graft.ops.Mixture.temperatureWeights(
+          Tables.cached(s, dir, "documents"), "lang",
+          graft.text.TextFunctions.tokenCount(col("text")))
+        .orderBy(col("lang"))),
+    // skew diagnostic: top-10 hottest user_ids by event count — the
+    // report that picks salting/broadcast candidates; groupBy +
+    // TakeOrdered, no global sort
+    "q_skew_report" -> ((s, dir) =>
+      graft.ops.Skew.topHotKeys(
+        Tables.cached(s, dir, "events"), "user_id", k = 10)),
+    // RefinedWeb-style per-domain quota: ≤ 15 docs per source by
+    // deterministic hash rank; only over-cap groups are ever windowed
+    "q_source_cap" -> ((s, dir) =>
+      graft.ops.QuotaCap.capPerGroup(
+          Tables.cached(s, dir, "documents"), "doc_id", "source", cap = 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+    "q_snapshot_diff" -> ((s, dir) => {
+      import graft.ops.SnapshotDiff
+      val a = Tables.cached(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      SnapshotDiff.diff(a, b, "doc_id",
+          SnapshotDiff.fingerprint(Seq("text", "lang", "source")))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   private[queries] val MIX_WEIGHTS = Map(
@@ -385,6 +421,50 @@ object ScaleQueries extends QueryPack {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the Spark side full-outer-joins md5 fingerprints; the oracle replays
+    // the snapshot-evolution construction (which ids were dropped /
+    // mutated / re-keyed) — statuses must coincide exactly
+    "q_mixture_temperature" ->
+      """WITH m AS (SELECT lang,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |             sum(sqrt(n_tokens)) AS sqt FROM m)
+        |SELECT lang, n_tokens,
+        |       round(n_tokens / (SELECT tot FROM t), 6) AS share,
+        |       round(sqrt(n_tokens) / (SELECT sqt FROM t), 6) AS weight
+        |FROM m ORDER BY lang
+        |""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events),
+        |r AS (SELECT user_id, n,
+        |        CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank
+        |      FROM c)
+        |SELECT rank, user_id, n, round(n / (SELECT total FROM t), 6) AS share
+        |FROM r WHERE rank <= 10
+        |""".stripMargin,
+    // declarative statement of the cap (window over everything); the
+    // engine's two-stage plan must agree exactly. hash60 = first 15 md5
+    // hex chars as a 60-bit integer, same construction both engines
+    "q_source_cap" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT),
+        |             doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id
+        |""".stripMargin,
+    "q_snapshot_diff" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'removed'
+        |                    WHEN doc_id % 5 = 0 THEN 'changed'
+        |                    ELSE 'unchanged' END AS status
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_id
+        |""".stripMargin,
     "q_curation_v2" -> curationV2Oracle,
     "q_curation_v3" -> curationV3Oracle,
     // streamed composition ≡ batch release (LM static, per-doc stages

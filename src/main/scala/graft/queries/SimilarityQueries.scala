@@ -36,6 +36,13 @@ object SimilarityQueries extends QueryPack {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K)
     }),
+    // contrastive-training hard negatives: top-k most-similar vectors with
+    // a DIFFERENT label per query
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", "label", K)
+    }),
     "q_ann_srp" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.srpTopK(
@@ -304,6 +311,16 @@ object SimilarityQueries extends QueryPack {
          |       CAST(row_number() OVER (PARTITION BY query_id
          |         ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |FROM rs QUALIFY rnk <= $K
+         |""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS ql, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),
+         |c AS (SELECT vec_id AS neighbor_id, label AS cl, $dv AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |      FROM c CROSS JOIN q WHERE query_id <> neighbor_id AND ql <> cl),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
          |""".stripMargin,
     "q_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),

@@ -200,6 +200,13 @@ object TextQueries extends QueryPack {
       counts.orderBy(col("n").desc, col("token")).limit(50)
         .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("token"))))
     }),
+    // exact corpus heavy hitters (freq > n/100) via the mergeable
+    // Misra-Gries candidate sketch + bounded exact recount — the shuffled
+    // key space is ≤ sketchK, not the vocabulary
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.functions.HeavyHitters.exactHeavyHitters(
+          docs(s, dir), tokens(col("text")), sketchK = 199, denom = 100)
+        .orderBy(col("token"))),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -664,6 +671,15 @@ object TextQueries extends QueryPack {
          |SELECT token, n,
          |       CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
          |FROM c QUALIFY rank <= 50
+         |""".stripMargin,
+    // brute-force exact heavy hitters; the Spark side must agree although
+    // it never shuffles the full vocabulary (MG candidates + recount).
+    // freq·100 > n in integer arithmetic — no float threshold either side
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |n AS (SELECT count(*) AS n FROM tok),
+         |c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1)
+         |SELECT token, freq FROM c, n WHERE freq * 100 > n ORDER BY token
          |""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
