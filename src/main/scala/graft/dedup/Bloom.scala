@@ -86,27 +86,21 @@ object Bloom {
 
   /** The deployment hot path: probe against a broadcast word array with
     * ZERO joins and zero shuffles — k `element_at`/shift/AND bit-tests per
-    * row, all inside whole-stage codegen. h1/stride are projected once so
-    * the k predicates share them.
+    * row, all inside whole-stage codegen. The k positions are projected as
+    * named columns once so the bit tests share the h1/stride arithmetic.
     */
   def probeBroadcast(words: Array[Long], probe: DataFrame, idCol: String,
       fpCol: Column, mBits: Int, k: Int): DataFrame = {
     require(words.length == mBits / WORD_BITS, "word array does not match mBits")
-    val wordsLit = typedLit(words.toSeq)
     val (h1, stride) = hashPair(fpCol, mBits)
-    val withHash = probe.select(col(idCol), h1.as("h1"), stride.as("stride"))
-    val hit = (0 until k).map { i =>
-      val p = position(col("h1"), col("stride"), i, mBits)
-      val word = element_at(wordsLit, (p / WORD_BITS).cast("int") + 1)
-      expr(s"shiftright(${"" /* placeholder replaced below */}0, 0)") // unused
-      (shiftrightunsigned(word, 0) =!= lit(-1L)) // placeholder
-    }
-    // build the conjunction explicitly (avoids the placeholder above)
-    val tests = (0 until k).map { i =>
-      val p = position(col("h1"), col("stride"), i, mBits)
-      val word = element_at(wordsLit, (p / WORD_BITS).cast("int") + 1)
-      (word.bitwiseAND(shiftleft(lit(1L), 0)) =!= lit(0L)) // placeholder
-    }
-    withHash.select(col(idCol), lit(true).as("bloom_hit")) // placeholder
+    val posCols = (0 until k).map(i => position(h1, stride, i, mBits).as(s"__p$i"))
+    val withPos = probe.select((col(idCol) +: posCols): _*)
+      .withColumn("__words", typedLit(words.toSeq))
+    val hit = (0 until k)
+      .map(i => expr(
+        s"(element_at(__words, CAST(__p$i / $WORD_BITS AS INT) + 1)" +
+          s" & shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WORD_BITS AS INT))) != 0"))
+      .reduce(_ && _)
+    withPos.select(col(idCol), hit.as("bloom_hit"))
   }
 }

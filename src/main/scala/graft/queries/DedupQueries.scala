@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup
+import graft.dedup.{Bloom, Dedup}
 import graft.sources.Tables
 
 /** Deduplication operator queries over `documents`: exact hash-groups,
@@ -49,6 +49,14 @@ object DedupQueries extends QueryPack {
   private[queries] val WIDE_BITS = 96
   private[queries] val WIDE_BANDS = 6
   private[queries] val WIDE_MAXH = 5
+  /** Bloom screen sizing for the gate corpus: m = 2^15 bits (1024 words —
+    * trivially broadcastable; the sizing RULE m ≈ n·k/ln2 is what scales),
+    * k = 5 probes. FP behavior is deterministic cross-engine — both engines
+    * compute identical positions — so the gate pins hits AND false
+    * positives bit-for-bit.
+    */
+  private[queries] val BLOOM_M = 1 << 15
+  private[queries] val BLOOM_K = 5
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.cached(spark, dir, "documents")
@@ -120,6 +128,26 @@ object DedupQueries extends QueryPack {
       Dedup.screenAgainstPersistentIndex(index, d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", s"graft_simhash_probe_$suffix")
         .withColumnRenamed("id", "doc_id")
+    }),
+    "q_bloom_screen" -> ((s, dir) => {
+      // constant-space exact-membership screen: the base corpus (4/5 of
+      // docs) is folded into a bloom bitmap ONCE (one hash-shuffle on the
+      // ≤ m/32 word axis), then the arriving batch (every 5th doc) is
+      // probed with ZERO joins — k codegen bit-tests per row against the
+      // broadcast word array. exact_hit rides along so the gate also pins
+      // the no-false-negative contract (bloom_hit ≥ exact_hit row-wise).
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 5 =!= 0).select(md5(col("text")).as("fp"))
+      val words = Bloom.collectWords(
+        Bloom.bitmap(base, col("fp"), BLOOM_M, BLOOM_K), BLOOM_M)
+      val probe = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val hits = Bloom.probeBroadcast(words, probe, "doc_id", col("fp"), BLOOM_M, BLOOM_K)
+      val exact = probe
+        .join(base.distinct().withColumn("__e", lit(1)), Seq("fp"), "left")
+        .select(col("doc_id"), coalesce(col("__e"), lit(0)).as("exact_hit"))
+      hits.withColumn("bloom_hit", col("bloom_hit").cast("int"))
+        .join(exact, Seq("doc_id"))
     }),
     "q_dedup_clusters_capped" -> ((s, dir) => {
       // The sparse-corpus scale path: MinHash-LSH with the hot-bucket cap —
@@ -310,6 +338,33 @@ object DedupQueries extends QueryPack {
     "q_dedup_minhash_lsh" ->
       s"""WITH ${lshEdgesCtes(THR)}
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM ver WHERE sim >= $THR
+         |""".stripMargin,
+    "q_bloom_screen" ->
+      // literal replication of the Kirsch–Mitzenmacher contract: fp =
+      // md5(text); h1 = hash60(fp); stride = hash60(fp || '#2') % (m-1) + 1;
+      // position_i = (h1 + i·stride) % m; 32-bit words in BIGINT
+      s"""WITH base AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 5 != 0),
+         |ks AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, $BLOOM_K) t(i)),
+         |bh AS (SELECT CAST(CAST(('0x' || substr(md5(fp), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+         |              CAST(CAST(('0x' || substr(md5(fp || '#2'), 1, 15)) AS UBIGINT) AS BIGINT) % ${BLOOM_M - 1} + 1 AS stride
+         |       FROM base),
+         |bpos AS (SELECT (h1 + i * stride) % $BLOOM_M AS p FROM bh CROSS JOIN ks),
+         |bits AS (SELECT CAST(p // 32 AS INT) AS w,
+         |                bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |         FROM bpos GROUP BY 1),
+         |probe AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0),
+         |ph AS (SELECT doc_id, fp,
+         |              CAST(CAST(('0x' || substr(md5(fp), 1, 15)) AS UBIGINT) AS BIGINT) AS h1,
+         |              CAST(CAST(('0x' || substr(md5(fp || '#2'), 1, 15)) AS UBIGINT) AS BIGINT) % ${BLOOM_M - 1} + 1 AS stride
+         |       FROM probe),
+         |ppos AS (SELECT doc_id, (h1 + i * stride) % $BLOOM_M AS p FROM ph CROSS JOIN ks),
+         |pj AS (SELECT doc_id,
+         |              coalesce((b.bits >> CAST(p % 32 AS INT)) & 1, 0) = 1 AS hit
+         |       FROM ppos LEFT JOIN bits b ON CAST(p // 32 AS INT) = b.w),
+         |agg AS (SELECT doc_id, CAST(bool_and(hit) AS INT) AS bloom_hit FROM pj GROUP BY doc_id)
+         |SELECT a.doc_id, a.bloom_hit,
+         |       CAST(p.fp IN (SELECT fp FROM base) AS INT) AS exact_hit
+         |FROM agg a JOIN probe p ON a.doc_id = p.doc_id
          |""".stripMargin,
     "q_incremental_screen" -> screenOracleSql,
     // identical semantics to q_incremental_screen — only the physical

@@ -252,6 +252,12 @@ object ExtensionQueries extends QueryPack {
       StreamingOps.streamSemanticScreen(s, dir,
         threshold = SimilarityQueries.SEM_THR,
         queryName = s"stream_semantic_${math.abs(dir.hashCode)}")),
+    // constant-space exact-membership screen on ingest: bitmap built once,
+    // each micro-batch is k zero-join bit-tests; batch oracle verbatim
+    "q_stream_bloom" -> ((s, dir) =>
+      StreamingOps.streamBloomScreen(s, dir,
+        DedupQueries.BLOOM_M, DedupQueries.BLOOM_K,
+        queryName = s"stream_bloom_${math.abs(dir.hashCode)}")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -369,6 +375,8 @@ object ExtensionQueries extends QueryPack {
     // streamed union == one-shot batch screen (per-doc independence), so
     // the batch oracle verifies the streaming path verbatim
     "q_stream_screen" -> DedupQueries.screenOracleSql,
+    // streamed bloom screen: batch bloom oracle verbatim (same principle)
+    "q_stream_bloom" -> DedupQueries.oracleSql("q_bloom_screen"),
     // same principle for the streamed filter: the batch C4 oracle verbatim
     "q_stream_filter" -> TextQueries.oracleSql("q_c4_filter"),
     // and for the streamed semantic screen: the batch screen oracle

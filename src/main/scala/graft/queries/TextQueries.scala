@@ -180,6 +180,27 @@ object TextQueries extends QueryPack {
       graft.text.Chunking.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkSize = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
+    // corpus-wide paragraph-level exact dedup (Dolma-style): globally-first
+    // (doc_id, pos) occurrence of each 10-token paragraph survives; the
+    // corpus' natural exact-dup documents supply the cross-doc repeats
+    "q_paragraph_dedup" -> ((s, dir) =>
+      graft.text.ParagraphDedup.corpusDedup(docs(s, dir), "doc_id", "text",
+        paraTokens = 10)
+        .withColumnRenamed("id", "doc_id")),
+    // within-doc paragraph dedup — zero-shuffle row-local; repetition is
+    // planted (every 7th doc gets its first paragraph prepended, so
+    // paragraph 1 becomes an exact copy of paragraph 0) because the
+    // word-soup corpus has no natural intra-doc repeats
+    "q_intradoc_dedup" -> ((s, dir) => {
+      val planted = docs(s, dir).withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(concat_ws(" ", slice(split(col("text"), " "), 1, 10)),
+            lit(" "), col("text")))
+          .otherwise(col("text")))
+      graft.text.ParagraphDedup.intraDocDedup(planted, "doc_id", "text2",
+        paraTokens = 10)
+        .withColumnRenamed("id", "doc_id")
+    }),
     // PII scrubbing stats over deterministically-injected spans (the word-
     // soup corpus carries none of its own; the injection is replayed by
     // the oracle so the real regex path produces non-trivial counts)
@@ -495,6 +516,46 @@ object TextQueries extends QueryPack {
          |       CAST(len(sl) AS INT) AS n_chunk_tokens,
          |       array_to_string(sl, ' ') AS chunk_text
          |FROM e
+         |""".stripMargin,
+    "q_paragraph_dedup" ->
+      // same owner-election arithmetic as the engine: globally-first
+      // occurrence key min(doc_id * 100000 + pos) per distinct paragraph
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |idx AS (SELECT CAST(x AS INT) AS i FROM range(0, 1000) r(x)),
+         |para AS (SELECT doc_id, i AS pos,
+         |                array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS para
+         |         FROM tk JOIN idx ON i * 10 < len(t)),
+         |own AS (SELECT para, min(doc_id * 100000 + pos) AS k FROM para GROUP BY para),
+         |kept AS (SELECT p.doc_id, p.pos, p.para FROM para p
+         |         JOIN own o ON p.para = o.para AND p.doc_id * 100000 + p.pos = o.k),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |               string_agg(para, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id),
+         |np AS (SELECT doc_id, CAST(count(*) AS INT) AS n_paras FROM para GROUP BY doc_id)
+         |SELECT np.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       np.n_paras, coalesce(agg.n_kept, 0) AS n_kept
+         |FROM np LEFT JOIN agg USING (doc_id)
+         |""".stripMargin,
+    "q_intradoc_dedup" ->
+      // first-within-doc occurrence per distinct paragraph == GROUP BY
+      // (doc, para) min(pos); prepend planting replayed verbatim
+      s"""WITH d2 AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0
+         |       THEN array_to_string(string_split(text, ' ')[1:10], ' ') || ' ' || text
+         |       ELSE text END AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
+         |idx AS (SELECT CAST(x AS INT) AS i FROM range(0, 1000) r(x)),
+         |para AS (SELECT doc_id, i AS pos,
+         |                array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS para
+         |         FROM tk JOIN idx ON i * 10 < len(t)),
+         |firsts AS (SELECT doc_id, para, min(pos) AS pos FROM para GROUP BY doc_id, para),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |               string_agg(para, ' ' ORDER BY pos) AS clean_text
+         |        FROM firsts GROUP BY doc_id),
+         |np AS (SELECT doc_id, CAST(count(*) AS INT) AS n_paras FROM para GROUP BY doc_id)
+         |SELECT np.doc_id, agg.clean_text, np.n_paras, agg.n_kept
+         |FROM np JOIN agg USING (doc_id)
          |""".stripMargin,
     "q_pii_stats" -> {
       import graft.text.Pii.{EMAIL, IPV4, LONG_DIGITS}

@@ -333,6 +333,56 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact-membership Bloom screen: the base corpus is folded
+    * into a bloom bitmap ONCE before the stream starts and the word array
+    * lives on the driver (broadcast into every task); each arriving
+    * micro-batch is then screened by [[graft.dedup.Bloom.probeBroadcast]] —
+    * k codegen bit-tests per row, ZERO joins and zero shuffles per batch,
+    * the cheapest possible per-batch plan of any screen in the library
+    * (the banded SimHash screen still pays a bucket join per batch).
+    * exact_hit rides along via a broadcast join against the distinct base
+    * fingerprints so the streamed gate reuses the batch oracle verbatim
+    * (per-doc independence ⇒ streamed union ≡ one-shot batch).
+    */
+  def streamBloomScreen(
+      spark: SparkSession,
+      dir: String,
+      mBits: Int,
+      k: Int,
+      queryName: String = "stream_bloom"): DataFrame = {
+    import graft.dedup.Bloom
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val base = spark.read.parquet(path).filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text")).as("fp"))
+    val words = Bloom.collectWords(Bloom.bitmap(base, col("fp"), mBits, k), mBits)
+    val baseFps = base.distinct().withColumn("__e", lit(1)).cache()
+    baseFps.count() // materialize before the stream starts
+    val outDir = s"target/stream_bloom_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(outDir))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val probe = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+        val exact = probe.join(broadcast(baseFps), Seq("fp"), "left")
+          .select(col("doc_id"), coalesce(col("__e"), lit(0)).as("exact_hit"))
+        Bloom.probeBroadcast(words, probe, "doc_id", col("fp"), mBits, k)
+          .withColumn("bloom_hit", col("bloom_hit").cast("int"))
+          .join(exact, Seq("doc_id"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    baseFps.unpersist()
+    spark.read.parquet(outDir).drop("batch")
+  }
+
   /** Streaming ingest near-dup screen: documents arrive as a stream and
     * every micro-batch is SimHash-probed against the STATIC base corpus's
     * banded index via `foreachBatch` — the deployment shape of

@@ -206,6 +206,29 @@ class WatermarkSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed bloom screen equals the one-shot batch screen row for row") {
+    import graft.dedup.Bloom
+    val dir = "/root/testdata/sf0.001"
+    val M = 1 << 15
+    val K = 5
+    val streamed = StreamingOps.streamBloomScreen(spark, dir, M, K,
+      queryName = s"bloom_stream_${System.nanoTime()}")
+      .collect().map(_.toSeq).toSet
+    val d = graft.sources.Tables.cached(spark, dir, "documents")
+    val base = d.filter(col("doc_id") % 5 =!= 0).select(md5(col("text")).as("fp"))
+    val words = Bloom.collectWords(Bloom.bitmap(base, col("fp"), M, K), M)
+    val probe = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val exact = probe.join(base.distinct().withColumn("__e", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("__e"), lit(0)).as("exact_hit"))
+    val batch = Bloom.probeBroadcast(words, probe, "doc_id", col("fp"), M, K)
+      .withColumn("bloom_hit", col("bloom_hit").cast("int"))
+      .join(exact, Seq("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream interval join drains to exactly the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingOps.streamStreamJoin(spark, dir,
