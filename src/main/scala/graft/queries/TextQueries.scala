@@ -180,6 +180,23 @@ object TextQueries extends QueryPack {
       graft.text.Chunking.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkSize = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
+    // CCNet canonicalization (runs before every hash-based dedup): NFC +
+    // accent-strip/lowercase/whitespace fold via the native UnicodeNormalize
+    // codegen expression. Unicode content is planted (ASCII corpus):
+    // decomposed Cafe+U+0301 / NAI+U+0308VE, precomposed deja/MUNCHEN,
+    // doubled spaces — NFC composes, fold collapses both to one key
+    "q_normalize_text" -> ((s, dir) => {
+      val inj = docs(s, dir).withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" Cafe\u0301 NAI\u0308VE d\u00e9j\u00e0")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          lit("  M\u00dcNCHEN  \u00e7\u00f6  ")).otherwise(lit(""))))
+      inj.select(col("doc_id"),
+        graft.text.Normalize.nfc(inj, col("text2")).as("nfc_text"),
+        graft.text.Normalize.foldText(inj, col("text2")).as("folded"),
+        length(col("text2")).cast("int").as("raw_len"),
+        length(graft.text.Normalize.nfc(inj, col("text2"))).cast("int").as("nfc_len"))
+    }),
     // corpus-wide paragraph-level exact dedup (Dolma-style): globally-first
     // (doc_id, pos) occurrence of each 10-token paragraph survives; the
     // corpus' natural exact-dup documents supply the cross-doc repeats
@@ -516,6 +533,27 @@ object TextQueries extends QueryPack {
          |       CAST(len(sl) AS INT) AS n_chunk_tokens,
          |       array_to_string(sl, ' ') AS chunk_text
          |FROM e
+         |""".stripMargin,
+    "q_normalize_text" ->
+      // planted codepoints rebuilt via chr() so both engines see identical
+      // bytes: decomposed e+U+0301 / I+U+0308, precomposed U+00E9/E0/DC/E7/F6;
+      // DuckDB nfc_normalize == java.text.Normalizer NFC, strip_accents ==
+      // NFD + \p{M} removal (verified on this charset)
+      s"""WITH inj AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 3 = 0
+         |       THEN ' Caf' || chr(101) || chr(769) || ' NA' || chr(73) || chr(776) ||
+         |            'VE d' || chr(233) || 'j' || chr(224)
+         |       ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 2
+         |       THEN '  M' || chr(220) || 'NCHEN  ' || chr(231) || chr(246) || '  '
+         |       ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  nfc_normalize(t) AS nfc_text,
+         |  trim(regexp_replace(lower(strip_accents(t)), '\\s+', ' ', 'g')) AS folded,
+         |  CAST(length(t) AS INT) AS raw_len,
+         |  CAST(length(nfc_normalize(t)) AS INT) AS nfc_len
+         |FROM inj
          |""".stripMargin,
     "q_paragraph_dedup" ->
       // same owner-election arithmetic as the engine: globally-first
