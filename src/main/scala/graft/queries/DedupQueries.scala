@@ -163,6 +163,25 @@ object DedupQueries extends QueryPack {
     "q_leakage_split" -> ((s, dir) =>
       Dedup.clusterSplit(docs(s, dir), "doc_id", "text", N, K, BANDS,
         CLUSTER_THR, Some(BUCKET_CAP), holdoutPct = 20)),
+    // quality-aware canonicalization: per near-dup cluster keep the BEST
+    // document (highest round-6 quality, ties to lowest doc_id) — the
+    // curation decision min-id canonical selection gets wrong when the
+    // best-written copy of a page is not the first-crawled one. Argmax is
+    // a decomposable max(struct) — no window over the cluster axis.
+    "q_canonical_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", N, K, BANDS,
+        CLUSTER_THR, maxBucketSize = Some(BUCKET_CAP))
+      val clusters = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+      val q = d.select(col("doc_id").as("id"),
+        round(graft.text.TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      clusters.join(q, Seq("id"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).cast("int").as("n_members"),
+          max(struct(col("quality"), (-col("id")).as("negid"))).as("m"))
+        .select(col("cluster"), (-col("m.negid")).as("canonical_id"),
+          col("m.quality").as("best_quality"), col("n_members"))
+    }),
     "q_dedup_clusters_sparse" -> ((s, dir) => {
       // the capped-LSH head IN ITS OWN REGIME (round-5 verdict item): a
       // crawl-like sparse-similarity corpus (500-hot/10k-cold vocabulary,
@@ -399,6 +418,34 @@ object DedupQueries extends QueryPack {
          |  CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 100 < 20
          |       THEN 'holdout' ELSE 'train' END AS split
          |FROM cl
+         |""".stripMargin,
+    "q_canonical_best" ->
+      // same capped-LSH CC chain as q_dedup_clusters_capped; the argmax is
+      // the encoded-key max (q6·10⁹ + (10⁹−1−id)) — identical ordering to
+      // the engine's max(struct(quality, −id)) because round-6 qualities
+      // map 1:1 onto q6 integers (encode requires id < 10⁹; gate corpora
+      // are ≤ 5·10⁴)
+      s"""WITH RECURSIVE ${lshEdgesCtes(CLUSTER_THR, Some(BUCKET_CAP))},
+         |cc(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src),
+         |cl AS (SELECT id, min(lbl) AS cluster FROM cc GROUP BY id),
+         |tq AS (SELECT doc_id AS id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE) AS nstop
+         |       FROM documents),
+         |q AS (SELECT id, round(greatest(least((least(n / 100.0, 1.0) + nd / n - nstop / n) / 2.0, 1.0), 0.0), 6) AS quality FROM tq),
+         |j AS (SELECT cl.cluster, cl.id,
+         |        CAST(round(q.quality * 1000000) AS BIGINT) AS q6
+         |      FROM cl JOIN q USING (id)),
+         |b AS (SELECT cluster, CAST(count(*) AS INT) AS n_members,
+         |        max(q6 * 1000000000 + (999999999 - id)) AS k
+         |      FROM j GROUP BY cluster)
+         |SELECT cluster, 999999999 - (k % 1000000000) AS canonical_id,
+         |       (k // 1000000000) / 1000000.0 AS best_quality, n_members
+         |FROM b
          |""".stripMargin,
     "q_dedup_clusters_sparse" ->
       // the generated corpus CTEs feed the SAME capped-LSH chain the
