@@ -180,6 +180,20 @@ object TextQueries extends QueryPack {
       graft.text.Chunking.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkSize = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
+    // per-source cardinality card: exact distinct docs/tokens (the gate —
+    // bit-reproducible cross-engine) with approx_count_distinct(HLL++) as
+    // the documented 100 TB swap, spec-checked within 2% (a sketch is not
+    // bit-reproducible across engines, same policy as the _approx metrics)
+    "q_source_cardinality" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(col("source"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("source")).agg(countDistinct(col("t")).as("n_distinct_tokens"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct_docs"),
+          countDistinct(col("lang")).as("n_langs"))
+        .join(tok, Seq("source"))
+    }),
     // CCNet canonicalization (runs before every hash-based dedup): NFC +
     // accent-strip/lowercase/whitespace fold via the native UnicodeNormalize
     // codegen expression. Unicode content is planted (ASCII corpus):
@@ -533,6 +547,17 @@ object TextQueries extends QueryPack {
          |       CAST(len(sl) AS INT) AS n_chunk_tokens,
          |       array_to_string(sl, ' ') AS chunk_text
          |FROM e
+         |""".stripMargin,
+    "q_source_cardinality" ->
+      s"""WITH td AS (SELECT source, count(DISTINCT t) AS n_distinct_tokens
+         |            FROM (SELECT source, unnest($toks) AS t FROM documents)
+         |            GROUP BY source),
+         |base AS (SELECT source, count(*) AS n_docs,
+         |                count(DISTINCT md5(text)) AS n_distinct_docs,
+         |                count(DISTINCT lang) AS n_langs
+         |         FROM documents GROUP BY source)
+         |SELECT base.source, n_docs, n_distinct_docs, n_langs, n_distinct_tokens
+         |FROM base JOIN td USING (source)
          |""".stripMargin,
     "q_normalize_text" ->
       // planted codepoints rebuilt via chr() so both engines see identical
