@@ -88,19 +88,21 @@ object Bloom {
     * ZERO joins and zero shuffles — k `element_at`/shift/AND bit-tests per
     * row, all inside whole-stage codegen. The k positions are projected as
     * named columns once so the bit tests share the h1/stride arithmetic.
+    * Output = every probe column + `bloom_hit`, one row per input row.
     */
-  def probeBroadcast(words: Array[Long], probe: DataFrame, idCol: String,
+  def probeBroadcast(words: Array[Long], probe: DataFrame,
       fpCol: Column, mBits: Int, k: Int): DataFrame = {
     require(words.length == mBits / WORD_BITS, "word array does not match mBits")
+    val inCols = probe.columns.toSeq
     val (h1, stride) = hashPair(fpCol, mBits)
     val posCols = (0 until k).map(i => position(h1, stride, i, mBits).as(s"__p$i"))
-    val withPos = probe.select((col(idCol) +: posCols): _*)
+    val withPos = probe.select(inCols.map(col) ++ posCols: _*)
       .withColumn("__words", typedLit(words.toSeq))
     val hit = (0 until k)
       .map(i => expr(
         s"(element_at(__words, CAST(__p$i / $WORD_BITS AS INT) + 1)" +
           s" & shiftleft(CAST(1 AS BIGINT), CAST(__p$i % $WORD_BITS AS INT))) != 0"))
       .reduce(_ && _)
-    withPos.select(col(idCol), hit.as("bloom_hit"))
+    withPos.select(inCols.map(col) :+ hit.as("bloom_hit"): _*)
   }
 }

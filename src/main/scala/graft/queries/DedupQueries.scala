@@ -142,7 +142,8 @@ object DedupQueries extends QueryPack {
         Bloom.bitmap(base, col("fp"), BLOOM_M, BLOOM_K), BLOOM_M)
       val probe = d.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), md5(col("text")).as("fp"))
-      val hits = Bloom.probeBroadcast(words, probe, "doc_id", col("fp"), BLOOM_M, BLOOM_K)
+      val hits = Bloom.probeBroadcast(words, probe, col("fp"), BLOOM_M, BLOOM_K)
+        .select(col("doc_id"), col("bloom_hit"))
       val exact = probe
         .join(base.distinct().withColumn("__e", lit(1)), Seq("fp"), "left")
         .select(col("doc_id"), coalesce(col("__e"), lit(0)).as("exact_hit"))

@@ -218,6 +218,19 @@ object TextQueries extends QueryPack {
       graft.text.ParagraphDedup.corpusDedup(docs(s, dir), "doc_id", "text",
         paraTokens = 10)
         .withColumnRenamed("id", "doc_id")),
+    // incremental paragraph screen: arriving docs (every 5th) keep only
+    // paragraphs NOT in the base corpus; the bloom bitmap confines the
+    // exact verify join to bloom hits (misses are definitely-new). The
+    // bitmap is a pure accelerator — output equals the exact anti-join,
+    // which is what the oracle computes
+    "q_paragraph_screen" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.ParagraphDedup.screenedIncrement(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", paraTokens = 10,
+        mBits = DedupQueries.BLOOM_M, k = DedupQueries.BLOOM_K)
+        .withColumnRenamed("id", "doc_id")
+    }),
     // within-doc paragraph dedup — zero-shuffle row-local; repetition is
     // planted (every 7th doc gets its first paragraph prepended, so
     // paragraph 1 becomes an exact copy of paragraph 0) because the
@@ -595,6 +608,26 @@ object TextQueries extends QueryPack {
          |               string_agg(para, ' ' ORDER BY pos) AS clean_text
          |        FROM kept GROUP BY doc_id),
          |np AS (SELECT doc_id, CAST(count(*) AS INT) AS n_paras FROM para GROUP BY doc_id)
+         |SELECT np.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       np.n_paras, coalesce(agg.n_kept, 0) AS n_kept
+         |FROM np LEFT JOIN agg USING (doc_id)
+         |""".stripMargin,
+    "q_paragraph_screen" ->
+      // the bitmap is an accelerator, not a semantic: the oracle is the
+      // plain exact anti-join of batch paragraphs vs base paragraphs
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |idx AS (SELECT CAST(x AS INT) AS i FROM range(0, 1000) r(x)),
+         |para AS (SELECT doc_id, i AS pos,
+         |                array_to_string(t[i * 10 + 1 : i * 10 + 10], ' ') AS para
+         |         FROM tk JOIN idx ON i * 10 < len(t)),
+         |basep AS (SELECT DISTINCT para FROM para WHERE doc_id % 5 != 0),
+         |bp AS (SELECT doc_id, pos, para FROM para WHERE doc_id % 5 = 0),
+         |kept AS (SELECT bp.doc_id, bp.pos, bp.para FROM bp
+         |         ANTI JOIN basep USING (para)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         |               string_agg(para, ' ' ORDER BY pos) AS clean_text
+         |        FROM kept GROUP BY doc_id),
+         |np AS (SELECT doc_id, CAST(count(*) AS INT) AS n_paras FROM bp GROUP BY doc_id)
          |SELECT np.doc_id, coalesce(agg.clean_text, '') AS clean_text,
          |       np.n_paras, coalesce(agg.n_kept, 0) AS n_kept
          |FROM np LEFT JOIN agg USING (doc_id)

@@ -370,8 +370,8 @@ object StreamingOps {
         val probe = batch.select(col("doc_id"), md5(col("text")).as("fp"))
         val exact = probe.join(broadcast(baseFps), Seq("fp"), "left")
           .select(col("doc_id"), coalesce(col("__e"), lit(0)).as("exact_hit"))
-        Bloom.probeBroadcast(words, probe, "doc_id", col("fp"), mBits, k)
-          .withColumn("bloom_hit", col("bloom_hit").cast("int"))
+        Bloom.probeBroadcast(words, probe, col("fp"), mBits, k)
+          .select(col("doc_id"), col("bloom_hit").cast("int").as("bloom_hit"))
           .join(exact, Seq("doc_id"))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }

@@ -69,6 +69,43 @@ object ParagraphDedup {
         size(col("__paras")).as("n_paras"),
         size(col("__kept")).as("n_kept"))
 
+  /** Incremental paragraph screen — the Dolma production deployment of
+    * sub-document dedup: the BASE corpus's distinct paragraphs fold into a
+    * bloom bitmap once; each arriving batch's paragraphs are probed with
+    * zero joins ([[graft.dedup.Bloom.probeBroadcast]]), and ONLY the bloom
+    * hits enter the exact verification join against the base paragraph
+    * table. No false negatives means misses are definitely-new and skip
+    * the join entirely — at 100 TB the exact join's probe side shrinks to
+    * the duplicated sliver (plus the sized-for FP rate), not the corpus.
+    * Output: batch docs reassembled from paragraphs NOT present in base.
+    */
+  def screenedIncrement(base: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, paraTokens: Int, mBits: Int, k: Int): DataFrame = {
+    import graft.dedup.Bloom
+    val basePar = paras(base, idCol, textCol, paraTokens).select(col("para")).distinct()
+    val words = Bloom.collectWords(Bloom.bitmap(basePar, col("para"), mBits, k), mBits)
+    val bp = paras(batch, idCol, textCol, paraTokens)
+    val probed = Bloom.probeBroadcast(words, bp, col("para"), mBits, k)
+    val misses = probed.filter(!col("bloom_hit")).drop("bloom_hit")
+    // exact verify ONLY for bloom hits: left join against base, keep the
+    // hits that turn out to be bitmap false positives
+    val fpKept = probed.filter(col("bloom_hit")).drop("bloom_hit")
+      .join(basePar.withColumn("__b", lit(1)), Seq("para"), "left")
+      .filter(col("__b").isNull).drop("__b")
+      .select(misses.columns.map(col): _*)
+    val kept = misses.unionByName(fpKept)
+    val reassembled = kept.groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")), " ").as("clean_text"))
+    val counts = bp.groupBy(col("id")).agg(count(lit(1)).cast("int").as("n_paras"))
+    counts.join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
+
   /** Corpus-wide paragraph dedup: the globally-first (doc_id, pos)
     * occurrence of each distinct paragraph survives, every later copy —
     * across documents AND within them — is removed; documents reassemble

@@ -20,7 +20,7 @@ class BloomSpec extends SparkTestBase {
     val bits = Bloom.bitmap(base, fp("text"), M, K)
     val words = Bloom.collectWords(bits, M)
     val probe = base.withColumn("id", monotonically_increasing_id())
-    val hits = Bloom.probeBroadcast(words, probe, "id", fp("text"), M, K)
+    val hits = Bloom.probeBroadcast(words, probe, fp("text"), M, K)
     assert(hits.filter(!col("bloom_hit")).count() === 0)
   }
 
@@ -29,7 +29,8 @@ class BloomSpec extends SparkTestBase {
     val bits = Bloom.bitmap(base, fp("text"), M, K)
     val words = Bloom.collectWords(bits, M)
     val probe = (0 until 300).map(i => (i.toLong, s"base ${i * 7 % 400}")).toDF("id", "text")
-    val a = Bloom.probeBroadcast(words, probe, "id", fp("text"), M, K)
+    val a = Bloom.probeBroadcast(words, probe, fp("text"), M, K)
+      .select("id", "bloom_hit")
       .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
     val b = Bloom.probeJoin(bits, probe, "id", fp("text"), M, K)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
@@ -50,7 +51,7 @@ class BloomSpec extends SparkTestBase {
     val base = (0 until 100).map(i => s"member $i").toDF("text")
     val words = Bloom.collectWords(Bloom.bitmap(base, fp("text"), M, K), M)
     val probe = (0 until 500).map(i => (i.toLong, s"outsider $i")).toDF("id", "text")
-    val fpCount = Bloom.probeBroadcast(words, probe, "id", fp("text"), M, K)
+    val fpCount = Bloom.probeBroadcast(words, probe, fp("text"), M, K)
       .filter(col("bloom_hit")).count()
     // n=100, m=4096, k=5 → theoretical FP ≈ 3e-5; allow generous slack
     assert(fpCount <= 5, s"false-positive count $fpCount implausibly high")

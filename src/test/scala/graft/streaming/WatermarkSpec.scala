@@ -221,8 +221,8 @@ class WatermarkSpec extends SparkTestBase {
       .select(col("doc_id"), md5(col("text")).as("fp"))
     val exact = probe.join(base.distinct().withColumn("__e", lit(1)), Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("__e"), lit(0)).as("exact_hit"))
-    val batch = Bloom.probeBroadcast(words, probe, "doc_id", col("fp"), M, K)
-      .withColumn("bloom_hit", col("bloom_hit").cast("int"))
+    val batch = Bloom.probeBroadcast(words, probe, col("fp"), M, K)
+      .select(col("doc_id"), col("bloom_hit").cast("int").as("bloom_hit"))
       .join(exact, Seq("doc_id"))
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)

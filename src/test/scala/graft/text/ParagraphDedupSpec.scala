@@ -63,6 +63,27 @@ class ParagraphDedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("POS_BASE"))
   }
 
+  test("screenedIncrement = exact anti-join screen; FP-heavy bitmap changes nothing") {
+    val base = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b x y"),   // "a b" seen in base -> removed, "x y" kept
+      (15L, "c d e f"),   // fully seen -> empty
+      (20L, "p q r s")    // fully new -> passthrough
+    ).toDF("doc_id", "text")
+    def run(m: Int) = ParagraphDedup.screenedIncrement(base, batch,
+        "doc_id", "text", paraTokens = W, mBits = m, k = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val expected = Array(
+      (10L, "x y", 2, 1),
+      (15L, "", 2, 0),
+      (20L, "p q r s", 2, 2))
+    assert(run(1 << 12) === expected)
+    // 64-bit bitmap: nearly every probe is a false positive — the exact
+    // verify join must reject them all, output unchanged
+    assert(run(64) === expected)
+  }
+
   test("short terminal paragraph participates like any other") {
     val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
     val out = ParagraphDedup.corpusDedup(docs, "doc_id", "text", W)
