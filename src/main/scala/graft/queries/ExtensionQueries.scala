@@ -200,6 +200,38 @@ object ExtensionQueries extends QueryPack {
     out
   }
 
+  /** The DECLARATIVE form of [[rangeJoinQ]]: the user writes the naive
+    * `point >= start AND point < end` inner join — the plan Spark would run
+    * as BroadcastNestedLoopJoin — and the injected optimizer rule
+    * ([[graft.plans.RangeJoinRewrite]], registered via
+    * `spark.sql.extensions`) rewrites it into the bucketed equi join.
+    * Identical result (same oracle as q_range_join); the runtime assertion
+    * proves the rewrite fired. The conf stays set for the session — the
+    * rule's 2-conjunct pure-range match cannot touch any other gate's join
+    * (equi joins, 3-conjunct stream joins, and the explicit API's
+    * bucket+residual plan all fail the pattern).
+    */
+  private def rangeJoinAutoQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.RangeJoinRewrite
+    val hourUs = 3600L * 1000000L
+    spark.conf.set(RangeJoinRewrite.BUCKET_CONF, (12 * hourUs).toString)
+    spark.conf.set(RangeJoinRewrite.MAXB_CONF, "3")
+    val ev = Tables.cached(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val iv = ev.select(to_date(col("ts")).as("day")).distinct()
+      .withColumn("start_us", unix_micros(col("day").cast("timestamp")) + lit(6 * hourUs))
+      .withColumn("end_us", unix_micros(col("day").cast("timestamp")) + lit(18 * hourUs))
+    val joined = ev.join(iv,
+      col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+    val out = joined.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("sum_value"))
+      .orderBy(col("day"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "optimizer rule did not rewrite the declarative range join")
+    out
+  }
+
   /** JSONL round-trip: documents → newline-delimited JSON under target/ →
     * schema-declared PERMISSIVE read back → aggregate. The oracle runs the
     * same aggregate on the parquet table, so the gate proves the JSONL
@@ -224,6 +256,7 @@ object ExtensionQueries extends QueryPack {
     "q_multimodal_features" -> (featuresQ _),
     "q_image_neardup" -> (imageNearDupQ _),
     "q_range_join" -> (rangeJoinQ _),
+    "q_range_join_auto" -> (rangeJoinAutoQ _),
     "q_jsonl_source" -> (jsonlSourceQ _),
     "q_stream_period_agg" -> (streamQ _),
     "q_stream_sessionize" -> (sessionQ _),
@@ -259,6 +292,17 @@ object ExtensionQueries extends QueryPack {
         DedupQueries.BLOOM_M, DedupQueries.BLOOM_K,
         queryName = s"stream_bloom_${math.abs(dir.hashCode)}")),
   )
+
+  private val rangeJoinOracle: String =
+    """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      |iv AS (SELECT day,
+      |         epoch_us(CAST(day AS TIMESTAMP)) + CAST(6 AS BIGINT) * 3600 * 1000000 AS s,
+      |         epoch_us(CAST(day AS TIMESTAMP)) + CAST(18 AS BIGINT) * 3600 * 1000000 AS e
+      |       FROM days)
+      |SELECT iv.day, count(*) AS n_events, round(sum(ev.value), 6) AS sum_value
+      |FROM iv JOIN events ev ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
+      |GROUP BY iv.day ORDER BY iv.day
+      |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_decode" ->
@@ -304,16 +348,9 @@ object ExtensionQueries extends QueryPack {
     // the oracle states the range join declaratively (BETWEEN predicate);
     // the Spark side must produce the identical answer from the bucketed
     // equi-join plan
-    "q_range_join" ->
-      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
-        |iv AS (SELECT day,
-        |         epoch_us(CAST(day AS TIMESTAMP)) + CAST(6 AS BIGINT) * 3600 * 1000000 AS s,
-        |         epoch_us(CAST(day AS TIMESTAMP)) + CAST(18 AS BIGINT) * 3600 * 1000000 AS e
-        |       FROM days)
-        |SELECT iv.day, count(*) AS n_events, round(sum(ev.value), 6) AS sum_value
-        |FROM iv JOIN events ev ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
-        |GROUP BY iv.day ORDER BY iv.day
-        |""".stripMargin,
+    "q_range_join" -> rangeJoinOracle,
+    // identical semantics — only the PLANNING differs (optimizer rewrite)
+    "q_range_join_auto" -> rangeJoinOracle,
     "q_image_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0.0 AS pooled_l1
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
