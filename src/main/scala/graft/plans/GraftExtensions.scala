@@ -129,6 +129,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

@@ -232,6 +232,25 @@ object ExtensionQueries extends QueryPack {
     out
   }
 
+  /** Per-user top-3 events by value through the custom whole-operator
+    * extension ([[graft.plans.TopKPerKey]]: LogicalPlan + Strategy +
+    * two-stage heap SparkPlan). Ordering uses the RAW double (bit-identical
+    * cross-engine) with event_id as total-order tie-break; round-6 only in
+    * the output projection. The runtime assertion proves the custom
+    * physical operator planned (both heap stages) and no window sort ran.
+    */
+  private def topKPerKeyQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.cached(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val out = graft.plans.TopKPerKey(ev, Seq("user_id"),
+      Seq(("value", false), ("event_id", true)), k = 3)
+      .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
+    val plan = out.queryExecution.executedPlan.toString
+    require("TopKPerKey ".r.findAllIn(plan).size >= 2 && !plan.contains("Window"),
+      s"custom top-k operator did not plan:\n$plan")
+    out
+  }
+
   /** JSONL round-trip: documents → newline-delimited JSON under target/ →
     * schema-declared PERMISSIVE read back → aggregate. The oracle runs the
     * same aggregate on the parquet table, so the gate proves the JSONL
@@ -257,6 +276,7 @@ object ExtensionQueries extends QueryPack {
     "q_image_neardup" -> (imageNearDupQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_range_join_auto" -> (rangeJoinAutoQ _),
+    "q_topk_per_key" -> (topKPerKeyQ _),
     "q_jsonl_source" -> (jsonlSourceQ _),
     "q_stream_period_agg" -> (streamQ _),
     "q_stream_sessionize" -> (sessionQ _),
@@ -351,6 +371,12 @@ object ExtensionQueries extends QueryPack {
     "q_range_join" -> rangeJoinOracle,
     // identical semantics — only the PLANNING differs (optimizer rewrite)
     "q_range_join_auto" -> rangeJoinOracle,
+    "q_topk_per_key" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |       FROM events)
+        |SELECT user_id, event_id, round(value, 6) AS value FROM r WHERE rn <= 3
+        |""".stripMargin,
     "q_image_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0.0 AS pooled_l1
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
