@@ -125,12 +125,60 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
+/** Catalyst optimizer extension: rewrite the DECLARATIVE per-key top-k
+  * pattern — `row_number().over(partitionBy(keys).orderBy(...)) <= k` with
+  * the rank column dropped afterwards — into [[TopKPerKeyPlan]], so the
+  * bounded-heap physical operator replaces the full per-key sort without
+  * the caller knowing the custom API exists (the same philosophy as
+  * [[RangeJoinRewrite]]: semantics in the query, strategy in the engine).
+  *
+  * Opt-in (`spark.graft.topk.rewrite=true`) and conservative: the Window
+  * must compute EXACTLY one expression, a `row_number()` over the standard
+  * running frame; the Filter must be exactly `rn <= k` / `rn < k+1` on
+  * that attribute; and the Project above must NOT reference the rank —
+  * if the rank value itself is consumed, the window stays. Ties: like the
+  * window it replaces, the result is deterministic only under a
+  * total per-key ordering — the rewrite preserves exactly that contract.
+  */
+object TopKWindowRewrite extends Rule[LogicalPlan] {
+
+  val CONF = "spark.graft.topk.rewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(CONF, "false").toBoolean) return plan
+    plan.transformUp {
+      case p @ Project(projList, Filter(cond,
+          Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(part, order,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+            _, _, child, _))) =>
+        val rn = alias.toAttribute
+        val k = cond match {
+          case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
+            if a.exprId == rn.exprId => Some(v)
+          case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
+            if a.exprId == rn.exprId => Some(v - 1)
+          case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference)
+            if a.exprId == rn.exprId => Some(v)
+          case _ => None
+        }
+        val rankUnused = !projList.exists(_.references.contains(rn))
+        k match {
+          case Some(kk) if kk > 0 && rankUnused && part.nonEmpty =>
+            Project(projList, TopKPerKeyPlan(part, order, kk, child))
+          case _ => p
+        }
+    }
+  }
+}
+
 /** Session extension entry point: register with
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => TopKWindowRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -251,6 +251,28 @@ object ExtensionQueries extends QueryPack {
     out
   }
 
+  /** The DECLARATIVE form of [[topKPerKeyQ]]: the user writes the standard
+    * `row_number().over(...).filter(rn <= 3).drop("rn")` pattern and the
+    * injected [[graft.plans.TopKWindowRewrite]] optimizer rule replaces
+    * the window sort with the bounded-heap operator. Same oracle; the
+    * runtime assertion proves the rewrite fired.
+    */
+  private def topKAutoQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set(graft.plans.TopKWindowRewrite.CONF, "true")
+    val ev = Tables.cached(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val out = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .select(col("user_id"), col("event_id"), round(col("value"), 6).as("value"))
+    val plan = out.queryExecution.executedPlan.toString
+    require("TopKPerKey ".r.findAllIn(plan).size >= 2 && !plan.contains("Window"),
+      s"window top-k pattern was not rewritten:\n$plan")
+    out
+  }
+
   /** JSONL round-trip: documents → newline-delimited JSON under target/ →
     * schema-declared PERMISSIVE read back → aggregate. The oracle runs the
     * same aggregate on the parquet table, so the gate proves the JSONL
@@ -277,6 +299,7 @@ object ExtensionQueries extends QueryPack {
     "q_range_join" -> (rangeJoinQ _),
     "q_range_join_auto" -> (rangeJoinAutoQ _),
     "q_topk_per_key" -> (topKPerKeyQ _),
+    "q_topk_auto" -> (topKAutoQ _),
     "q_jsonl_source" -> (jsonlSourceQ _),
     "q_stream_period_agg" -> (streamQ _),
     "q_stream_sessionize" -> (sessionQ _),
@@ -312,6 +335,13 @@ object ExtensionQueries extends QueryPack {
         DedupQueries.BLOOM_M, DedupQueries.BLOOM_K,
         queryName = s"stream_bloom_${math.abs(dir.hashCode)}")),
   )
+
+  private val topKOracle: String =
+    """WITH r AS (SELECT user_id, event_id, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      |       FROM events)
+      |SELECT user_id, event_id, round(value, 6) AS value FROM r WHERE rn <= 3
+      |""".stripMargin
 
   private val rangeJoinOracle: String =
     """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
@@ -371,12 +401,9 @@ object ExtensionQueries extends QueryPack {
     "q_range_join" -> rangeJoinOracle,
     // identical semantics — only the PLANNING differs (optimizer rewrite)
     "q_range_join_auto" -> rangeJoinOracle,
-    "q_topk_per_key" ->
-      """WITH r AS (SELECT user_id, event_id, value,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
-        |       FROM events)
-        |SELECT user_id, event_id, round(value, 6) AS value FROM r WHERE rn <= 3
-        |""".stripMargin,
+    "q_topk_per_key" -> topKOracle,
+    // identical semantics — the optimizer rewrite only changes the plan
+    "q_topk_auto" -> topKOracle,
     "q_image_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0.0 AS pooled_l1
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1

@@ -51,6 +51,34 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(viaOp === Set(3L))
   }
 
+  test("declarative row_number pattern rewrites to the heap operator when enabled") {
+    spark.conf.set(TopKWindowRewrite.CONF, "true")
+    try {
+      val df = data
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("score").desc, col("id"))))
+        .filter(col("rn") <= 5).drop("rn")
+      val plan = df.queryExecution.executedPlan.toString
+      assert("TopKPerKey ".r.findAllIn(plan).size >= 2 && !plan.contains("Window"),
+        s"pattern not rewritten:\n$plan")
+      val viaOp = TopKPerKey(data, Seq("key"), Seq(("score", false), ("id", true)), 5)
+        .collect().map(_.toSeq).toSet
+      assert(df.collect().map(_.toSeq).toSet === viaOp)
+    } finally spark.conf.unset(TopKWindowRewrite.CONF)
+  }
+
+  test("rank consumed downstream: the window stays (rewrite would lose rn)") {
+    spark.conf.set(TopKWindowRewrite.CONF, "true")
+    try {
+      val df = data
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("score").desc, col("id"))))
+        .filter(col("rn") <= 5) // rn kept in the output
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), s"rewrite dropped a consumed rank:\n$plan")
+    } finally spark.conf.unset(TopKWindowRewrite.CONF)
+  }
+
   test("unknown column fails loudly") {
     val e = intercept[RuntimeException] {
       TopKPerKey(data, Seq("nope"), Seq(("score", false)), 3)
