@@ -334,6 +334,12 @@ object ExtensionQueries extends QueryPack {
       StreamingOps.streamBloomScreen(s, dir,
         DedupQueries.BLOOM_M, DedupQueries.BLOOM_K,
         queryName = s"stream_bloom_${math.abs(dir.hashCode)}")),
+    // sub-document dedup on ingest: paragraph ScreenIndex built once,
+    // bloom-confined exact election per micro-batch; batch oracle verbatim
+    "q_stream_paragraph" -> ((s, dir) =>
+      StreamingOps.streamParagraphScreen(s, dir, paraTokens = 10,
+        DedupQueries.BLOOM_M, DedupQueries.BLOOM_K,
+        queryName = s"stream_paragraph_${math.abs(dir.hashCode)}")),
   )
 
   private val topKOracle: String =
@@ -467,6 +473,8 @@ object ExtensionQueries extends QueryPack {
     "q_stream_screen" -> DedupQueries.screenOracleSql,
     // streamed bloom screen: batch bloom oracle verbatim (same principle)
     "q_stream_bloom" -> DedupQueries.oracleSql("q_bloom_screen"),
+    // streamed paragraph screen: batch paragraph-screen oracle verbatim
+    "q_stream_paragraph" -> TextQueries.oracleSql("q_paragraph_screen"),
     // same principle for the streamed filter: the batch C4 oracle verbatim
     "q_stream_filter" -> TextQueries.oracleSql("q_c4_filter"),
     // and for the streamed semantic screen: the batch screen oracle

@@ -180,6 +180,26 @@ object TextQueries extends QueryPack {
       graft.text.Chunking.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkSize = 64, overlap = 16)
         .withColumnRenamed("id", "doc_id")),
+    // release shard manifest: the artifact a corpus release ships so any
+    // later reader can verify shard integrity WITHOUT re-reading in a
+    // fixed order — the checksum is bit_xor of per-doc 60-bit content
+    // hashes, an ORDER-INDEPENDENT mergeable aggregate (map-side combined,
+    // 8 rows per map task reach the shuffle; a concat-then-md5 checksum
+    // would need a per-shard global sort). xor cancels a doc duplicated an
+    // even number of times — n_docs + n_tokens ride along to close that
+    "q_release_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+          hash60(md5(col("text"))).as("h"),
+          tokenCount(col("text")).as("ntok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).cast("long").as("n_tokens"),
+          expr("bit_xor(h)").as("content_checksum"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
     // per-source cardinality card: exact distinct docs/tokens (the gate —
     // bit-reproducible cross-engine) with approx_count_distinct(HLL++) as
     // the documented 100 TB swap, spec-checked within 2% (a sketch is not
@@ -560,6 +580,16 @@ object TextQueries extends QueryPack {
          |       CAST(len(sl) AS INT) AS n_chunk_tokens,
          |       array_to_string(sl, ' ') AS chunk_text
          |FROM e
+         |""".stripMargin,
+    "q_release_manifest" ->
+      s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         |         CAST(CAST(('0x' || substr(md5(md5(text)), 1, 15)) AS UBIGINT) AS BIGINT) AS h,
+         |         len($toks) AS ntok
+         |       FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |       bit_xor(h) AS content_checksum,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM t GROUP BY shard
          |""".stripMargin,
     "q_source_cardinality" ->
       s"""WITH td AS (SELECT source, count(DISTINCT t) AS n_distinct_tokens

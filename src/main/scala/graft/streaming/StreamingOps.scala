@@ -383,6 +383,48 @@ object StreamingOps {
     spark.read.parquet(outDir).drop("batch")
   }
 
+  /** Streaming sub-document (paragraph) screen: the Dolma deployment shape
+    * on ingest — the base corpus's paragraph ScreenIndex (bloom words +
+    * exact paragraph set) builds once before the stream; each arriving
+    * micro-batch keeps only paragraphs NOT in the base, with the exact
+    * verify join confined to bloom hits. Per-doc independence ⇒ the batch
+    * oracle verifies the streamed union verbatim.
+    */
+  def streamParagraphScreen(
+      spark: SparkSession,
+      dir: String,
+      paraTokens: Int,
+      mBits: Int,
+      k: Int,
+      queryName: String = "stream_paragraph"): DataFrame = {
+    import graft.text.ParagraphDedup
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val base = spark.read.parquet(path).filter(col("doc_id") % 5 =!= 0)
+    val index = ParagraphDedup.buildScreenIndex(base, "doc_id", "text",
+      paraTokens, mBits, k)
+    index.basePar.cache()
+    index.basePar.count() // materialize before the stream starts
+    val outDir = s"target/stream_paragraph_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(outDir))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ParagraphDedup.screenBatch(index, batch, "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    index.basePar.unpersist()
+    spark.read.parquet(outDir).drop("batch").withColumnRenamed("id", "doc_id")
+  }
+
   /** Streaming ingest near-dup screen: documents arrive as a stream and
     * every micro-batch is SimHash-probed against the STATIC base corpus's
     * banded index via `foreachBatch` — the deployment shape of

@@ -79,13 +79,33 @@ object ParagraphDedup {
     * the duplicated sliver (plus the sized-for FP rate), not the corpus.
     * Output: batch docs reassembled from paragraphs NOT present in base.
     */
-  def screenedIncrement(base: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, paraTokens: Int, mBits: Int, k: Int): DataFrame = {
+  /** Prebuilt screen state: the bloom word array (driver-held, broadcast
+    * into tasks) plus the exact base paragraph set — build ONCE per base
+    * corpus, probe many batches (the streaming deployment's contract).
+    */
+  final case class ScreenIndex(words: Array[Long], basePar: DataFrame,
+      mBits: Int, k: Int, paraTokens: Int)
+
+  def buildScreenIndex(base: DataFrame, idCol: String, textCol: String,
+      paraTokens: Int, mBits: Int, k: Int): ScreenIndex = {
     import graft.dedup.Bloom
     val basePar = paras(base, idCol, textCol, paraTokens).select(col("para")).distinct()
     val words = Bloom.collectWords(Bloom.bitmap(basePar, col("para"), mBits, k), mBits)
+    ScreenIndex(words, basePar, mBits, k, paraTokens)
+  }
+
+  def screenedIncrement(base: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, paraTokens: Int, mBits: Int, k: Int): DataFrame =
+    screenBatch(buildScreenIndex(base, idCol, textCol, paraTokens, mBits, k),
+      batch, idCol, textCol)
+
+  /** Screen one arriving batch against a prebuilt [[ScreenIndex]]. */
+  def screenBatch(index: ScreenIndex, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.dedup.Bloom
+    import index.{basePar, k, mBits, paraTokens}
     val bp = paras(batch, idCol, textCol, paraTokens)
-    val probed = Bloom.probeBroadcast(words, bp, col("para"), mBits, k)
+    val probed = Bloom.probeBroadcast(index.words, bp, col("para"), mBits, k)
     val misses = probed.filter(!col("bloom_hit")).drop("bloom_hit")
     // exact verify ONLY for bloom hits: left join against base, keep the
     // hits that turn out to be bitmap false positives
