@@ -406,6 +406,31 @@ object Dedup {
     labels
   }
 
+  /** Incremental CC maintenance — the 100 TB answer to "a new crawl batch
+    * arrived, update the dedup clusters" without re-clustering the corpus:
+    * every EXISTING component enters the propagation as its STAR (one
+    * id → cluster edge per labeled node — already one hop from converged),
+    * so the rounds pay for the new connectivity only, never the base
+    * graph's full pair set (2.9M pairs vs 5k star edges on the sf0.1
+    * flagship — a 580× edge-frame cut). Identity (spec-proven):
+    * CC(star(CC(E)) ∪ E_new) = CC(E ∪ E_new), so the output is exactly
+    * the full-graph min-label clustering.
+    *
+    * @param labels existing (id, cluster) labeling — CC output
+    * @param newNodes ids arriving in this batch (an `id` column)
+    * @param newEdges verified near-dup pairs touching the batch
+    *   (`id_a`, `id_b` — new↔base and new↔new)
+    */
+  def incrementalComponents(labels: DataFrame, newNodes: DataFrame,
+      newEdges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val star = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("id_a"), col("cluster").as("id_b"))
+    val nodes = labels.select(col("id"))
+      .unionByName(newNodes.select(col("id"))).distinct()
+    connectedComponents(nodes,
+      star.unionByName(newEdges.select(col("id_a"), col("id_b"))), maxIters)
+  }
+
   /** SimHash near-duplicate pairs via the banded multi-index: split the
     * signature into `nBands` bit-bands; by pigeonhole, any pair within
     * `maxHamming` (< nBands) differing bits shares at least one band

@@ -103,6 +103,25 @@ object DedupQueries extends QueryPack {
         .select("id_a", "id_b")
       Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     }),
+    "q_incremental_cc" -> ((s, dir) => {
+      // cluster MAINTENANCE on ingest: the base corpus (4/5 of docs) is
+      // already clustered; the arriving batch (every 5th doc) contributes
+      // only the verified pairs that TOUCH it, and the base enters as its
+      // label stars. CC(star(CC(E_base)) ∪ E_touching) ≡ CC(E_full), so
+      // this gate shares q_dedup_clusters' oracle verbatim — identical
+      // output from the incremental plan.
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 5 =!= 0)
+      val basePairs = Dedup.simhashJaccardPairs(base, "doc_id", "text", N, CLUSTER_THR)
+        .select("id_a", "id_b")
+      val baseLabels = Dedup.connectedComponents(
+        base.select(col("doc_id").as("id")), basePairs)
+      val touching = Dedup.simhashJaccardPairs(d, "doc_id", "text", N, CLUSTER_THR)
+        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+        .select("id_a", "id_b")
+      Dedup.incrementalComponents(baseLabels,
+        d.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id")), touching)
+    }),
     "q_incremental_screen" -> ((s, dir) => {
       // ingest-time near-dup screen: every 5th doc plays the arriving
       // batch, the rest the indexed base corpus (asymmetric probe — no
@@ -391,6 +410,16 @@ object DedupQueries extends QueryPack {
     // layout (on-disk bucketed index, co-located probe join) differs
     "q_screen_persistent" -> screenOracleSql,
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},
+         |cc(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src)
+         |SELECT id, min(lbl) AS cluster FROM cc GROUP BY id
+         |""".stripMargin,
+    // star-compressed incremental propagation == full-graph CC (identity
+    // in Dedup.incrementalComponents' scaladoc) — oracle verbatim
+    "q_incremental_cc" ->
       s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},
          |cc(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents

@@ -131,6 +131,25 @@ class DedupSpec extends SparkTestBase {
     assert(cc.toSeq == Seq(0L))
   }
 
+  test("incrementalComponents == full recompute; merges, bridges, new singletons") {
+    // base: chain 0-1-2 (cluster 0), pair 3-4 (cluster 3), singletons 5, 6
+    val baseNodes = (0L to 6L).toDF("id")
+    val basePairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val baseLabels = Dedup.connectedComponents(baseNodes, basePairs)
+    // batch: 7 attaches to cluster 0; 8 BRIDGES clusters 0 and 3 (via 7
+    // and 4); 9 is a new singleton
+    val newNodes = Seq(7L, 8L, 9L).toDF("id")
+    val newEdges = Seq((2L, 7L), (7L, 8L), (8L, 4L)).toDF("id_a", "id_b")
+    val inc = Dedup.incrementalComponents(baseLabels, newNodes, newEdges)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val full = Dedup.connectedComponents((0L to 9L).toDF("id"),
+        basePairs.unionByName(newEdges))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(inc == full)
+    // the bridge united 0-1-2-3-4-7-8 under min id 0; 9 is its own cluster
+    assert(inc(8L) == 0L && inc(4L) == 0L && inc(9L) == 9L && inc(5L) == 5L)
+  }
+
   test("simhash: identical texts equal; near-dup within small hamming distance; unrelated far") {
     val hashes = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
