@@ -150,6 +150,30 @@ class DedupSpec extends SparkTestBase {
     assert(inc(8L) == 0L && inc(4L) == 0L && inc(9L) == 9L && inc(5L) == 5L)
   }
 
+  test("incrementalComponents chains across batches: streamed maintenance == full CC") {
+    // the per-ingest maintenance loop: labels fold through three arriving
+    // edge batches; every intermediate state is a valid clustering of the
+    // edges seen so far, and the final state equals the one-shot CC
+    val batches = Seq(
+      (Seq(10L, 11L), Seq((10L, 11L))),
+      (Seq(12L, 13L), Seq((11L, 12L))),          // attach to the 10-11 pair
+      (Seq(14L), Seq((13L, 14L), (14L, 10L))))   // cycle back
+    var labels = Dedup.connectedComponents(
+      Seq(0L, 1L).toDF("id"), Seq((0L, 1L)).toDF("id_a", "id_b"))
+    batches.foreach { case (ids, edges) =>
+      labels = Dedup.incrementalComponents(labels, ids.toDF("id"),
+        edges.toDF("id_a", "id_b"))
+    }
+    val finalMap = labels.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    val allEdges = (Seq((0L, 1L)) ++ batches.flatMap(_._2)).toDF("id_a", "id_b")
+    val full = Dedup.connectedComponents(
+        (Seq(0L, 1L) ++ batches.flatMap(_._1)).toDF("id"), allEdges)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(finalMap == full)
+    assert(Set(10L, 11L, 12L, 13L, 14L).forall(finalMap(_) == 10L))
+  }
+
   test("simhash: identical texts equal; near-dup within small hamming distance; unrelated far") {
     val hashes = Dedup.simhash(corpus, "doc_id", "text")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
