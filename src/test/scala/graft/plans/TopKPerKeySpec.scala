@@ -79,6 +79,22 @@ class TopKPerKeySpec extends SparkTestBase {
     } finally spark.conf.unset(TopKWindowRewrite.CONF)
   }
 
+  test("rewrite-on leaves the existing salted top-k and quota gates bit-identical") {
+    // the two production plans whose row_number stages match the rewrite
+    // pattern (SCALE.md "Rewrite reach") — their ordering is total, so the
+    // heap must select exactly the same rows the window did
+    val names = Seq("q_knn_bruteforce", "q_ann_srp", "q_source_cap")
+    val dir = "/root/testdata/sf0.001"
+    val off = names.map(n =>
+      n -> graft.SparkEntry.queries(n)(spark, dir).collect().map(_.toSeq).toSet).toMap
+    spark.conf.set(TopKWindowRewrite.CONF, "true")
+    try names.foreach { n =>
+      val on = graft.SparkEntry.queries(n)(spark, dir).collect().map(_.toSeq).toSet
+      assert(on === off(n), s"$n changed under the top-k rewrite")
+      assert(on.nonEmpty)
+    } finally spark.conf.unset(TopKWindowRewrite.CONF)
+  }
+
   test("unknown column fails loudly") {
     val e = intercept[RuntimeException] {
       TopKPerKey(data, Seq("nope"), Seq(("score", false)), 3)
