@@ -80,12 +80,24 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThan(a, b) => for (x <- intAttr(b); y <- intAttr(a)) yield (x, y)
       case _ => None
     }
+    // (point, start, point, end, endInclusive): strict upper bound `p < e`
+    // or the BETWEEN form `p <= e` — the residual filter re-applies the
+    // original predicate either way, so only the bucket of the LAST
+    // overlapped interval cell differs (e vs e-1)
     val pair = (ge(conjuncts.head), lt(conjuncts(1)), ge(conjuncts(1)), lt(conjuncts.head)) match {
-      case (Some(g), Some(s), _, _) => Some((g, s))
-      case (_, _, Some(g), Some(s)) => Some((g, s))
-      case _ => None
+      case (Some(g), Some(s), _, _) => Some((g, s, false))
+      case (_, _, Some(g), Some(s)) => Some((g, s, false))
+      case _ =>
+        (ge(conjuncts.head), ge(conjuncts(1))) match {
+          // BETWEEN: one `p >= s`, one `e >= p` — p is the shared attr
+          case (Some((pa, sa)), Some((eb, pb))) if pa.exprId == pb.exprId =>
+            Some(((pa, sa), (pa, eb), true))
+          case (Some((ea, pa)), Some((pb, sb))) if pa.exprId == pb.exprId =>
+            Some(((pa, sb), (pa, ea), true))
+          case _ => None
+        }
     }
-    pair.flatMap { case ((p1, start), (p2, end)) =>
+    pair.flatMap { case ((p1, start), (p2, end), endInclusive) =>
       if (p1.exprId != p2.exprId) None
       else {
         val p = p1
@@ -100,7 +112,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           val pB = Alias(bucketOf(p, w), "__graft_bucket_p")()
           val pointsProj = Project(points.output :+ pB, points)
           val firstB = bucketOf(start, w)
-          val lastB = bucketOf(Subtract(asLong(end), Literal(1L)), w)
+          val lastB =
+            if (endInclusive) bucketOf(end, w)
+            else bucketOf(Subtract(asLong(end), Literal(1L)), w)
           val nb = Add(Subtract(lastB, firstB), Literal(1L))
           val guardedLast = If(LessThanOrEqual(nb, Literal(maxB.toLong)), lastB,
             Cast(RaiseError(Literal(

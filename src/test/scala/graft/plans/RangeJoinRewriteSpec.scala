@@ -60,6 +60,19 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("BETWEEN (inclusive end) rewrites too; boundary point at end matches") {
+    val p = Seq((1L, 0L), (2L, 50L), (3L, 120L), (4L, 121L)).toDF("pid", "ts")
+    val iv = Seq((9L, 40L, 120L)).toDF("ivid", "s", "e")
+    def q = p.join(iv, col("ts") >= col("s") && col("ts") <= col("e")).select("pid")
+    val brute = q.collect().map(_.getLong(0)).toSet
+    assert(brute === Set(2L, 3L)) // 120 is IN (inclusive), 121 is out
+    withBucket(50L) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"BETWEEN not rewritten:\n$plan")
+      assert(q.collect().map(_.getLong(0)).toSet === brute)
+    }
+  }
+
   test("interval wider than maxBuckets fails loudly") {
     withBucket(10L, maxB = 2) {
       val e = intercept[Exception] {
