@@ -298,6 +298,18 @@ object ScaleQueries extends QueryPack {
           Tables.cached(s, dir, "documents"), "lang",
           graft.text.TextFunctions.tokenCount(col("text")))
         .orderBy(col("lang"))),
+    // UniMax per-language budget allocation: B = 2 epochs of the whole
+    // corpus, per-language cap 3 epochs — the sparse tail languages hit
+    // the cap, the head language absorbs the water level (B scales with
+    // the corpus so the gate exercises both branches at every sf)
+    "q_unimax_alloc" -> ((s, dir) => {
+      val d = Tables.cached(s, dir, "documents")
+      val total = d.agg(sum(graft.text.TextFunctions.tokenCount(col("text"))))
+        .head.getLong(0) // one bounded scalar
+      graft.ops.UniMax.allocate(d, "lang",
+        graft.text.TextFunctions.tokenCount(col("text")),
+        budget = 2L * total, maxEpochs = 3)
+    }),
     // skew diagnostic: top-10 hottest user_ids by event count — the
     // report that picks salting/broadcast candidates; groupBy +
     // TakeOrdered, no global sort
@@ -434,6 +446,34 @@ object ScaleQueries extends QueryPack {
         |       round(n_tokens / (SELECT tot FROM t), 6) AS share,
         |       round(sqrt(n_tokens) / (SELECT sqt FROM t), 6) AS weight
         |FROM m ORDER BY lang
+        |""".stripMargin,
+    "q_unimax_alloc" ->
+      // all-integer water-filling condition (exact in both engines); the
+      // water level t is ONE double division of two exact integers; alloc
+      // and epochs 6-dp-pinned, epochs derived from the PINNED alloc
+      """WITH per AS (SELECT lang,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |b AS (SELECT CAST(2 * sum(n_tokens) AS BIGINT) AS budget FROM per),
+        |r AS (SELECT lang, n_tokens, 3 * n_tokens AS cap,
+        |        row_number() OVER (ORDER BY 3 * n_tokens ASC, lang ASC) AS i,
+        |        sum(3 * n_tokens) OVER (ORDER BY 3 * n_tokens ASC, lang ASC
+        |                                ROWS UNBOUNDED PRECEDING) AS prefix,
+        |        count(*) OVER () AS nl
+        |      FROM per),
+        |c AS (SELECT *, cap * (nl - i + 1) + (prefix - cap) <= (SELECT budget FROM b) AS capped
+        |      FROM r),
+        |f AS (SELECT sum(CASE WHEN capped THEN 1 ELSE 0 END) AS ncap,
+        |             coalesce(max(CASE WHEN capped THEN prefix END), 0) AS prefcap
+        |      FROM c),
+        |a AS (SELECT lang, n_tokens, CAST(cap AS BIGINT) AS cap, capped,
+        |        round(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |              ELSE CAST((SELECT budget FROM b) - prefcap AS DOUBLE) / (nl - ncap)
+        |              END, 6) AS alloc
+        |      FROM c CROSS JOIN f)
+        |SELECT lang, n_tokens, cap, capped, alloc,
+        |       round(alloc / n_tokens, 6) AS epochs
+        |FROM a
         |""".stripMargin,
     "q_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

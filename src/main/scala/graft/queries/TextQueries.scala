@@ -292,6 +292,20 @@ object TextQueries extends QueryPack {
       graft.functions.HeavyHitters.exactHeavyHitters(
           docs(s, dir), tokens(col("text")), sketchK = 199, denom = 100)
         .orderBy(col("token"))),
+    // BM25 lexical retrieval: top-10 corpus docs per benchmark query
+    // (residue-5 docs) over the crawl-like sparse corpus — the harness
+    // documents table's 31-word vocabulary would make the stop-term cap
+    // vacuous (every term is a stop term); the sparse fixture's 10.5k
+    // vocabulary engages the df <= 0.1*N cap on its ~147 hottest terms
+    "q_bm25_topk" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      graft.text.Bm25.retrieveTopK(sparse, "doc_id", "text",
+        queryPred = col("doc_id") % 20 === 5, k = 10, maxDfFrac = 0.1)
+    }),
+    // cross-source 8-gram overlap matrix: the inter-source dedup decision
+    // card (which source pairs share boilerplate, and how much)
+    "q_source_overlap" -> ((s, dir) =>
+      graft.text.SourceOverlap.overlapMatrix(docs(s, dir), "text", "source", n = 8)),
   )
 
   private val toks = "string_split(text, ' ')"
@@ -935,5 +949,54 @@ object TextQueries extends QueryPack {
          |FROM h JOIN pw ON pw.pos = h.pos GROUP BY h.doc_id
          |""".stripMargin
     },
+    "q_bm25_topk" ->
+      // same sparse-corpus CTEs as q_dedup_clusters_sparse; every double
+      // literal is CAST(.. AS DOUBLE) so DuckDB's decimal-literal default
+      // cannot diverge from Scala's IEEE literals, and the per-term
+      // contributions are 6-dp-pinned then summed EXACTLY as DECIMAL(28,6)
+      // so reduction order cannot move the score
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |corpus AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparsedocs
+         |           WHERE NOT coalesce(doc_id % 20 = 5, FALSE)),
+         |qry AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t FROM sparsedocs
+         |        WHERE coalesce(doc_id % 20 = 5, FALSE)),
+         |p AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM corpus),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+         |stats AS (SELECT count(*) AS n, CAST(sum(len(t)) AS DOUBLE)/count(*) AS avgdl FROM corpus),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (SELECT term, ln(1 + (n - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
+         |        FROM dft CROSS JOIN stats WHERE df <= CAST(0.1 AS DOUBLE) * n),
+         |qt AS (SELECT DISTINCT query_id, term
+         |       FROM (SELECT query_id, unnest(t) AS term FROM qry)),
+         |qi AS (SELECT query_id, term, idf FROM qt JOIN idf USING (term)),
+         |co AS (SELECT qi.query_id, tf.doc_id,
+         |         round(qi.idf * ((tf.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+         |           (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE))
+         |              + CAST(0.75 AS DOUBLE) * (tf.dl / stats.avgdl)))), 6) AS c
+         |       FROM qi JOIN tf USING (term) CROSS JOIN stats),
+         |sc AS (SELECT query_id, doc_id, CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS sx
+         |       FROM co GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, round(sx, 6) AS score,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |                                ORDER BY round(sx, 6) DESC, doc_id) AS INT) AS rnk
+         |      FROM sc)
+         |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+         |""".stripMargin,
+    "q_source_overlap" ->
+      // the oracle self-joins on the gram key (fine at oracle scale); the
+      // engine expands bounded per-gram source sets instead — same matrix
+      s"""WITH tk AS (SELECT source, $toks AS t FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |sg AS (SELECT DISTINCT source, array_to_string(list_slice(t, i + 1, i + 8), ' ') AS g
+         |       FROM tk JOIN pos ON i + 8 <= len(t)),
+         |ps AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY 1),
+         |pr AS (SELECT a.g, a.source AS source_a, b.source AS source_b
+         |       FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source),
+         |m AS (SELECT source_a, source_b, count(*) AS n_shared FROM pr GROUP BY 1, 2)
+         |SELECT m.source_a, m.source_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |       round(CAST(n_shared AS DOUBLE) / (pa.n_grams + pb.n_grams - n_shared), 6) AS jaccard
+         |FROM m JOIN ps pa ON m.source_a = pa.source
+         |       JOIN ps pb ON m.source_b = pb.source
+         |""".stripMargin,
   )
 }

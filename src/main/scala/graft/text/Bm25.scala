@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval (beyond-reference training-data op): top-k corpus
+  * documents for each benchmark query under Okapi BM25 (Robertson &
+  * Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+  * Beyond"). This is the lexical counterpart of the ANN family
+  * ([[graft.similarity.Similarity]]) — the standard retrieval step for
+  * targeted data selection ("find training docs relevant to my eval
+  * suite") and retrieval-based contamination triage where embedding recall
+  * is not trusted.
+  *
+  * Score of document d for query q:
+  *     Σ_{t ∈ q ∩ d}  idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  * with the Lucene non-negative idf  idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+  *
+  * Scale shape (the whole point — an inverted-index probe, never a doc ×
+  * query cartesian):
+  *   - postings (doc_id, term, tf) come from ONE corpus scan + a map-side-
+  *     combined groupBy; the per-doc length rides inside the grouping key
+  *     (functionally dependent on doc_id) so no doc-axis join is needed;
+  *   - df/idf is a vocabulary-axis aggregate over the postings;
+  *   - the probe side is the benchmark's distinct (query, term) pairs —
+  *     fixed-size by definition — joined FIRST against the idf frame
+  *     (vocab-sized, but the broadcast is the tiny query side) and the
+  *     small result then BROADCAST against the postings: the corpus
+  *     streams past in one scan, zero shuffle on the Zipf-skewed term key;
+  *   - stop-term flood control: terms with df > maxDfFrac·N are dropped
+  *     before the probe (standard IR practice — their idf ≈ 0 contributes
+  *     noise while their postings lists are the corpus-sized hot keys);
+  *   - per-(query, doc) scores sum EXACTLY: each per-term contribution is
+  *     rounded to 6 dp and accumulated as DECIMAL(38,6), so reduction
+  *     order cannot move the result by an ulp (the money-semantics lesson
+  *     from the sf1 probe's q_rel_order_revenue fix);
+  *   - top-k per query goes through the salted two-stage rank
+  *     ([[graft.similarity.Similarity.topKPerQuery]]), never a single-task
+  *     corpus-sized window sort.
+  *
+  * Output: (query_id, doc_id, score, rnk) with rnk ≤ k, ties broken
+  * deterministically on (score desc, doc_id asc).
+  */
+object Bm25 {
+
+  /** Retrieve the top-k corpus docs per benchmark query. Rows matching
+    * `queryPred` form the query set; all others form the corpus (a NULL
+    * predicate counts as corpus — three-valued logic must not silently
+    * drop rows from both sides).
+    */
+  def retrieveTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryPred: Column,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    val isQuery = coalesce(queryPred, lit(false))
+    val toks = split(col(textCol), " ")
+    val corpus = df.filter(!isQuery)
+      .select(col(idCol).as("doc_id"), toks.as("t"), size(toks).as("dl"))
+    val queries = df.filter(isQuery)
+      .select(col(idCol).as("query_id"), toks.as("t"))
+
+    // one corpus scan -> postings; dl rides in the key (constant per doc)
+    val postings = corpus
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // scalar corpus stats; avgdl as exact-integer-sum / count so both
+    // engines divide the same two exact numbers (avg() over ints may sum
+    // doubles in engine-specific order)
+    val stats = corpus.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+
+    // vocabulary-axis df; stop-term cap df <= maxDfFrac * N
+    val dfT = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = dfT.crossJoin(stats) // one scalar row
+      .filter(col("df") <= lit(maxDfFrac) * col("n"))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("term"), col("idf"))
+
+    // benchmark's distinct (query, term): fixed-size; broadcast drives the
+    // idf lookup, and the enriched result broadcasts into the postings
+    val qterms = queries
+      .select(col("query_id"), explode(col("t")).as("term")).distinct()
+    val qidf = broadcast(qterms).join(idf, Seq("term"))
+
+    val contrib = postings
+      .join(broadcast(qidf), Seq("term"))
+      .crossJoin(stats) // one scalar row
+      .withColumn("c", round(
+        col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))),
+        6))
+
+    val scored = contrib
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c").cast("decimal(28,6)")).as("sx"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        round(col("sx").cast("double"), 6).as("score"))
+
+    graft.similarity.Similarity.topKPerQuery(scored, "score", k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("score"), col("rnk"))
+  }
+}
