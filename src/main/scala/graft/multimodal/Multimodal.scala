@@ -14,12 +14,12 @@ import org.apache.spark.sql.functions._
   * `image/png` / `image/bmp` / `image/gif` / `image/jpeg` via `javax.imageio`
   * and `audio/wav` via `javax.sound.sampled` — actual byte-stream parsing,
   * not pseudo-metadata. Container METADATA is parsed natively for
-  * `video/mp4` (ISO-BMFF box walk, round 4), `audio/flac` (STREAMINFO) and
-  * `audio/mpeg` (Layer III frame-header walk) (round 5) — plain header
-  * reads, no payload decode. Only mediaTypes with no parseable container
-  * left (non-MP4 video) fall back to a clearly-marked deterministic stub so
-  * the pipeline shape stays total; swapping in a JNI/JavaCV decoder
-  * replaces only that branch.
+  * `video/mp4` (ISO-BMFF box walk, round 4), `audio/flac` (STREAMINFO),
+  * `audio/mpeg` (Layer III frame-header walk) and `video/webm`
+  * (Matroska EBML walk) (round 5) — plain header reads, no payload
+  * decode. Every shipped mediaType now has a REAL parser; the default
+  * branch's deterministic stub is unreached by any of them and kept only
+  * so third-party media types keep the pipeline total.
   */
 object Multimodal {
 
@@ -107,9 +107,19 @@ object Multimodal {
         height = rate,
         channels = channels,
         durationMs = if (rate > 0) totalSamples * 1000L / rate else 0L)
+    case "video/webm" =>
+      // REAL container parse: Matroska/WebM EBML walk (round 5) — element
+      // id/size varints, Segment→Info (TimecodeScale, Duration float) and
+      // Segment→Tracks→TrackEntry→Video (PixelWidth/PixelHeight); plain
+      // header reads, no frame decode
+      val (w, h, durMs, nTracks) = parseWebm(m.media)
+      require(nTracks > 0, s"no TrackEntry in video/webm payload for id ${m.id}")
+      DecodedMedia(m.id, m.mediaType, m.media.length,
+        width = w, height = h, channels = nTracks, durationMs = durMs)
     case _ =>
-      // STUB only for formats with no parseable container left (e.g.
-      // non-MP4 video): deterministic pseudo-metadata from the byte stream
+      // STUB: unreached by any shipped mediaType (every gate format has a
+      // real parser above); kept so third-party media types keep the
+      // pipeline total — deterministic pseudo-metadata from the byte stream
       val n = m.media.length
       val first = if (n > 0) java.lang.Byte.toUnsignedInt(m.media(0)) else 0
       DecodedMedia(m.id, m.mediaType, n,
@@ -286,6 +296,114 @@ object Multimodal {
     }
     require(nFrames > 0, "corrupt MP3: no audio frames found")
     (rate, channels, totalSamples)
+  }
+
+  /** Minimal Matroska/WebM metadata parse — an EBML walk (RFC 8794 varint
+    * framing; Matroska element ids): every element is [id varint][size
+    * varint][payload]; known containers (Segment 0x18538067, Info
+    * 0x1549A966, Tracks 0x1654AE6B, TrackEntry 0xAE, Video 0xE0) are
+    * descended, TimecodeScale 0x2AD7B1 (uint ns, default 10^6) and
+    * Duration 0x4489 (float32/float64, timecode-scale units) give the
+    * clip length, PixelWidth 0xB0 / PixelHeight 0xBA the presentation
+    * dims (max over video tracks, like the MP4 tkhd walk). Unknown-size
+    * elements (all value bits set) extend to the enclosing end, per spec.
+    * Returns (maxWidth, maxHeight, durationMs, nTracks).
+    */
+  private[multimodal] def parseWebm(bytes: Array[Byte]): (Int, Int, Long, Int) = {
+    def u(i: Int): Int = java.lang.Byte.toUnsignedInt(bytes(i))
+    require(bytes.length >= 4 &&
+      u(0) == 0x1a && u(1) == 0x45 && u(2) == 0xdf && u(3) == 0xa3,
+      "not an EBML stream: missing 0x1A45DFA3 magic")
+    // varint length from the leading byte: 1 + count of leading zero bits
+    def vlen(b0: Int, max: Int, what: String, off: Int): Int = {
+      val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+      require(b0 != 0 && len <= max, s"corrupt EBML $what varint at offset $off")
+      len
+    }
+    var w = 0; var h = 0; var nTracks = 0
+    var tcScale = 1000000L
+    var durRaw = 0.0; var haveDur = false
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off < end) {
+        require(off < bytes.length, s"corrupt EBML: element past end at offset $off")
+        val il = vlen(u(off), 4, "id", off)
+        require(off + il <= end, s"corrupt EBML id at offset $off")
+        var id = 0L
+        (0 until il).foreach(k => id = (id << 8) | u(off + k))
+        val so = off + il
+        require(so < end, s"corrupt EBML: size missing at offset $so")
+        val sl = vlen(u(so), 8, "size", so)
+        require(so + sl <= end, s"corrupt EBML size at offset $so")
+        var sv = (u(so) & (0xff >>> sl)).toLong
+        (1 until sl).foreach(k => sv = (sv << 8) | u(so + k))
+        val p = so + sl
+        val sz = if (sv == (1L << (7 * sl)) - 1) (end - p).toLong else sv // unknown-size
+        require(p + sz <= end,
+          s"corrupt EBML element 0x${id.toHexString} at offset $off (size $sz)")
+        def uintPayload(): Long = {
+          require(sz >= 1 && sz <= 8, s"EBML uint 0x${id.toHexString} has length $sz")
+          var v = 0L; (0 until sz.toInt).foreach(k => v = (v << 8) | u(p + k)); v
+        }
+        id match {
+          case 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xe0L =>
+            walk(p, (p + sz).toInt)
+          case 0xaeL => nTracks += 1; walk(p, (p + sz).toInt)
+          case 0x2ad7b1L => tcScale = uintPayload()
+          case 0x4489L =>
+            require(sz == 4 || sz == 8, s"corrupt WebM Duration at offset $off: length $sz")
+            durRaw =
+              if (sz == 4) java.lang.Float.intBitsToFloat(uintPayload().toInt).toDouble
+              else java.lang.Double.longBitsToDouble(uintPayload())
+            haveDur = true
+          case 0xb0L => val v = uintPayload().toInt; if (v > w) w = v
+          case 0xbaL => val v = uintPayload().toInt; if (v > h) h = v
+          case _ => () // EBML header, TrackNumber, TrackType, Clusters, ...
+        }
+        off = (p + sz).toInt
+      }
+    }
+    walk(0, bytes.length)
+    val durMs = if (haveDur && tcScale > 0) math.round(durRaw * tcScale / 1e6) else 0L
+    (w, h, durMs, nTracks)
+  }
+
+  /** Deterministic synthetic WebM: EBML header (DocType "webm") + Segment
+    * with Info (TimecodeScale 10^6 ns, Duration as float64 = exact for any
+    * ms count < 2^53) and `nTracks` video TrackEntry elements carrying the
+    * given dims — the fixture exercising the REAL EBML parser.
+    */
+  def syntheticWebm(width: Int, height: Int, durationMs: Long, nTracks: Int): Array[Byte] = {
+    def esize(n: Int): Array[Byte] =
+      if (n < 127) Array((0x80 | n).toByte)
+      else { // 2-byte size: up to 16382 — plenty for metadata-only fixtures
+        require(n < (1 << 14) - 1, s"synthetic WebM element too large: $n")
+        Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+      }
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ esize(payload.length) ++ payload
+    def uintBytes(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      Array.tabulate(n)(k => ((v >>> (8 * (n - 1 - k))) & 0xff).toByte)
+    }
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val header = el(id(0x1a, 0x45, 0xdf, 0xa3),
+      el(id(0x42, 0x86), uintBytes(1)) ++      // EBMLVersion
+        el(id(0x42, 0x82), "webm".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    val dur = java.nio.ByteBuffer.allocate(8)
+      .putDouble(durationMs.toDouble).array()
+    val info = el(id(0x15, 0x49, 0xa9, 0x66),
+      el(id(0x2a, 0xd7, 0xb1), uintBytes(1000000L)) ++ el(id(0x44, 0x89), dur))
+    val trackEntries = (1 to nTracks).map { tid =>
+      el(id(0xae),
+        el(id(0xd7), uintBytes(tid.toLong)) ++   // TrackNumber
+          el(id(0x83), uintBytes(1L)) ++         // TrackType: video
+          el(id(0xe0),
+            el(id(0xb0), uintBytes(width.toLong)) ++
+              el(id(0xba), uintBytes(height.toLong))))
+    }
+    val tracks = el(id(0x16, 0x54, 0xae, 0x6b), trackEntries.reduce(_ ++ _))
+    header ++ el(id(0x18, 0x53, 0x80, 0x67), info ++ tracks)
   }
 
   /** Deterministic synthetic FLAC: "fLaC" magic + a single STREAMINFO

@@ -69,6 +69,11 @@ object ExtensionQueries extends QueryPack {
                 mono = id % 2 == 0, nFrames = 1 + (nChars % 7).toInt,
                 withId3 = id % 2 == 0),
               "audio/mpeg")
+          case 3 =>
+            Multimodal.MediaRecord(id,
+              Multimodal.syntheticWebm(w, h, durationMs = nChars * 10,
+                nTracks = 1 + (id % 2).toInt),
+              "video/webm")
           case _ =>
             Multimodal.MediaRecord(id, Multimodal.syntheticPng(id, w, h, gray = id % 2 == 0),
               "image/png")
@@ -363,11 +368,12 @@ object ExtensionQueries extends QueryPack {
   def oracleSql: Map[String, String] = Map(
     "q_multimodal_decode" ->
       // the Spark side DECODES real PNGs and parses real MP4 box trees,
-      // FLAC STREAMINFO blocks, and MP3 frame chains; the oracle recomputes
-      // the known construction formulas (PNG: dims from n_chars, gray/RGB
-      // by id parity, duration 0; MP4 on ids ≡4 mod 5: track count by id
-      // parity, duration 10·n_chars ms; FLAC on ≡1: 97·n_chars samples at
-      // a rate from n_chars mod 3; MP3 on ≡2: (1+n_chars%7)·1152 samples)
+      // FLAC STREAMINFO blocks, MP3 frame chains, and WebM EBML trees; the
+      // oracle recomputes the known construction formulas (PNG: dims from
+      // n_chars, gray/RGB by id parity, duration 0; MP4 on ids ≡4 mod 5 /
+      // WebM on ≡3: track count by id parity, duration 10·n_chars ms;
+      // FLAC on ≡1: 97·n_chars samples at a rate from n_chars mod 3;
+      // MP3 on ≡2: (1+n_chars%7)·1152 samples)
       """WITH m AS (SELECT doc_id, n_chars,
         |    CASE n_chars % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END AS flac_rate,
         |    CASE n_chars % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS mp3_rate,
@@ -382,10 +388,12 @@ object ExtensionQueries extends QueryPack {
         |            WHEN doc_id % 5 = 2 THEN mp3_rate
         |            ELSE 16 + (n_chars * 7) % 48 END AS INT) AS height,
         |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1 + doc_id % 2
+        |            WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
         |            WHEN doc_id % 5 = 1 THEN 1 + doc_id % 2
         |            WHEN doc_id % 5 = 2 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
         |            WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
         |  CAST(CASE WHEN doc_id % 5 = 4 THEN n_chars * 10
+        |            WHEN doc_id % 5 = 3 THEN n_chars * 10
         |            WHEN doc_id % 5 = 1 THEN flac_samples * 1000 // flac_rate
         |            WHEN doc_id % 5 = 2 THEN mp3_samples * 1000 // mp3_rate
         |            ELSE 0 END AS BIGINT) AS duration_ms

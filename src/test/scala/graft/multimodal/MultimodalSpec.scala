@@ -198,6 +198,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(e2.getMessage.contains("tkhd"))
   }
 
+  test("WebM roundtrip: real EBML walk reads back dims, duration, track count") {
+    val bytes = Multimodal.syntheticWebm(width = 640, height = 360,
+      durationMs = 12345L, nTracks = 2)
+    assert(Multimodal.parseWebm(bytes) == ((640, 360, 12345L, 2)))
+    val dec = Multimodal.decodeOne(
+      Multimodal.MediaRecord(7L, bytes, "video/webm"))
+    assert(dec.width == 640 && dec.height == 360 &&
+      dec.channels == 2 && dec.durationMs == 12345L)
+  }
+
+  test("WebM parse handles float32 Duration and unknown-size Segment") {
+    def el(id: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      id ++ Array((0x80 | payload.length).toByte) ++ payload
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val header = el(id(0x1a, 0x45, 0xdf, 0xa3), Array.emptyByteArray)
+    val durF32 = java.nio.ByteBuffer.allocate(4).putFloat(2500f).array()
+    val info = el(id(0x15, 0x49, 0xa9, 0x66),
+      el(id(0x2a, 0xd7, 0xb1), Array(0x0f.toByte, 0x42.toByte, 0x40.toByte)) ++ // 10^6
+        el(id(0x44, 0x89), durF32))
+    val video = el(id(0xae), el(id(0xe0),
+      el(id(0xb0), Array(0x50.toByte)) ++ el(id(0xba), Array(0x40.toByte))))
+    val tracks = el(id(0x16, 0x54, 0xae, 0x6b), video)
+    // Segment with the unknown-size marker (0xFF): extends to end of stream
+    val seg = id(0x18, 0x53, 0x80, 0x67) ++ Array(0xff.toByte) ++ info ++ tracks
+    assert(Multimodal.parseWebm(header ++ seg) == ((0x50, 0x40, 2500L, 1)))
+  }
+
+  test("corrupt WebM fails loudly: bad magic and overrunning element size") {
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWebm(Array[Byte](0x00, 0x01, 0x02, 0x03))
+    }
+    val good = Multimodal.syntheticWebm(320, 240, 1000L, 1)
+    val truncated = good.take(good.length - 3)
+    intercept[IllegalArgumentException] { Multimodal.parseWebm(truncated) }
+  }
+
+  test("property: every synthetic WebM parses back to its construction parameters (200 random draws)") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 200).foreach { _ =>
+      val w = 16 + rnd.nextInt(4000); val h = 16 + rnd.nextInt(3000)
+      val d = rnd.nextLong(10000000L); val t = 1 + rnd.nextInt(3)
+      assert(Multimodal.parseWebm(Multimodal.syntheticWebm(w, h, d, t)) == ((w, h, d, t)))
+    }
+  }
+
   test("decode is distributed: partition-batched over a Dataset") {
     val recs = (0L until 8L).map(i =>
       Multimodal.MediaRecord(i, Multimodal.syntheticPng(i, 16 + i.toInt, 16, gray = i % 2 == 0), "image/png"))
