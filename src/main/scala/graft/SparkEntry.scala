@@ -27,6 +27,7 @@ object SparkEntry {
     VariantQueries,
     ScaleQueries,
     WorkflowQueries,
+    WebQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

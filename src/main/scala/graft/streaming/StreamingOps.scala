@@ -556,4 +556,51 @@ object StreamingOps {
     query.awaitTermination()
     close(spark.read.parquet(outDir).drop("batch"))
   }
+
+  /** Streaming crawl ingest: WARC archives arrive one per micro-batch (the
+    * Common Crawl deployment shape — a dump lands archive by archive), each
+    * is gunzipped + record-parsed + HTML-extracted entirely row-locally,
+    * and the page rows append to the sink. Per-archive independence ⇒ the
+    * streamed union equals the one-shot batch ingest no matter how the
+    * files are chunked into triggers, so the batch oracle verifies the
+    * stream verbatim. Per-batch plan: one non-splittable file scan + one
+    * codegen'd projection — no joins, no shuffle, no state.
+    */
+  def streamWarcIngest(
+      spark: SparkSession,
+      warcDir: String,
+      queryName: String = "stream_warc"): DataFrame = {
+    import graft.sources.WarcSource
+    import graft.text.HtmlExtract
+    HtmlExtract.register(spark)
+    import spark.implicits._
+    // the binaryFile schema is fixed by the format but the streaming source
+    // still demands it declared (same discipline as every file stream here)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val pages = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", "1")
+      .load(warcDir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap((WarcSource.parseArchive _).tupled)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("http_status"),
+        HtmlExtract.htmlToText(col("body").cast("string")).as("extracted"),
+        HtmlExtract.htmlNoindex(col("body").cast("string")).as("noindex"))
+    val query = pages.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(queryName)
+  }
 }
