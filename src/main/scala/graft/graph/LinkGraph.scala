@@ -1,0 +1,78 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over crawl edges — beyond-reference. The web graph
+  * is a first-class curation signal: Common Crawl publishes harmonic/
+  * PageRank centrality per domain, and crawl-quality priors (OpenWebText's
+  * karma threshold, CCNet's head/middle/tail) are all "rank the domain,
+  * gate the doc". The edge frame comes straight from
+  * [[graft.text.HtmlExtract.extractLinks]] over WARC responses.
+  *
+  * PageRank implementation notes (scale + reproducibility):
+  *
+  *   - Each iteration is one join (ranks ⋈ edges on src) + one aggregate
+  *     (contributions by dst) — the canonical distributed formulation. The
+  *     aggregate is DECOMPOSABLE: map-side partial sums bound the shuffle
+  *     by |nodes| per partition, and the Zipf-hot dst (everyone links to
+  *     the big domains) is exactly the case AQE skew splitting + partial
+  *     aggregation absorb.
+  *   - Ranks are localCheckpoint'ed per iteration (same discipline as
+  *     [[graft.dedup.Dedup.connectedComponents]]) so the plan doesn't grow
+  *     by a join per round and stragglers can't replay the whole chain.
+  *   - CROSS-ENGINE BIT-REPRODUCIBILITY: floating summation order differs
+  *     between engines (and between runs, under AQE), so contributions are
+  *     pinned to 9 dp and summed EXACTLY as DECIMAL(28,9) (the BM25
+  *     discipline); the new rank is re-pinned to 9 dp before the next
+  *     round. Every iteration's inputs are therefore identical rationals
+  *     in any engine — the DuckDB oracle unrolls the same five rounds and
+  *     matches bitwise.
+  *   - Dangling nodes (no out-edges) contribute no mass — the standard
+  *     "dropped dangling mass" variant; rank sums then undershoot 1.0 by
+  *     the dangling share, which only rescales scores uniformly and never
+  *     reorders them. Documented rather than redistributed: redistribution
+  *     needs a per-iteration global scalar (one extra tiny aggregate) for
+  *     a constant factor no downstream gate cares about.
+  */
+object LinkGraph {
+
+  /** PageRank over distinct (src, dst) edges. Returns (node, out_degree,
+    * rank) with rank pinned at 9 dp; callers round to their output
+    * precision.
+    */
+  def pagerank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count() // bounded axis: the domain universe
+    require(n > 0, "pagerank: empty graph")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // both constants pinned at 9 dp by the SAME expression the oracle uses
+    val base = round(lit(1.0 - damping) / lit(n.toDouble), 9)
+    var ranks = nodes.select(col("node"), round(lit(1.0) / lit(n.toDouble), 9).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(deg, ranks("node") === deg("src"))
+        .join(e, "src")
+        .select(col("dst"), round(col("rank") / col("deg"), 9).as("c"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(28,9)")).as("s"))
+      ranks = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          round(base + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9)
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.join(deg, ranks("node") === deg("src"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"), col("rank"))
+  }
+}

@@ -34,12 +34,13 @@ object WebQueries extends QueryPack {
     "<script>if (1 < 2) { alert(\"</b>\"); }</script>" +
     "<!-- <p>not text</p> --></head><body><h1>Doc &amp; He&#97;ding "
   private val BODY_OPEN = "</h1><p>"
-  private val TAIL = "</p></body></html>"
+  private val TAIL_AFTER_P = "</body></html>"
   private val HTTP_HDR = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
 
   private val N_FILES = 8
   private val CORRUPT_MOD = 13 // doc_id % 13 == 5 → mangled magic
   private val NOINDEX_MOD = 7 // doc_id % 7 == 0 → robots noindex
+  private val LINK_MOD = 20 // anchor j targets domain src{(7·id+j+1) mod 20}
 
   /** Write the WARC fixture for `dir`'s documents; returns its path.
     * Rebuilt on every call (cheap: one pass over the corpus) so gates stay
@@ -49,6 +50,12 @@ object WebQueries extends QueryPack {
     import spark.implicits._
     val path = s"target/warc/docs_${math.abs(dir.hashCode)}"
     val d = docs(spark, dir)
+    // empty-text anchors: they feed the link-graph gate but contribute
+    // nothing to extraction (inline tag, no content)
+    def anchor(j: Int) = concat(
+      lit("<a href=\"http://src"),
+      pmod(col("doc_id") * 7 + (j + 1), lit(LINK_MOD)),
+      lit(".example.com/page\"></a>"))
     val html = concat(
       lit(PRE_TITLE), col("doc_id"), lit(POST_TITLE),
       when(pmod(col("doc_id"), lit(NOINDEX_MOD)) === 0, lit(META_NOINDEX)).otherwise(lit("")),
@@ -56,7 +63,7 @@ object WebQueries extends QueryPack {
       // character-reference round trip: 'a' → numeric decimal, 'o' → hex
       // ('&#97;' contains no 'o', so the replace order cannot cascade)
       regexp_replace(regexp_replace(col("text"), "a", "&#97;"), "o", "&#x6F;"),
-      lit(TAIL))
+      lit("</p>"), anchor(0), anchor(1), anchor(2), lit(TAIL_AFTER_P))
     val responses = d.select(
       pmod(col("doc_id"), lit(N_FILES)).cast("int").as("fileNo"),
       (pmod(col("doc_id"), lit(N_FILES)) % 3 === 0).as("gzip"),
@@ -65,7 +72,7 @@ object WebQueries extends QueryPack {
         .otherwise(lit("WARC/1.0")).as("version"),
       lit("response").as("warcType"),
       concat(lit("<urn:uuid:doc-"), col("doc_id"), lit(">")).as("recordId"),
-      concat(lit("http://example.com/doc/"), col("doc_id")).as("targetUri"),
+      concat(lit("http://"), col("source"), lit(".example.com/doc/"), col("doc_id")).as("targetUri"),
       lit("2026-01-01T00:00:00Z").as("warcDate"),
       lit("application/http; msgtype=response").as("contentType"),
       concat(lit(HTTP_HDR), html).cast("binary").as("payload"))
@@ -134,6 +141,53 @@ object WebQueries extends QueryPack {
       .orderBy(col("lang"))
   }
 
+  /** Domain-graph PageRank from the planted anchors: URI host → href host
+    * edges (both REALLY parsed/extracted), distinct, five pinned
+    * iterations — the Common Crawl-style domain centrality prior.
+    */
+  private def pagerankQ(spark: SparkSession, dir: String): DataFrame = {
+    HtmlExtract.register(spark)
+    val rows = WarcSource.readWarc(spark, warcFixture(spark, dir))
+    val hostOf = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "^http://([^/]+)/", 1)
+    val edges = rows.filter(col("warc_type") === "response")
+      .select(hostOf(col("target_uri")).as("src"),
+        explode(HtmlExtract.htmlLinks(col("body").cast("string"))).as("href"))
+      .select(col("src"), hostOf(col("href")).as("dst"))
+    graft.graph.LinkGraph.pagerank(edges, "src", "dst", iterations = 5)
+      .select(col("node"), col("out_degree"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  /** URL canonicalization + eTLD+1: four messy URL shapes per doc (mixed
+    * case, default and non-default ports, tracking params, unsorted query,
+    * fragment; hosts across four suffix regimes incl. a wildcard-style
+    * `github.io` and a 2-level `co.uk`). The oracle CONSTRUCTS the expected
+    * canonical strings directly, so the gate proves parse ∘ canonicalize
+    * lands exactly on them.
+    */
+  private def urlCanonicalQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.ops.UrlOps
+    val d = docs(spark, dir)
+    val v = pmod(col("doc_id"), lit(4))
+    val url = when(v === 0, concat(lit("HTTP://"), upper(col("source")),
+        lit(".Example.COM:80/p/"), col("doc_id"),
+        lit("?b="), col("doc_id"), lit("&utm_source=x&a=1#frag")))
+      .when(v === 1, concat(lit("https://"), col("source"), lit(".blogs.co.uk:443?gclid=z")))
+      .when(v === 2, concat(lit("http://"), col("source"), lit(".github.io:8080/x%20y?z=2&y=1")))
+      .otherwise(concat(lit("https://deep.a."), col("source"), lit(".org/path/"), col("doc_id")))
+    val canon = d.withColumn("url", url)
+      .withColumn("canonical", UrlOps.canonicalize(col("url")))
+      .withColumn("hostname", UrlOps.hostname(col("url")))
+    val suffixes = Seq("com", "co.uk", "github.io", "org").toDF("suffix")
+    UrlOps.registrableDomain(canon, "hostname", suffixes)
+      .withColumn("h", hash60(md5(col("canonical"))))
+      .groupBy(col("registrable_domain"))
+      .agg(count(lit(1)).as("n_urls"), expr("bit_xor(h)").as("url_checksum"))
+      .orderBy(col("registrable_domain"))
+  }
+
   /** Streamed crawl ingest (archive-per-trigger) closed with the same
     * aggregation — per-archive independence makes it verifiable by the
     * batch oracle verbatim.
@@ -149,7 +203,44 @@ object WebQueries extends QueryPack {
     "q_warc_source" -> (warcSourceQ _),
     "q_html_extract" -> ((s, dir) => htmlExtractQ(s, dir)),
     "q_stream_warc" -> (streamWarcQ _),
+    "q_domain_pagerank" -> (pagerankQ _),
+    "q_url_canonical" -> (urlCanonicalQ _),
   )
+
+  /** Five unrolled PageRank rounds with the SAME pinning as
+    * [[graft.graph.LinkGraph.pagerank]]: contributions round(·,9), exact
+    * DECIMAL(28,9) sums, ranks re-pinned per round — identical rationals
+    * in both engines.
+    */
+  private lazy val pagerankOracle: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nd.node,
+         |         round(round(0.15 / (SELECT n FROM nn), 9)
+         |               + 0.85 * CAST(coalesce(s.s, 0) AS DOUBLE), 9) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(CAST(round(r.rank / d.deg, 9) AS DECIMAL(28,9))) AS s
+         |    FROM $prev r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    val iters = (1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH hrefs AS (
+       |  SELECT source || '.example.com' AS src,
+       |         'src' || ((doc_id * 7 + j.j + 1) % $LINK_MOD) || '.example.com' AS dst
+       |  FROM documents, (VALUES (0), (1), (2)) AS j(j)
+       |  WHERE doc_id % $CORRUPT_MOD <> 5),
+       |edges AS (SELECT DISTINCT src, dst FROM hrefs),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes),
+       |$iters
+       |SELECT nd.node, coalesce(d.deg, 0) AS out_degree, round(r.rank, 6) AS rank
+       |FROM nodes nd
+       |JOIN r5 r ON r.node = nd.node
+       |LEFT JOIN deg d ON d.src = nd.node
+       |ORDER BY nd.node
+       |""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     // counts replay the construction: every non-corrupt doc is a response
@@ -175,6 +266,31 @@ object WebQueries extends QueryPack {
     // archive-per-trigger vs one-shot batch); per-archive independence
     // makes the batch oracle exact for the stream
     "q_stream_warc" -> htmlExtractOracle,
+    "q_domain_pagerank" -> pagerankOracle,
+    // the oracle builds the EXPECTED canonical spelling directly from the
+    // construction — no URL parsing on the oracle side, so agreement means
+    // the Spark parse+canonicalize chain landed exactly on the spec
+    "q_url_canonical" ->
+      """WITH c AS (
+        |  SELECT CASE doc_id % 4
+        |           WHEN 0 THEN 'http://' || source || '.example.com/p/' || doc_id
+        |                       || '?a=1&b=' || doc_id
+        |           WHEN 1 THEN 'https://' || source || '.blogs.co.uk/'
+        |           WHEN 2 THEN 'http://' || source || '.github.io:8080/x%20y?y=1&z=2'
+        |           ELSE 'https://deep.a.' || source || '.org/path/' || doc_id
+        |         END AS canonical,
+        |         CASE doc_id % 4
+        |           WHEN 0 THEN 'example.com'
+        |           WHEN 1 THEN 'blogs.co.uk'
+        |           WHEN 2 THEN source || '.github.io'
+        |           ELSE source || '.org'
+        |         END AS registrable_domain
+        |  FROM documents)
+        |SELECT registrable_domain, count(*) AS n_urls,
+        |       bit_xor(CAST(CAST(('0x' || substr(md5(md5(canonical)), 1, 15)) AS UBIGINT) AS BIGINT))
+        |         AS url_checksum
+        |FROM c GROUP BY registrable_domain ORDER BY registrable_domain
+        |""".stripMargin,
   )
 
   private lazy val htmlExtractOracle: String =

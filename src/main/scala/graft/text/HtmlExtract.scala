@@ -120,6 +120,62 @@ object HtmlExtract {
     false
   }
 
+  /** All anchor hrefs in document order (the link-graph edge source). The
+    * attribute VALUE keeps its original case (URLs are case-sensitive past
+    * the host); only the tag/attr names match case-insensitively.
+    */
+  def extractLinks(html: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return out.toArray
+      if (lt + 2 <= n && (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
+          (lt + 2 == n || !Character.isLetterOrDigit(html.charAt(lt + 2)))) {
+        val tagEnd = skipToTagEnd(html, lt + 2)
+        val tag = html.substring(lt, math.min(tagEnd, n))
+        attrValueRaw(tag, "href").foreach(out += _)
+        i = tagEnd
+      } else i = lt + 1
+    }
+    out.toArray
+  }
+
+  /** Case-preserving variant: the attr NAME matches case-insensitively but
+    * the returned value keeps its original case (needed for hrefs).
+    */
+  private def attrValueRaw(tag: String, attr: String): Option[String] = {
+    val lower = tag.toLowerCase
+    var from = 0
+    while (true) {
+      val k = lower.indexOf(attr, from)
+      if (k < 0) return None
+      val before = if (k == 0) ' ' else lower.charAt(k - 1)
+      var j = k + attr.length
+      while (j < tag.length && Character.isWhitespace(tag.charAt(j))) j += 1
+      if (Character.isWhitespace(before) || before == ' ') {
+        if (j < tag.length && tag.charAt(j) == '=') {
+          j += 1
+          while (j < tag.length && Character.isWhitespace(tag.charAt(j))) j += 1
+          if (j < tag.length && (tag.charAt(j) == '"' || tag.charAt(j) == '\'')) {
+            val q = tag.charAt(j)
+            val e = tag.indexOf(q, j + 1)
+            return Some(tag.substring(j + 1, if (e < 0) tag.length else e))
+          }
+          // HTML5: unquoted values end at whitespace or '>' ONLY — '/' is
+          // part of the value (matters for unquoted URLs)
+          var e = j
+          while (e < tag.length && !Character.isWhitespace(tag.charAt(e)) &&
+            tag.charAt(e) != '>') e += 1
+          return Some(tag.substring(j, e))
+        }
+      }
+      from = k + 1
+    }
+    None // unreachable
+  }
+
   /** Attribute value from an already-lowercased raw tag string; handles
     * single/double/unquoted forms.
     */
@@ -142,7 +198,7 @@ object HtmlExtract {
         }
         var e = j
         while (e < tag.length && !Character.isWhitespace(tag.charAt(e)) &&
-          tag.charAt(e) != '>' && tag.charAt(e) != '/') e += 1
+          tag.charAt(e) != '>') e += 1
         return Some(tag.substring(j, e))
       }
       from = k + 1
@@ -240,12 +296,21 @@ object HtmlExtract {
     out.toString
   }
 
-  /** Register `graft_html_text` / `graft_html_noindex` (idempotent). */
+  /** Codegen-callable bridge: UTF8String html → Catalyst string array. */
+  def linksArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      extractLinks(html.toString).map(UTF8String.fromString).asInstanceOf[Array[Any]])
+
+  /** Register `graft_html_text` / `graft_html_noindex` / `graft_html_links`
+    * (idempotent).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_html_text", exprs => HtmlToText(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_html_noindex", exprs => HtmlNoindex(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_html_links", exprs => HtmlLinks(exprs.head), "built-in")
   }
 
   def htmlToText(c: Column): Column =
@@ -253,6 +318,9 @@ object HtmlExtract {
 
   def htmlNoindex(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_html_noindex", c)
+
+  def htmlLinks(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_html_links", c)
 }
 
 /** `graft_html_text(html)` — see [[HtmlExtract.extractText]]. */
@@ -273,6 +341,27 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
      """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): HtmlToText = copy(child = c)
+}
+
+/** `graft_html_links(html)` — anchor hrefs in document order; see
+  * [[HtmlExtract.extractLinks]].
+  */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(h: Any): Any =
+    HtmlExtract.linksArray(h.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.text.HtmlExtract.linksArray($a);")
+
+  override protected def withNewChildInternal(c: Expression): HtmlLinks = copy(child = c)
 }
 
 /** `graft_html_noindex(html)` — see [[HtmlExtract.hasNoindex]]. */

@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ranks(edges: Seq[(String, String)], iters: Int = 5): Map[String, Double] = {
+    import spark.implicits._
+    LinkGraph.pagerank(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+  }
+
+  test("two-node cycle is symmetric and conserves mass") {
+    val r = ranks(Seq(("a", "b"), ("b", "a")))
+    assert(r("a") == r("b"))
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+  }
+
+  test("hand-computed first iteration on a star") {
+    // b,c,d each link only to a; a links to b. N=4, d=0.85, r0=0.25.
+    // after 1 iter: rank(a) = 0.0375 + 0.85*(3*0.25) = 0.675
+    //              rank(b) = 0.0375 + 0.85*0.25     = 0.25
+    //              rank(c) = rank(d) = 0.0375
+    val r = ranks(Seq(("b", "a"), ("c", "a"), ("d", "a"), ("a", "b")), iters = 1)
+    assert(math.abs(r("a") - 0.675) < 1e-9)
+    assert(math.abs(r("b") - 0.25) < 1e-9)
+    assert(math.abs(r("c") - 0.0375) < 1e-9)
+    assert(math.abs(r("d") - 0.0375) < 1e-9)
+  }
+
+  test("a hub everyone links to outranks the spokes after convergence") {
+    val spokes = (1 to 6).map(i => (s"s$i", "hub"))
+    val back = (1 to 6).map(i => ("hub", s"s$i"))
+    val r = ranks(spokes ++ back)
+    assert((1 to 6).forall(i => r("hub") > r(s"s$i")))
+  }
+
+  test("dangling node keeps base rank; its mass is dropped, not crashed") {
+    // a -> b, b has no out-edges: b's rank leaks out of the system
+    val r = ranks(Seq(("a", "b")))
+    assert(r.values.sum < 1.0)
+    assert(r("b") > r("a")) // b still receives a's mass
+  }
+
+  test("duplicate edges collapse to distinct before degrees are computed") {
+    val once = ranks(Seq(("a", "b"), ("b", "a")))
+    val dup = ranks(Seq(("a", "b"), ("a", "b"), ("b", "a")))
+    assert(once == dup)
+  }
+
+  test("out_degree rides along; dangling nodes report 0") {
+    import spark.implicits._
+    val df = LinkGraph.pagerank(
+      Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("s", "d"), "s", "d", iterations = 2)
+    val deg = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deg == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
+  }
+
+  test("anchor href extraction: quoted/unquoted/case forms, non-anchors ignored") {
+    import graft.text.HtmlExtract
+    assert(HtmlExtract.extractLinks(
+      """<a href="http://X.com/A">t</a><A HREF='http://y.com/b'></A><a href=http://z.com/c>""")
+      .toSeq == Seq("http://X.com/A", "http://y.com/b", "http://z.com/c"))
+    // case preserved in the VALUE; area/abbr tags and href-less anchors skip
+    assert(HtmlExtract.extractLinks("""<area href="n"><abbr>x</abbr><a name="frag">t</a>""")
+      .isEmpty)
+    assert(HtmlExtract.extractLinks("no links").isEmpty)
+  }
+}
