@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{Tables, WarcSource}
-import graft.text.HtmlExtract
-import graft.text.TextFunctions.hash60
+import graft.text.{Heuristics, HtmlExtract}
+import graft.text.TextFunctions.{hash60, tokenCount}
 
 /** Crawl-ingest front door: WARC container parsing + HTML → text
   * extraction (beyond-reference — the step that turns a Common Crawl dump
@@ -40,7 +40,8 @@ object WebQueries extends QueryPack {
   private val N_FILES = 8
   private val CORRUPT_MOD = 13 // doc_id % 13 == 5 → mangled magic
   private val NOINDEX_MOD = 7 // doc_id % 7 == 0 → robots noindex
-  private val LINK_MOD = 20 // anchor j targets domain src{(7·id+j+1) mod 20}
+  // anchor j of a doc in source s targets domain src{(id+j) mod (s+1)}
+  // (see the skew note at the anchor builder)
 
   /** Write the WARC fixture for `dir`'s documents; returns its path.
     * Rebuilt on every call (cheap: one pass over the corpus) so gates stay
@@ -50,11 +51,15 @@ object WebQueries extends QueryPack {
     import spark.implicits._
     val path = s"target/warc/docs_${math.abs(dir.hashCode)}"
     val d = docs(spark, dir)
-    // empty-text anchors: they feed the link-graph gate but contribute
-    // nothing to extraction (inline tag, no content)
+    // empty-text anchors: they feed the link-graph gates but contribute
+    // nothing to extraction (inline tag, no content). Targets are SKEWED
+    // on purpose — source s only links into domains src0..src{s}, so src0
+    // is the everyone-links-here hub and src19 the long tail; a uniform
+    // target formula would converge to the degenerate all-equal PageRank
+    // fixed point and make the domain-prior cut vacuous
     def anchor(j: Int) = concat(
       lit("<a href=\"http://src"),
-      pmod(col("doc_id") * 7 + (j + 1), lit(LINK_MOD)),
+      pmod(col("doc_id") + j, substring(col("source"), 4, 10).cast("int") + 1),
       lit(".example.com/page\"></a>"))
     val html = concat(
       lit(PRE_TITLE), col("doc_id"), lit(POST_TITLE),
@@ -188,6 +193,62 @@ object WebQueries extends QueryPack {
       .orderBy(col("registrable_domain"))
   }
 
+  /** Domain-prior cut for the web release: simulated ranks sit at
+    * 0.595/0.124/0.034…0.0079 (identical at every sf — the graph
+    * saturates); 0.015 keeps the 9 head domains and cuts the 11-domain
+    * tail with ≥6% relative margin on both sides of the cut.
+    */
+  private val RANK_MIN = 0.015
+
+  /** The WEB RELEASE composition — the whole crawl-to-corpus front end in
+    * one plan, every stage real and construction-replayable:
+    *
+    *   WARC parse (corrupt records quarantine out) → HTML extract →
+    *   robots-noindex politeness cut → link-graph PageRank domain prior
+    *   (graph observed over ALL pages, before any cut) → exact-dup
+    *   removal on the extracted body (min-doc_id owner election, never a
+    *   window) → C4 heuristic filter → per-lang release accounting.
+    *
+    * The body equals the original corpus text by the fixture's
+    * round-trip construction, so the oracle replays every stage
+    * declaratively on `documents` + the unrolled PageRank CTEs.
+    */
+  private def webReleaseQ(spark: SparkSession, dir: String): DataFrame = {
+    HtmlExtract.register(spark)
+    val hostOf = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "^http://([^/]+)/", 1)
+    val pages = WarcSource.readWarc(spark, warcFixture(spark, dir))
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        hostOf(col("target_uri")).as("host"),
+        HtmlExtract.htmlToText(col("body").cast("string")).as("extracted"),
+        HtmlExtract.htmlNoindex(col("body").cast("string")).as("noindex"),
+        HtmlExtract.htmlLinks(col("body").cast("string")).as("links"))
+    val edges = pages
+      .select(col("host").as("src"), explode(col("links")).as("href"))
+      .select(col("src"), hostOf(col("href")).as("dst"))
+    val ranks = graft.graph.LinkGraph.pagerank(edges, "src", "dst", iterations = 5)
+      .select(col("node").as("host"), col("rank"))
+    val survivors = pages
+      .filter(!col("noindex"))
+      // strip the title + heading lines: the body IS the corpus text
+      .withColumn("body", regexp_replace(col("extracted"), "^[^\n]*\n[^\n]*\n", ""))
+      .join(broadcast(ranks), "host")
+      .filter(col("rank") >= RANK_MIN)
+      // exact dedup: min-doc_id owner per body (aggregate, never a window)
+      .groupBy(col("body")).agg(min(col("doc_id")).as("doc_id"))
+      .filter(Heuristics.keepExpr(col("body")))
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+    survivors.join(d, "doc_id")
+      .withColumn("h", hash60(md5(col("body"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("body"))).cast("long").as("n_tokens"),
+        expr("bit_xor(h)").as("content_checksum"))
+      .orderBy(col("lang"))
+  }
+
   /** Streamed crawl ingest (archive-per-trigger) closed with the same
     * aggregation — per-archive independence makes it verifiable by the
     * batch oracle verbatim.
@@ -205,6 +266,7 @@ object WebQueries extends QueryPack {
     "q_stream_warc" -> (streamWarcQ _),
     "q_domain_pagerank" -> (pagerankQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
+    "q_web_release" -> (webReleaseQ _),
   )
 
   /** Five unrolled PageRank rounds with the SAME pinning as
@@ -212,7 +274,11 @@ object WebQueries extends QueryPack {
     * DECIMAL(28,9) sums, ranks re-pinned per round — identical rationals
     * in both engines.
     */
-  private lazy val pagerankOracle: String = {
+  /** The shared CTE chain `hrefs → edges → nodes → nn → deg → r0..r5` —
+    * the construction-replayed link graph plus five unrolled PageRank
+    * rounds; used by the pagerank gate and the web-release composition.
+    */
+  private lazy val pagerankCtes: String = {
     def iter(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT nd.node,
@@ -223,9 +289,10 @@ object WebQueries extends QueryPack {
          |    FROM $prev r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
          |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
     val iters = (1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
-    s"""WITH hrefs AS (
+    s"""hrefs AS (
        |  SELECT source || '.example.com' AS src,
-       |         'src' || ((doc_id * 7 + j.j + 1) % $LINK_MOD) || '.example.com' AS dst
+       |         'src' || ((doc_id + j.j) % (CAST(substr(source, 4) AS INT) + 1)) ||
+       |           '.example.com' AS dst
        |  FROM documents, (VALUES (0), (1), (2)) AS j(j)
        |  WHERE doc_id % $CORRUPT_MOD <> 5),
        |edges AS (SELECT DISTINCT src, dst FROM hrefs),
@@ -233,14 +300,17 @@ object WebQueries extends QueryPack {
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
        |r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes),
-       |$iters
+       |$iters""".stripMargin
+  }
+
+  private lazy val pagerankOracle: String =
+    s"""WITH $pagerankCtes
        |SELECT nd.node, coalesce(d.deg, 0) AS out_degree, round(r.rank, 6) AS rank
        |FROM nodes nd
        |JOIN r5 r ON r.node = nd.node
        |LEFT JOIN deg d ON d.src = nd.node
        |ORDER BY nd.node
        |""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     // counts replay the construction: every non-corrupt doc is a response
@@ -267,6 +337,26 @@ object WebQueries extends QueryPack {
     // makes the batch oracle exact for the stream
     "q_stream_warc" -> htmlExtractOracle,
     "q_domain_pagerank" -> pagerankOracle,
+    // every stage replayed declaratively: corrupt + noindex cuts from the
+    // plants, ranks from the unrolled CTEs, min-doc_id dedup, the shared
+    // C4 rule fragments, release accounting per lang
+    "q_web_release" ->
+      s"""WITH $pagerankCtes,
+         |p AS (SELECT doc_id, text, source || '.example.com' AS host
+         |      FROM documents
+         |      WHERE doc_id % $CORRUPT_MOD <> 5 AND doc_id % $NOINDEX_MOD <> 0),
+         |pr AS (SELECT p.* FROM p JOIN r5 ON r5.node = p.host
+         |       WHERE r5.rank >= $RANK_MIN),
+         |own AS (SELECT text, min(doc_id) AS doc_id FROM pr GROUP BY text),
+         |c4 AS (SELECT doc_id, text FROM own
+         |       WHERE ${TextQueries.c4Rules.map(_._2).map(e => s"($e) = 1").mkString("\n         AND ")}),
+         |j AS (SELECT d.lang, c4.text FROM c4 JOIN documents d ON d.doc_id = c4.doc_id)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |       bit_xor(CAST(CAST(('0x' || substr(md5(md5(text)), 1, 15)) AS UBIGINT) AS BIGINT))
+         |         AS content_checksum
+         |FROM j GROUP BY lang ORDER BY lang
+         |""".stripMargin,
     // the oracle builds the EXPECTED canonical spelling directly from the
     // construction — no URL parsing on the oracle side, so agreement means
     // the Spark parse+canonicalize chain landed exactly on the spec

@@ -168,4 +168,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"ADC stage degraded to an all-pairs scan:\n$plan")
   }
+
+  test("web release: rank prior broadcast, dedup as aggregate (no Window), no UDFs") {
+    val df = graft.SparkEntry.queries("q_web_release")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"domain-rank join not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"owner election fell back to a window:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF island in the release plan:\n$plan")
+  }
 }
