@@ -35,11 +35,14 @@ object WebQueries extends QueryPack {
     "<!-- <p>not text</p> --></head><body><h1>Doc &amp; He&#97;ding "
   private val BODY_OPEN = "</h1><p>"
   private val TAIL_AFTER_P = "</body></html>"
-  private val HTTP_HDR = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
 
   private val N_FILES = 8
   private val CORRUPT_MOD = 13 // doc_id % 13 == 5 → mangled magic
   private val NOINDEX_MOD = 7 // doc_id % 7 == 0 → robots noindex
+  // doc_id % 11 == 3 → page served as ISO-8859-1; == 7 → UTF-8; both get a
+  // non-ASCII ' café' suffix so a charset mix-up corrupts the checksum
+  private val CHARSET_MOD = 11
+  private val CAFE = " café"
   // anchor j of a doc in source s targets domain src{(id+j) mod (s+1)}
   // (see the skew note at the anchor builder)
 
@@ -61,6 +64,9 @@ object WebQueries extends QueryPack {
       lit("<a href=\"http://src"),
       pmod(col("doc_id") + j, substring(col("source"), 4, 10).cast("int") + 1),
       lit(".example.com/page\"></a>"))
+    val latin = pmod(col("doc_id"), lit(CHARSET_MOD)) === 3
+    val cafe = when(pmod(col("doc_id"), lit(CHARSET_MOD)).isin(3, 7), lit(CAFE))
+      .otherwise(lit(""))
     val html = concat(
       lit(PRE_TITLE), col("doc_id"), lit(POST_TITLE),
       when(pmod(col("doc_id"), lit(NOINDEX_MOD)) === 0, lit(META_NOINDEX)).otherwise(lit("")),
@@ -68,6 +74,7 @@ object WebQueries extends QueryPack {
       // character-reference round trip: 'a' → numeric decimal, 'o' → hex
       // ('&#97;' contains no 'o', so the replace order cannot cascade)
       regexp_replace(regexp_replace(col("text"), "a", "&#97;"), "o", "&#x6F;"),
+      cafe,
       lit("</p>"), anchor(0), anchor(1), anchor(2), lit(TAIL_AFTER_P))
     val responses = d.select(
       pmod(col("doc_id"), lit(N_FILES)).cast("int").as("fileNo"),
@@ -80,7 +87,13 @@ object WebQueries extends QueryPack {
       concat(lit("http://"), col("source"), lit(".example.com/doc/"), col("doc_id")).as("targetUri"),
       lit("2026-01-01T00:00:00Z").as("warcDate"),
       lit("application/http; msgtype=response").as("contentType"),
-      concat(lit(HTTP_HDR), html).cast("binary").as("payload"))
+      {
+        val httpHdr = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset="),
+          when(latin, lit("ISO-8859-1")).otherwise(lit("utf-8")), lit("\r\n\r\n"))
+        when(latin, encode(concat(httpHdr, html), "ISO-8859-1"))
+          .otherwise(encode(concat(httpHdr, html), "UTF-8")).as("payload")
+      })
     val infos = spark.range(N_FILES).select(
       col("id").cast("int").as("fileNo"),
       (col("id") % 3 === 0).as("gzip"),
@@ -122,8 +135,8 @@ object WebQueries extends QueryPack {
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("http_status"),
-        HtmlExtract.htmlToText(col("body").cast("string")).as("extracted"),
-        HtmlExtract.htmlNoindex(col("body").cast("string")).as("noindex"))
+        HtmlExtract.htmlToText(WarcSource.decodedBody(col("body"), col("http_content_type"))).as("extracted"),
+        HtmlExtract.htmlNoindex(WarcSource.decodedBody(col("body"), col("http_content_type"))).as("noindex"))
     aggregatePages(spark, dir, pages)
   }
 
@@ -157,7 +170,7 @@ object WebQueries extends QueryPack {
       regexp_extract(c, "^http://([^/]+)/", 1)
     val edges = rows.filter(col("warc_type") === "response")
       .select(hostOf(col("target_uri")).as("src"),
-        explode(HtmlExtract.htmlLinks(col("body").cast("string"))).as("href"))
+        explode(HtmlExtract.htmlLinks(WarcSource.decodedBody(col("body"), col("http_content_type")))).as("href"))
       .select(col("src"), hostOf(col("href")).as("dst"))
     graft.graph.LinkGraph.pagerank(edges, "src", "dst", iterations = 5)
       .select(col("node"), col("out_degree"), round(col("rank"), 6).as("rank"))
@@ -222,9 +235,9 @@ object WebQueries extends QueryPack {
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
         hostOf(col("target_uri")).as("host"),
-        HtmlExtract.htmlToText(col("body").cast("string")).as("extracted"),
-        HtmlExtract.htmlNoindex(col("body").cast("string")).as("noindex"),
-        HtmlExtract.htmlLinks(col("body").cast("string")).as("links"))
+        HtmlExtract.htmlToText(WarcSource.decodedBody(col("body"), col("http_content_type"))).as("extracted"),
+        HtmlExtract.htmlNoindex(WarcSource.decodedBody(col("body"), col("http_content_type"))).as("noindex"),
+        HtmlExtract.htmlLinks(WarcSource.decodedBody(col("body"), col("http_content_type"))).as("links"))
     val edges = pages
       .select(col("host").as("src"), explode(col("links")).as("href"))
       .select(col("src"), hostOf(col("href")).as("dst"))
@@ -342,7 +355,10 @@ object WebQueries extends QueryPack {
     // C4 rule fragments, release accounting per lang
     "q_web_release" ->
       s"""WITH $pagerankCtes,
-         |p AS (SELECT doc_id, text, source || '.example.com' AS host
+         |p AS (SELECT doc_id,
+         |             text || CASE WHEN doc_id % $CHARSET_MOD IN (3, 7)
+         |                          THEN '$CAFE' ELSE '' END AS text,
+         |             source || '.example.com' AS host
          |      FROM documents
          |      WHERE doc_id % $CORRUPT_MOD <> 5 AND doc_id % $NOINDEX_MOD <> 0),
          |pr AS (SELECT p.* FROM p JOIN r5 ON r5.node = p.host
@@ -387,7 +403,8 @@ object WebQueries extends QueryPack {
     s"""WITH e AS (
        |  SELECT lang, (doc_id % $NOINDEX_MOD = 0) AS noindex,
        |         'Doc ' || doc_id || chr(10) || 'Doc & Heading ' || doc_id
-       |           || chr(10) || text AS ext
+       |           || chr(10) || text ||
+       |           CASE WHEN doc_id % $CHARSET_MOD IN (3, 7) THEN '$CAFE' ELSE '' END AS ext
        |  FROM documents WHERE doc_id % $CORRUPT_MOD <> 5)
        |SELECT lang, count(*) AS n_docs,
        |       sum(CASE WHEN noindex THEN 1 ELSE 0 END) AS n_noindex,

@@ -49,6 +49,7 @@ object WarcSource {
       content_type: String,
       content_length: Long,
       http_status: Option[Int],
+      http_content_type: String,
       body: Array[Byte],
       corrupt: String)
 
@@ -99,7 +100,7 @@ object WarcSource {
       val next = indexOfMagic(bytes, from + 1)
       val end = if (next < 0) n else next
       out += WarcRow(file, from.toLong, null, null, null, null, null,
-        (end - from).toLong, None, null, reason)
+        (end - from).toLong, None, null, null, reason)
       end
     }
     while (p < n) {
@@ -124,12 +125,12 @@ object WarcSource {
               val payload = java.util.Arrays.copyOfRange(bytes, hdrEnd + 4, hdrEnd + 4 + (len.toInt))
               val wtype = fields.getOrElse("warc-type", null)
               val ctype = fields.getOrElse("content-type", null)
-              val (status, body) = splitHttp(wtype, ctype, payload)
+              val (status, httpCt, body) = splitHttp(wtype, ctype, payload)
               out += WarcRow(file, p.toLong, wtype,
                 fields.getOrElse("warc-record-id", null),
                 fields.getOrElse("warc-target-uri", null),
                 fields.getOrElse("warc-date", null),
-                ctype, len, status, body, null)
+                ctype, len, status, httpCt, body, null)
               p = hdrEnd + 4 + len.toInt
           }
         }
@@ -138,20 +139,52 @@ object WarcSource {
     out.toSeq
   }
 
-  /** For `application/http` payloads: (status code, message body after the
-    * first CRLFCRLF); anything else passes through whole.
+  /** For `application/http` payloads: (status code, the HTTP-level
+    * Content-Type header — it carries the charset the BODY bytes are in —
+    * and the message body after the first CRLFCRLF); anything else passes
+    * through whole.
     */
-  private def splitHttp(wtype: String, ctype: String, payload: Array[Byte]): (Option[Int], Array[Byte]) = {
+  private def splitHttp(wtype: String, ctype: String,
+      payload: Array[Byte]): (Option[Int], String, Array[Byte]) = {
     val isHttp = ctype != null && ctype.startsWith("application/http")
-    if (!isHttp) return (None, payload)
+    if (!isHttp) return (None, null, payload)
     val sep = indexOf(payload, "\r\n\r\n", 0)
-    if (sep < 0) return (None, payload)
-    val statusLine = new String(payload, 0, math.min(sep, 64), StandardCharsets.ISO_8859_1)
-    val status = statusLine.split(' ') match {
+    if (sep < 0) return (None, null, payload)
+    val head = new String(payload, 0, sep, StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    val status = lines.head.split(' ') match {
       case parts if parts.length >= 2 && parts(0).startsWith("HTTP/") => parts(1).toIntOption
       case _ => None
     }
-    (status, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+    val httpCt = lines.iterator.drop(1)
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(_.substring("content-type:".length).trim)
+      .orNull
+    (status, httpCt, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+  }
+
+  /** Body bytes → string honoring the declared charset: the crawl reality
+    * is mixed encodings, and decoding latin-1 bytes as UTF-8 turns every
+    * high byte into U+FFFD. Dispatches on the `charset=` parameter of the
+    * HTTP Content-Type (case-insensitive, quotes tolerated); UTF-8 is the
+    * default for absent/unknown declarations (the HTML5 rule for the
+    * no-BOM, no-meta case is locale-dependent — a deterministic pipeline
+    * wants one documented default). All branches are codegen'd `decode`
+    * calls — sniffing beyond the declaration (BOM, meta, chardet) is NOT
+    * attempted; a mis-declared page mis-decodes the same way every
+    * engine-independent rerun mis-decodes it.
+    */
+  def decodedBody(body: org.apache.spark.sql.Column,
+      httpContentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val cs = lower(regexp_extract(coalesce(httpContentType, lit("")),
+      "(?i)charset=\"?([A-Za-z0-9_.:-]+)", 1))
+    when(cs === "iso-8859-1" || cs === "latin-1" || cs === "latin1",
+        decode(body, "ISO-8859-1"))
+      .when(cs === "us-ascii" || cs === "ascii", decode(body, "US-ASCII"))
+      .when(cs === "utf-16be", decode(body, "UTF-16BE"))
+      .when(cs === "utf-16le", decode(body, "UTF-16LE"))
+      .otherwise(decode(body, "UTF-8"))
   }
 
   /** Serialize records into `path/part-<fileNo>.warc[.gz]`, one file per

@@ -592,8 +592,8 @@ object StreamingOps {
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
         col("http_status"),
-        HtmlExtract.htmlToText(col("body").cast("string")).as("extracted"),
-        HtmlExtract.htmlNoindex(col("body").cast("string")).as("noindex"))
+        HtmlExtract.htmlToText(WarcSource.decodedBody(col("body"), col("http_content_type"))).as("extracted"),
+        HtmlExtract.htmlNoindex(WarcSource.decodedBody(col("body"), col("http_content_type"))).as("noindex"))
     val query = pages.writeStream
       .format("memory")
       .queryName(queryName)

@@ -111,6 +111,29 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(got.where(col("http_status") =!= 200).count() == 0)
   }
 
+  test("charset-aware decode: latin-1 bodies survive, a UTF-8 misread would not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val html = "<p>café</p>"
+    val mk = (cs: String, bytes: Array[Byte]) => OutRecord(0, gzip = false, 0, "WARC/1.0",
+      "response", "<urn:uuid:cs>", "http://x/doc/0", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response",
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$cs\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ bytes)
+    val rows = parse(
+      mk("ISO-8859-1", html.getBytes(StandardCharsets.ISO_8859_1)),
+      mk("utf-8", html.getBytes(StandardCharsets.UTF_8)))
+    assert(rows.forall(_.http_content_type.startsWith("text/html")))
+    val decoded = spark.createDataset(rows)
+      .select(WarcSource.decodedBody(col("body"), col("http_content_type")).as("t"),
+        col("body").cast("string").as("naive"))
+      .collect()
+    assert(decoded.forall(_.getString(0) == html)) // both charsets round-trip
+    // the naive UTF-8 cast mangles the latin-1 byte — that's what the
+    // dispatch exists to prevent
+    assert(decoded.exists(_.getString(1) != html))
+  }
+
   test("streamed ingest equals the one-shot batch ingest row for row") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
