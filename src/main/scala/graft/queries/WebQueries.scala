@@ -280,7 +280,75 @@ object WebQueries extends QueryPack {
     "q_domain_pagerank" -> (pagerankQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
+    "q_wet_roundtrip" -> (wetRoundtripQ _),
+    "q_robots_filter" -> (robotsQ _),
   )
+
+  // per-domain robots.txt regimes: star group with an allow-override,
+  // exact-agent group that MUST eclipse a disallow-everything star group,
+  // and a group for somebody else entirely
+  private val ROBOTS_STAR =
+    "User-agent: *\r\nDisallow: /private/\r\nAllow: /private/ok # override\r\n"
+  private val ROBOTS_EXACT =
+    "User-agent: graftbot\nDisallow: /p/\nUser-agent: *\nDisallow: /\n"
+  private val ROBOTS_OTHER = "User-agent: otherbot\nDisallow: /\nCrawl-delay: 10\n"
+
+  /** robots.txt politeness over the corpus: pages join their domain's
+    * robots body (domain-dim join — co-shuffled at web scale, never
+    * collected) and the REP verdict is a row-local codegen call. Four path
+    * shapes × three robots regimes exercise group selection, the
+    * longest-match allow override, and the no-applicable-group default.
+    */
+  private def robotsQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.RobotsTxt
+    RobotsTxt.register(spark)
+    val d = docs(spark, dir)
+    val sidx = substring(col("source"), 4, 10).cast("int")
+    val robotsFrame = d.select(col("source")).distinct()
+      .withColumn("robots_txt",
+        when(pmod(sidx, lit(3)) === 0, lit(ROBOTS_STAR))
+          .when(pmod(sidx, lit(3)) === 1, lit(ROBOTS_EXACT))
+          .otherwise(lit(ROBOTS_OTHER)))
+    val pages = d.select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(lit("/p/"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, concat(lit("/private/"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4)) === 2, concat(lit("/private/ok"), col("doc_id")))
+        .otherwise(concat(lit("/x/"), col("doc_id"))).as("path"))
+    pages.join(robotsFrame, "source")
+      .withColumn("allowed", RobotsTxt.robotsAllowed(
+        coalesce(col("robots_txt"), lit("")), "graftbot", col("path")))
+      .groupBy(col("source"))
+      .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(!col("allowed"), 1L).otherwise(0L)).as("n_denied"))
+      .orderBy(col("source"))
+  }
+
+  /** WET egress/ingest loop: the corpus writes out as gzip'd `conversion`
+    * archives and reads back losslessly — the aggregate over the re-read
+    * text must equal the same aggregate over the parquet original (the
+    * [[graft.sources.JsonlSource]] gate discipline, on the WARC container).
+    */
+  private def wetRoundtripQ(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"target/wet/docs_${math.abs(dir.hashCode)}"
+    val d = docs(spark, dir)
+    WarcSource.writeWet(
+      d.withColumn("uri", concat(lit("http://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id"))),
+      "doc_id", "text", "uri", path, nFiles = 8)
+    val back = WarcSource.readWarc(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("body").cast("string").as("text"))
+    require(back.filter(col("text").isNull).isEmpty, "WET round-trip lost a body")
+    back.join(docs(spark, dir).select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      .withColumn("h", hash60(md5(col("text"))))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        expr("bit_xor(h)").as("content_checksum"))
+      .orderBy(col("lang"), col("source"))
+  }
 
   /** Five unrolled PageRank rounds with the SAME pinning as
     * [[graft.graph.LinkGraph.pagerank]]: contributions round(·,9), exact
@@ -350,6 +418,29 @@ object WebQueries extends QueryPack {
     // makes the batch oracle exact for the stream
     "q_stream_warc" -> htmlExtractOracle,
     "q_domain_pagerank" -> pagerankOracle,
+    // the oracle replays the REP VERDICTS from the construction (regime ×
+    // path shape); the Spark side really parses groups, compiles patterns,
+    // and resolves longest-match/tie-allow per page
+    "q_robots_filter" ->
+      """WITH p AS (SELECT source, CAST(substr(source, 4) AS INT) % 3 AS regime,
+        |                  doc_id % 4 AS pv
+        |           FROM documents)
+        |SELECT source,
+        |       CAST(sum(CASE WHEN (regime = 0 AND pv = 1) OR (regime = 1 AND pv = 0)
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_allowed,
+        |       CAST(sum(CASE WHEN (regime = 0 AND pv = 1) OR (regime = 1 AND pv = 0)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
+        |FROM p GROUP BY source ORDER BY source
+        |""".stripMargin,
+    // lossless WET round-trip: aggregate over the re-read corpus equals
+    // the same aggregate over the parquet original
+    "q_wet_roundtrip" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       bit_xor(CAST(CAST(('0x' || substr(md5(md5(text)), 1, 15)) AS UBIGINT) AS BIGINT))
+        |         AS content_checksum
+        |FROM documents GROUP BY lang, source ORDER BY lang, source
+        |""".stripMargin,
     // every stage replayed declaratively: corrupt + noindex cuts from the
     // plants, ranks from the unrolled CTEs, min-doc_id dedup, the shared
     // C4 rule fragments, release accounting per lang

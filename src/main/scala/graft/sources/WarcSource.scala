@@ -239,6 +239,39 @@ object WarcSource {
     out
   }
 
+  /** WET egress: write a text corpus as WARC `conversion` records (the
+    * Common Crawl pre-extracted-text flavor) — the inverse of the ingest
+    * path, so a graft-cleaned corpus can feed any WET-consuming tool.
+    * One archive per `fileNo = hash-bucket of the id`, records in id
+    * order; `text/plain` conversion payloads pass through [[readWarc]]
+    * whole, so write→read is lossless (gate-verified).
+    */
+  def writeWet(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      uriCol: String,
+      path: String,
+      nFiles: Int,
+      warcDate: String = "2026-01-01T00:00:00Z",
+      gzip: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = docs.select(
+      pmod(col(idCol), lit(nFiles)).cast("int").as("fileNo"),
+      lit(gzip).as("gzip"),
+      col(idCol).cast("long").as("seq"),
+      lit("WARC/1.0").as("version"),
+      lit("conversion").as("warcType"),
+      concat(lit("<urn:uuid:wet-"), col(idCol), lit(">")).as("recordId"),
+      col(uriCol).as("targetUri"),
+      lit(warcDate).as("warcDate"),
+      lit("text/plain").as("contentType"),
+      encode(col(textCol), "UTF-8").as("payload"))
+    writeWarc(out.as[OutRecord], path)
+  }
+
   /** Decompress a (possibly multi-member) gzip stream fully. */
   private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
