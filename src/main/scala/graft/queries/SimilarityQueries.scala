@@ -83,6 +83,19 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopKLearned(
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K, NLISTS, DIM, KM_ITERS)
     }),
+    "q_ann_persistent" -> ((s, dir) => {
+      // the SERVING shape: inverted lists live on disk as a bucketed table
+      // (built once), probes co-bucket on list and the index<->probe join
+      // runs with zero shuffle exchanges (runtime-asserted inside
+      // annAgainstPersistentIndex); same semantics + oracle as q_ann_ivf
+      val e = emb(s, dir)
+      val suffix = math.abs(dir.hashCode)
+      val index = Similarity.persistentIvfIndex(
+        e, "vec_id", "embedding", s"graft_ivf_index_$suffix", NLISTS, DIM, KM_ITERS)
+      Similarity.annAgainstPersistentIndex(
+        index, e.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+        s"graft_ivf_index_$suffix", s"graft_ivf_probe_$suffix", K)
+    }),
     "q_semdedup" -> ((s, dir) =>
       // SemDeDup: k-means-clustered embedding space, greedy-by-id pruning
       // of within-cluster near-dups; pairwise work bounded to a cluster,
@@ -253,6 +266,32 @@ object SimilarityQueries extends QueryPack {
        |  FROM cd$comp c JOIN $vN va ON va.i = c.i JOIN $vN vb ON vb.i = c.j),""".stripMargin
   }
 
+  // learned-k-means IVF oracle, shared by the in-process and the
+  // persistent-index formulations (identical semantics)
+  private lazy val annIvfOracle: String =
+    s"""WITH cents0(c, cent) AS (VALUES $centroidValues),
+         |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+         |${kmeansIterCtes(KM_ITERS)}
+         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$KM_ITERS),
+         |assign AS (SELECT vec_id,
+         |                  (array_agg(c ORDER BY s DESC, c ASC))[1] AS c1,
+         |                  (array_agg(c ORDER BY s DESC, c ASC))[2] AS c2
+         |           FROM scored GROUP BY vec_id),
+         |corpus AS (SELECT v.vec_id AS neighbor_id, v.dv AS cv, a.c1 AS list
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id),
+         |probes AS (SELECT v.vec_id AS query_id, v.dv AS qv, a.c1 AS list
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES
+         |           UNION ALL
+         |           SELECT v.vec_id, v.dv, a.c2
+         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES),
+         |s AS (SELECT DISTINCT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |      FROM corpus JOIN probes USING (list) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM s)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_pca_covariance" ->
       s"""WITH $pcaCovCtes
@@ -356,29 +395,11 @@ object SimilarityQueries extends QueryPack {
          |      FROM s)
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
          |""".stripMargin,
-    "q_ann_ivf" ->
-      s"""WITH cents0(c, cent) AS (VALUES $centroidValues),
-         |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
-         |${kmeansIterCtes(KM_ITERS)}
-         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$KM_ITERS),
-         |assign AS (SELECT vec_id,
-         |                  (array_agg(c ORDER BY s DESC, c ASC))[1] AS c1,
-         |                  (array_agg(c ORDER BY s DESC, c ASC))[2] AS c2
-         |           FROM scored GROUP BY vec_id),
-         |corpus AS (SELECT v.vec_id AS neighbor_id, v.dv AS cv, a.c1 AS list
-         |           FROM v JOIN assign a ON a.vec_id = v.vec_id),
-         |probes AS (SELECT v.vec_id AS query_id, v.dv AS qv, a.c1 AS list
-         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES
-         |           UNION ALL
-         |           SELECT v.vec_id, v.dv, a.c2
-         |           FROM v JOIN assign a ON a.vec_id = v.vec_id WHERE v.vec_id < $NQUERIES),
-         |s AS (SELECT DISTINCT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
-         |      FROM corpus JOIN probes USING (list) WHERE query_id <> neighbor_id),
-         |r AS (SELECT query_id, neighbor_id, sim,
-         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
-         |      FROM s)
-         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
-         |""".stripMargin,
+    "q_ann_ivf" -> annIvfOracle,
+    // identical semantics and oracle — only the PHYSICAL layout differs
+    // (on-disk bucketed inverted lists + co-located zero-shuffle probe)
+    "q_ann_persistent" -> annIvfOracle,
+
     "q_semdedup" ->
       s"""WITH cents0(c, cent) AS (VALUES $centroidValues),
          |v AS (SELECT vec_id, $dv AS dv FROM embeddings),

@@ -273,6 +273,74 @@ object Similarity {
   def ivfSecondListWith(v: Column, cents: Seq[Seq[Double]]): Column =
     element_at(ivfRankingWith(v, cents), 2).getField("c")
 
+  /** ANN SERVING shape: the IVF-encoded corpus persists as a bucketed
+    * table on `list` (plus a k×dim centroid side table), so the index is
+    * built ONCE and every probe job across processes co-locates against
+    * the stored bucket layout — the [[graft.dedup.Dedup.persistentBandedIndex]]
+    * discipline applied to vector search. At 100 TB the inverted lists are
+    * exactly the artifact an ANN service ships; rebuilding them per query
+    * batch (what [[ivfTopKLearned]] does in-process) is the non-starter.
+    */
+  def persistentIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      nLists: Int,
+      dim: Int,
+      iters: Int,
+      nBuckets: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    val cents = kmeansCentroids(corpus, vecCol, nLists, dim, iters)
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"target/bucketed/${table}_centroids")
+    val lists = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("list", ivfListWith(col("cv"), cents))
+    graft.sources.PartitionedSink.writeBucketedTable(lists, "list", nBuckets, table)
+  }
+
+  /** Probe a [[persistentIvfIndex]] with a CO-LOCATED join: query vectors
+    * assign their top-2 lists from the stored centroids (a bounded k×dim
+    * read), the probe frame is written bucketed on the same `list` key
+    * (the probe batch is the small side), and the index↔probe join runs
+    * with NO shuffle exchange on either side — asserted at runtime. Exact
+    * cosine + salted two-stage top-k on the confined candidates, same
+    * contract as [[ivfTopKLearned]] (and the same oracle).
+    */
+  def annAgainstPersistentIndex(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      table: String,
+      probeTable: String,
+      k: Int,
+      nBuckets: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    val cents: Seq[Seq[Double]] = spark.read
+      .parquet(s"target/bucketed/${table}_centroids")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1)).toSeq
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q0.withColumn("list", ivfListWith(col("qv"), cents))
+      .unionByName(q0.withColumn("list", ivfSecondListWith(col("qv"), cents)))
+    val probeDf = graft.sources.PartitionedSink
+      .writeBucketedTable(probes, "list", nBuckets, probeTable)
+    val joined = index.join(probeDf, Seq("list"))
+    require(graft.sources.PartitionedSink.isShuffleFree(joined),
+      "persistent IVF probe join introduced a shuffle exchange — " +
+        "index and probes must be co-bucketed on list")
+    val scored = joined
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(scored, "sim", k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** Deterministic distributed Lloyd k-means for IVF coarse quantization:
     * trig stand-ins seed the clusters, each iteration assigns by dot
     * product (ties → lowest index) and recomputes centroids as the
