@@ -243,23 +243,54 @@ object WebQueries extends QueryPack {
       .select(col("src"), hostOf(col("href")).as("dst"))
     val ranks = graft.graph.LinkGraph.pagerank(edges, "src", "dst", iterations = 5)
       .select(col("node").as("host"), col("rank"))
-    val survivors = pages
+    val staged = pages
       .filter(!col("noindex"))
       // strip the title + heading lines: the body IS the corpus text
       .withColumn("body", regexp_replace(col("extracted"), "^[^\n]*\n[^\n]*\n", ""))
       .join(broadcast(ranks), "host")
       .filter(col("rank") >= RANK_MIN)
-      // exact dedup: min-doc_id owner per body (aggregate, never a window)
+      .select(col("doc_id"), col("body"))
+    releaseClose(spark, dir)(staged)
+  }
+
+  /** The corpus-global release close, shared by the batch and streamed
+    * formulations: exact-dup owner election (min-doc_id AGGREGATE, never a
+    * window) → C4 heuristic filter → per-lang release accounting.
+    */
+  private def releaseClose(spark: SparkSession, dir: String)(staged: DataFrame): DataFrame =
+    staged
       .groupBy(col("body")).agg(min(col("doc_id")).as("doc_id"))
       .filter(Heuristics.keepExpr(col("body")))
-    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
-    survivors.join(d, "doc_id")
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("h", hash60(md5(col("body"))))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCount(col("body"))).cast("long").as("n_tokens"),
         expr("bit_xor(h)").as("content_checksum"))
       .orderBy(col("lang"))
+
+  /** The release deployed on ingest: per-page stages stream archive by
+    * archive against the pre-computed domain ranks (in deployment, the
+    * PREVIOUS dump's graph; here the same archives' ranks, which is what
+    * the batch gate uses — so the batch oracle is exact), the close runs
+    * once after the drain.
+    */
+  private def streamWebReleaseQ(spark: SparkSession, dir: String): DataFrame = {
+    HtmlExtract.register(spark)
+    val fixture = warcFixture(spark, dir)
+    val hostOf = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "^http://([^/]+)/", 1)
+    val edges = WarcSource.readWarc(spark, fixture)
+      .filter(col("warc_type") === "response")
+      .select(hostOf(col("target_uri")).as("src"),
+        explode(HtmlExtract.htmlLinks(
+          WarcSource.decodedBody(col("body"), col("http_content_type")))).as("href"))
+      .select(col("src"), hostOf(col("href")).as("dst"))
+    val ranks = graft.graph.LinkGraph.pagerank(edges, "src", "dst", iterations = 5)
+      .select(col("node").as("host"), col("rank"))
+    graft.streaming.StreamingOps.streamWarcRelease(
+      spark, fixture, ranks, RANK_MIN, releaseClose(spark, dir),
+      queryName = s"stream_webrel_${math.abs(dir.hashCode)}")
   }
 
   /** Streamed crawl ingest (archive-per-trigger) closed with the same
@@ -280,6 +311,7 @@ object WebQueries extends QueryPack {
     "q_domain_pagerank" -> (pagerankQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
+    "q_stream_web_release" -> (streamWebReleaseQ _),
     "q_wet_roundtrip" -> (wetRoundtripQ _),
     "q_robots_filter" -> (robotsQ _),
   )
@@ -393,6 +425,32 @@ object WebQueries extends QueryPack {
        |ORDER BY nd.node
        |""".stripMargin
 
+  /** Every release stage replayed declaratively: corrupt + noindex cuts
+    * from the plants, ranks from the unrolled CTEs, min-doc_id dedup, the
+    * shared C4 rule fragments, per-lang accounting. Shared verbatim by the
+    * batch and streamed release gates.
+    */
+  private lazy val webReleaseOracle: String =
+    s"""WITH $pagerankCtes,
+       |p AS (SELECT doc_id,
+       |             text || CASE WHEN doc_id % $CHARSET_MOD IN (3, 7)
+       |                          THEN '$CAFE' ELSE '' END AS text,
+       |             source || '.example.com' AS host
+       |      FROM documents
+       |      WHERE doc_id % $CORRUPT_MOD <> 5 AND doc_id % $NOINDEX_MOD <> 0),
+       |pr AS (SELECT p.* FROM p JOIN r5 ON r5.node = p.host
+       |       WHERE r5.rank >= $RANK_MIN),
+       |own AS (SELECT text, min(doc_id) AS doc_id FROM pr GROUP BY text),
+       |c4 AS (SELECT doc_id, text FROM own
+       |       WHERE ${TextQueries.c4Rules.map(_._2).map(e => s"($e) = 1").mkString("\n         AND ")}),
+       |j AS (SELECT d.lang, c4.text FROM c4 JOIN documents d ON d.doc_id = c4.doc_id)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |       bit_xor(CAST(CAST(('0x' || substr(md5(md5(text)), 1, 15)) AS UBIGINT) AS BIGINT))
+       |         AS content_checksum
+       |FROM j GROUP BY lang ORDER BY lang
+       |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // counts replay the construction: every non-corrupt doc is a response
     // record; each of the 8 archives has one warcinfo; each planted
@@ -444,26 +502,11 @@ object WebQueries extends QueryPack {
     // every stage replayed declaratively: corrupt + noindex cuts from the
     // plants, ranks from the unrolled CTEs, min-doc_id dedup, the shared
     // C4 rule fragments, release accounting per lang
-    "q_web_release" ->
-      s"""WITH $pagerankCtes,
-         |p AS (SELECT doc_id,
-         |             text || CASE WHEN doc_id % $CHARSET_MOD IN (3, 7)
-         |                          THEN '$CAFE' ELSE '' END AS text,
-         |             source || '.example.com' AS host
-         |      FROM documents
-         |      WHERE doc_id % $CORRUPT_MOD <> 5 AND doc_id % $NOINDEX_MOD <> 0),
-         |pr AS (SELECT p.* FROM p JOIN r5 ON r5.node = p.host
-         |       WHERE r5.rank >= $RANK_MIN),
-         |own AS (SELECT text, min(doc_id) AS doc_id FROM pr GROUP BY text),
-         |c4 AS (SELECT doc_id, text FROM own
-         |       WHERE ${TextQueries.c4Rules.map(_._2).map(e => s"($e) = 1").mkString("\n         AND ")}),
-         |j AS (SELECT d.lang, c4.text FROM c4 JOIN documents d ON d.doc_id = c4.doc_id)
-         |SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-         |       bit_xor(CAST(CAST(('0x' || substr(md5(md5(text)), 1, 15)) AS UBIGINT) AS BIGINT))
-         |         AS content_checksum
-         |FROM j GROUP BY lang ORDER BY lang
-         |""".stripMargin,
+    "q_web_release" -> webReleaseOracle,
+    // streamed formulation: identical semantics (per-page stages are
+    // trigger-chunking-invariant, the close is the batch close), so the
+    // batch oracle verifies the streamed release verbatim
+    "q_stream_web_release" -> webReleaseOracle,
     // the oracle builds the EXPECTED canonical spelling directly from the
     // construction — no URL parsing on the oracle side, so agreement means
     // the Spark parse+canonicalize chain landed exactly on the spec

@@ -603,4 +603,76 @@ object StreamingOps {
     query.awaitTermination()
     spark.table(queryName)
   }
+
+  /** The STREAMED web release: the whole crawl-to-corpus path deployed on
+    * ingest. Archives arrive one per trigger; each micro-batch runs every
+    * PER-PAGE stage (parse → charset decode → HTML extract → robots-meta
+    * politeness → domain-prior cut against a PRE-COMPUTED rank frame) and
+    * appends survivors to a parquet staging store; the CORPUS-GLOBAL
+    * stages (exact-dup owner election, C4 filter, release accounting) run
+    * once over the store after the stream drains — the
+    * [[streamReleaseCompose]] split applied to the crawl front end.
+    *
+    * The rank frame is an input, not computed in-stream: in deployment
+    * the domain prior comes from the PREVIOUS dump's link graph (ranks
+    * over the arriving dump aren't known until it has fully arrived —
+    * any "streaming PageRank" would silently change semantics). Because
+    * every per-batch stage is per-page given the static rank side, the
+    * staged union equals the batch run of the same prefix under any
+    * trigger chunking, and `close` is literally the batch close — the
+    * batch oracle verifies the streamed release verbatim.
+    */
+  def streamWarcRelease(
+      spark: SparkSession,
+      warcDir: String,
+      ranks: DataFrame,
+      rankMin: Double,
+      close: DataFrame => DataFrame,
+      queryName: String = "stream_web_release"): DataFrame = {
+    import graft.sources.WarcSource
+    import graft.text.HtmlExtract
+    HtmlExtract.register(spark)
+    import spark.implicits._
+    val outDir = s"target/stream_webrel_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(outDir))
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val rankFrame = broadcast(ranks).cache()
+    rankFrame.count() // materialize the static side before the stream starts
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", "1")
+      .load(warcDir)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pages = batch
+          .select(col("path"), col("content")).as[(String, Array[Byte])]
+          .flatMap((WarcSource.parseArchive _).tupled)
+          .filter(col("warc_type") === "response")
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+            regexp_extract(col("target_uri"), "^http://([^/]+)/", 1).as("host"),
+            HtmlExtract.htmlToText(
+              WarcSource.decodedBody(col("body"), col("http_content_type"))).as("extracted"),
+            HtmlExtract.htmlNoindex(
+              WarcSource.decodedBody(col("body"), col("http_content_type"))).as("noindex"))
+          .filter(!col("noindex"))
+          .withColumn("body", regexp_replace(col("extracted"), "^[^\n]*\n[^\n]*\n", ""))
+          .join(rankFrame, "host")
+          .filter(col("rank") >= rankMin)
+          .select(col("doc_id"), col("body"))
+        // batchId-keyed idempotent sink: a replayed batch overwrites its own
+        // directory instead of duplicating rows
+        pages.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    close(spark.read.parquet(outDir).drop("batch"))
+  }
 }
