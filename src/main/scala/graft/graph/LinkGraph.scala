@@ -75,4 +75,58 @@ object LinkGraph {
     ranks.join(deg, ranks("node") === deg("src"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"), col("rank"))
   }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004): PageRank with the
+    * uniform teleport replaced by a SEED vector — trust flows out of a
+    * hand-picked set of known-good domains and decays through the link
+    * graph, so spam farms that merely interlink each other score ~0. The
+    * standard web-curation quality prior when a vetted seed list exists
+    * (vs [[pagerank]]'s neutral centrality).
+    *
+    * Same distributed shape and the same 9-dp-pin + DECIMAL(28,9) exact
+    * summation as [[pagerank]] — the oracle unrolls identical rounds.
+    * r0 = teleport; per round r(v) = round((1−d)·t(v) + d·Σ pinned
+    * contributions, 9), with t(v) = round(1/|seeds|, 9) on seeds, else 0.
+    * Dangling mass is dropped (same documented variant).
+    */
+  def trustRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val nSeeds = seeds.distinct().count()
+    require(nSeeds > 0, "trustRank: empty seed set")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seedFlag = broadcast(
+      seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .withColumn("__seed", lit(true)))
+    val teleport = nodes.join(seedFlag, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed"), round(lit(1.0) / lit(nSeeds.toDouble), 9))
+          .otherwise(lit(0.0)).as("t"))
+      .localCheckpoint()
+    var ranks = teleport.select(col("node"), col("t").as("rank")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(deg, ranks("node") === deg("src"))
+        .join(e, "src")
+        .select(col("dst"), round(col("rank") / col("deg"), 9).as("c"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(28,9)")).as("s"))
+      ranks = teleport
+        .join(sums, teleport("node") === sums("dst"), "left")
+        .select(col("node"),
+          round(lit(1.0 - damping) * col("t")
+            + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.join(deg, ranks("node") === deg("src"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"), col("rank"))
+  }
 }

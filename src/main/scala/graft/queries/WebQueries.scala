@@ -293,6 +293,28 @@ object WebQueries extends QueryPack {
       queryName = s"stream_webrel_${math.abs(dir.hashCode)}")
   }
 
+  /** TrustRank over the same extracted link graph: trust propagates from
+    * the two seed domains (the hub src0 and its strongest in-neighbor
+    * src1) and decays through the skewed graph — tail domains no seed
+    * reaches score exactly 0, the separation a spam-demotion prior needs.
+    */
+  private def trustRankQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    HtmlExtract.register(spark)
+    val hostOf = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "^http://([^/]+)/", 1)
+    val edges = WarcSource.readWarc(spark, warcFixture(spark, dir))
+      .filter(col("warc_type") === "response")
+      .select(hostOf(col("target_uri")).as("src"),
+        explode(HtmlExtract.htmlLinks(
+          WarcSource.decodedBody(col("body"), col("http_content_type")))).as("href"))
+      .select(col("src"), hostOf(col("href")).as("dst"))
+    graft.graph.LinkGraph.trustRank(edges, "src", "dst", TRUST_SEEDS.toDF("node"),
+        iterations = 5)
+      .select(col("node"), col("out_degree"), round(col("rank"), 6).as("trust"))
+      .orderBy(col("node"))
+  }
+
   /** Streamed crawl ingest (archive-per-trigger) closed with the same
     * aggregation — per-archive independence makes it verifiable by the
     * batch oracle verbatim.
@@ -309,6 +331,7 @@ object WebQueries extends QueryPack {
     "q_html_extract" -> ((s, dir) => htmlExtractQ(s, dir)),
     "q_stream_warc" -> (streamWarcQ _),
     "q_domain_pagerank" -> (pagerankQ _),
+    "q_trustrank" -> (trustRankQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
     "q_stream_web_release" -> (streamWebReleaseQ _),
@@ -391,17 +414,23 @@ object WebQueries extends QueryPack {
     * the construction-replayed link graph plus five unrolled PageRank
     * rounds; used by the pagerank gate and the web-release composition.
     */
-  private lazy val pagerankCtes: String = {
-    def iter(prev: String, cur: String): String =
-      s"""$cur AS (
-         |  SELECT nd.node,
-         |         round(round(0.15 / (SELECT n FROM nn), 9)
-         |               + 0.85 * CAST(coalesce(s.s, 0) AS DOUBLE), 9) AS rank
-         |  FROM nodes nd LEFT JOIN (
-         |    SELECT e.dst AS node, sum(CAST(round(r.rank / d.deg, 9) AS DECIMAL(28,9))) AS s
-         |    FROM $prev r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
-         |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
-    val iters = (1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+  /** One power-iteration round: `baseExpr` is the teleport term (uniform
+    * for PageRank, the seed vector for TrustRank); identical pinning to
+    * the Scala side.
+    */
+  private def rankIter(prev: String, cur: String, baseExpr: String, nodesCte: String): String =
+    s"""$cur AS (
+       |  SELECT nd.node,
+       |         round($baseExpr + 0.85 * CAST(coalesce(s.s, 0) AS DOUBLE), 9) AS rank
+       |  FROM $nodesCte nd LEFT JOIN (
+       |    SELECT e.dst AS node, sum(CAST(round(r.rank / d.deg, 9) AS DECIMAL(28,9))) AS s
+       |    FROM $prev r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+       |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+
+  /** The construction-replayed link graph: hrefs → edges → nodes → nn →
+    * deg. Shared by every graph oracle.
+    */
+  private lazy val graphCtes: String =
     s"""hrefs AS (
        |  SELECT source || '.example.com' AS src,
        |         'src' || ((doc_id + j.j) % (CAST(substr(source, 4) AS INT) + 1)) ||
@@ -411,7 +440,12 @@ object WebQueries extends QueryPack {
        |edges AS (SELECT DISTINCT src, dst FROM hrefs),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  private lazy val pagerankCtes: String = {
+    val iters = (1 to 5).map(i => rankIter(s"r${i - 1}", s"r$i",
+      "round(0.15 / (SELECT n FROM nn), 9)", "nodes")).mkString(",\n")
+    s"""$graphCtes,
        |r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes),
        |$iters""".stripMargin
   }
@@ -424,6 +458,31 @@ object WebQueries extends QueryPack {
        |LEFT JOIN deg d ON d.src = nd.node
        |ORDER BY nd.node
        |""".stripMargin
+
+  private val TRUST_SEEDS = Seq("src0.example.com", "src1.example.com")
+
+  /** TrustRank rounds: teleport = round(1/|seeds|, 9) on seeds else 0;
+    * per round r = round(0.15·t + 0.85·Σ pinned contributions, 9).
+    */
+  private lazy val trustRankOracle: String = {
+    val seedList = TRUST_SEEDS.map(s => s"'$s'").mkString(", ")
+    val iters = (1 to 5).map(i => rankIter(s"t${i - 1}", s"t$i",
+      "0.15 * nd.t", "tele")).mkString(",\n")
+    s"""WITH $graphCtes,
+       |tele AS (SELECT node,
+       |                CASE WHEN node IN ($seedList)
+       |                     THEN round(1.0 / ${TRUST_SEEDS.size}.0, 9)
+       |                     ELSE 0.0 END AS t
+       |         FROM nodes),
+       |t0 AS (SELECT node, t AS rank FROM tele),
+       |$iters
+       |SELECT nd.node, coalesce(d.deg, 0) AS out_degree, round(r.rank, 6) AS trust
+       |FROM nodes nd
+       |JOIN t5 r ON r.node = nd.node
+       |LEFT JOIN deg d ON d.src = nd.node
+       |ORDER BY nd.node
+       |""".stripMargin
+  }
 
   /** Every release stage replayed declaratively: corrupt + noindex cuts
     * from the plants, ranks from the unrolled CTEs, min-doc_id dedup, the
@@ -476,6 +535,7 @@ object WebQueries extends QueryPack {
     // makes the batch oracle exact for the stream
     "q_stream_warc" -> htmlExtractOracle,
     "q_domain_pagerank" -> pagerankOracle,
+    "q_trustrank" -> trustRankOracle,
     // the oracle replays the REP VERDICTS from the construction (regime ×
     // path shape); the Spark side really parses groups, compiles patterns,
     // and resolves longest-match/tie-allow per page

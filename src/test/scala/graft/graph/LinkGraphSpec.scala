@@ -59,6 +59,44 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(deg == Map("a" -> 2L, "b" -> 1L, "c" -> 0L))
   }
 
+  private def trust(edges: Seq[(String, String)], seeds: Seq[String],
+      iters: Int = 5): Map[String, Double] = {
+    import spark.implicits._
+    LinkGraph.trustRank(edges.toDF("s", "d"), "s", "d", seeds.toDF("node"),
+      iterations = iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+  }
+
+  test("trustrank: unreachable domains score exactly zero") {
+    // seed -> a -> b; c -> d is a disconnected spam pocket
+    val r = trust(Seq(("seed", "a"), ("a", "b"), ("c", "d")), Seq("seed"))
+    assert(r("c") == 0.0 && r("d") == 0.0)
+    assert(r("a") > 0.0 && r("b") > 0.0)
+    assert(r("seed") > 0.0) // teleport keeps the seed warm
+  }
+
+  test("trustrank hand-computed first iteration") {
+    // seed links to a; N seeds = 1 so t(seed) = 1.0
+    // after 1 iter: rank(seed) = 0.15*1 + 0.85*0 = 0.15
+    //              rank(a)    = 0.15*0 + 0.85*(1.0/1) = 0.85
+    val r = trust(Seq(("seed", "a"), ("a", "seed")), Seq("seed"), iters = 1)
+    assert(math.abs(r("seed") - 0.15) < 1e-9)
+    assert(math.abs(r("a") - 0.85) < 1e-9)
+  }
+
+  test("trustrank: trust decays with distance from the seed") {
+    val chain = Seq(("s", "h1"), ("h1", "h2"), ("h2", "h3"), ("h3", "h4"))
+    val r = trust(chain, Seq("s"))
+    assert(r("h1") > r("h2") && r("h2") > r("h3") && r("h3") > r("h4"))
+  }
+
+  test("trustrank: two seeds split the teleport mass") {
+    val r = trust(Seq(("s1", "a"), ("s2", "a")), Seq("s1", "s2"), iters = 1)
+    // each seed: 0.15 * 0.5; a: 0.85 * (0.5 + 0.5)
+    assert(math.abs(r("s1") - 0.075) < 1e-9)
+    assert(math.abs(r("a") - 0.85) < 1e-9)
+  }
+
   test("anchor href extraction: quoted/unquoted/case forms, non-anchors ignored") {
     import graft.text.HtmlExtract
     assert(HtmlExtract.extractLinks(
