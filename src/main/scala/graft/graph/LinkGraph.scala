@@ -129,4 +129,56 @@ object LinkGraph {
     ranks.join(deg, ranks("node") === deg("src"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"), col("rank"))
   }
+
+  /** HITS (Kleinberg 1999): mutually-reinforcing hub and authority scores
+    * — the third classic of the link-analysis triad. Authorities are the
+    * pages good hubs point at; hubs are the pages that point at good
+    * authorities. In curation terms: authority ≈ content worth keeping,
+    * hub ≈ directory/aggregator pages (often worth DROPPING — high hub +
+    * low authority is the link-farm/listicle signature, a filter axis
+    * PageRank alone can't see).
+    *
+    * Per round, each update is one join + one exact-DECIMAL aggregate
+    * over pinned inputs, then MAX-normalization — max (unlike an L2 norm
+    * in floating point) is summation-order-independent by nature, and the
+    * sums under it are exact decimals, so the normalized scores are
+    * identical rationals in any engine. The max itself is a one-row
+    * broadcast cross join, never a collect. Nodes with no in-links get
+    * authority 0; no out-links, hub 0.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    require(!e.isEmpty, "hits: empty graph")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var hubs = nodes.select(col("node"), lit(1.0).as("h")).localCheckpoint()
+    var auths = nodes.select(col("node"), lit(1.0).as("a")).localCheckpoint()
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val m = scores.agg(max(col("__s")).as("__m"))
+      scores.crossJoin(broadcast(m))
+        .select(col("node"),
+          round(col("__s").cast("double") / col("__m").cast("double"), 9).as(c))
+    }
+    for (_ <- 1 to iterations) {
+      val aSums = nodes
+        .join(e.join(hubs, e("src") === hubs("node"))
+            .groupBy(col("dst")).agg(sum(col("h").cast("decimal(28,9)")).as("__s")),
+          nodes("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0).cast("decimal(28,9)")).as("__s"))
+      auths = normalized(aSums, "a").localCheckpoint()
+      val hSums = nodes
+        .join(e.join(auths, e("dst") === auths("node"))
+            .groupBy(col("src")).agg(sum(col("a").cast("decimal(28,9)")).as("__s")),
+          nodes("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0).cast("decimal(28,9)")).as("__s"))
+      hubs = normalized(hSums, "h").localCheckpoint()
+    }
+    auths.join(hubs, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
 }

@@ -293,6 +293,28 @@ object WebQueries extends QueryPack {
       queryName = s"stream_webrel_${math.abs(dir.hashCode)}")
   }
 
+  /** HITS over the same extracted link graph: the skew construction makes
+    * src0 the perfect authority (everyone links to it → authority 1 after
+    * max-normalization) and src19 the perfect hub (links into all 20
+    * domains → hub 1); high-hub/low-authority is the aggregator/link-farm
+    * signature PageRank can't separate.
+    */
+  private def hitsQ(spark: SparkSession, dir: String): DataFrame = {
+    HtmlExtract.register(spark)
+    val hostOf = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "^http://([^/]+)/", 1)
+    val edges = WarcSource.readWarc(spark, warcFixture(spark, dir))
+      .filter(col("warc_type") === "response")
+      .select(hostOf(col("target_uri")).as("src"),
+        explode(HtmlExtract.htmlLinks(
+          WarcSource.decodedBody(col("body"), col("http_content_type")))).as("href"))
+      .select(col("src"), hostOf(col("href")).as("dst"))
+    graft.graph.LinkGraph.hits(edges, "src", "dst", iterations = 5)
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("authority"), 6).as("authority"))
+      .orderBy(col("node"))
+  }
+
   /** TrustRank over the same extracted link graph: trust propagates from
     * the two seed domains (the hub src0 and its strongest in-neighbor
     * src1) and decays through the skewed graph — tail domains no seed
@@ -332,6 +354,7 @@ object WebQueries extends QueryPack {
     "q_stream_warc" -> (streamWarcQ _),
     "q_domain_pagerank" -> (pagerankQ _),
     "q_trustrank" -> (trustRankQ _),
+    "q_hits" -> (hitsQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
     "q_stream_web_release" -> (streamWebReleaseQ _),
@@ -461,6 +484,41 @@ object WebQueries extends QueryPack {
 
   private val TRUST_SEEDS = Seq("src0.example.com", "src1.example.com")
 
+  /** Five unrolled HITS rounds with the same exact-DECIMAL sums +
+    * max-normalization as [[graft.graph.LinkGraph.hits]] (authorities
+    * from current hubs, then hubs from the NEW authorities — the
+    * Kleinberg order).
+    */
+  private lazy val hitsOracle: String = {
+    // AS MATERIALIZED: each round's sum CTE is referenced twice (the
+    // projection + the max subquery) and feeds the next round — DuckDB's
+    // default CTE INLINING would re-evaluate the whole chain exponentially
+    // (the un-materialized form hangs at 5 rounds)
+    def round(i: Int): String = {
+      val (hp, a, as_, h, hs) = (s"h${i - 1}", s"a$i", s"a${i}s", s"h$i", s"h${i}s")
+      s"""$as_ AS MATERIALIZED (SELECT nd.node, coalesce(s.s, CAST(0 AS DECIMAL(28,9))) AS s
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(CAST(h.h AS DECIMAL(28,9))) AS s
+         |    FROM edges e JOIN $hp h ON h.node = e.src GROUP BY e.dst) s ON s.node = nd.node),
+         |$a AS MATERIALIZED (SELECT node, round(CAST(s AS DOUBLE)
+         |         / CAST((SELECT max(s) FROM $as_) AS DOUBLE), 9) AS a FROM $as_),
+         |$hs AS MATERIALIZED (SELECT nd.node, coalesce(s.s, CAST(0 AS DECIMAL(28,9))) AS s
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src AS node, sum(CAST(a.a AS DECIMAL(28,9))) AS s
+         |    FROM edges e JOIN $a a ON a.node = e.dst GROUP BY e.src) s ON s.node = nd.node),
+         |$h AS MATERIALIZED (SELECT node, round(CAST(s AS DOUBLE)
+         |         / CAST((SELECT max(s) FROM $hs) AS DOUBLE), 9) AS h FROM $hs)""".stripMargin
+    }
+    val rounds = (1 to 5).map(round).mkString(",\n")
+    s"""WITH $graphCtes,
+       |h0 AS (SELECT node, 1.0 AS h FROM nodes),
+       |$rounds
+       |SELECT nd.node, round(h5.h, 6) AS hub, round(a5.a, 6) AS authority
+       |FROM nodes nd JOIN h5 ON h5.node = nd.node JOIN a5 ON a5.node = nd.node
+       |ORDER BY nd.node
+       |""".stripMargin
+  }
+
   /** TrustRank rounds: teleport = round(1/|seeds|, 9) on seeds else 0;
     * per round r = round(0.15·t + 0.85·Σ pinned contributions, 9).
     */
@@ -536,6 +594,7 @@ object WebQueries extends QueryPack {
     "q_stream_warc" -> htmlExtractOracle,
     "q_domain_pagerank" -> pagerankOracle,
     "q_trustrank" -> trustRankOracle,
+    "q_hits" -> hitsOracle,
     // the oracle replays the REP VERDICTS from the construction (regime ×
     // path shape); the Spark side really parses groups, compiles patterns,
     // and resolves longest-match/tie-allow per page

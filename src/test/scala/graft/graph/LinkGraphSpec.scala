@@ -97,6 +97,31 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r("a") - 0.85) < 1e-9)
   }
 
+  private def hitsScores(edges: Seq[(String, String)], iters: Int = 5): Map[String, (Double, Double)] = {
+    import spark.implicits._
+    LinkGraph.hits(edges.toDF("s", "d"), "s", "d", iterations = iters)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+  }
+
+  test("hits hand-computed first round (Kleinberg update order)") {
+    // h1,h2 -> a; a -> h1. After auth update: a=1, h1=0.5, h2=0.
+    // After hub update from NEW auths: h1=1, h2=1, a=0.5.
+    val r = hitsScores(Seq(("h1", "a"), ("h2", "a"), ("a", "h1")), iters = 1)
+    assert(math.abs(r("a")._2 - 1.0) < 1e-9 && math.abs(r("a")._1 - 0.5) < 1e-9)
+    assert(math.abs(r("h1")._2 - 0.5) < 1e-9 && math.abs(r("h1")._1 - 1.0) < 1e-9)
+    assert(r("h2")._2 == 0.0 && math.abs(r("h2")._1 - 1.0) < 1e-9)
+  }
+
+  test("hits separates the aggregator from the content page") {
+    // hub links to 3 content pages; content pages link to one another
+    val hub = (1 to 3).map(i => ("hub", s"c$i"))
+    val ring = Seq(("c1", "c2"), ("c2", "c3"), ("c3", "c1"))
+    val r = hitsScores(hub ++ ring)
+    assert(r("hub")._1 > r("c1")._1) // highest hub score
+    assert(r("hub")._2 == 0.0) // nobody links to the aggregator
+    assert((1 to 3).forall(i => r(s"c$i")._2 > 0.0))
+  }
+
   test("anchor href extraction: quoted/unquoted/case forms, non-anchors ignored") {
     import graft.text.HtmlExtract
     assert(HtmlExtract.extractLinks(
