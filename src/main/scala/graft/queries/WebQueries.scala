@@ -337,6 +337,33 @@ object WebQueries extends QueryPack {
       .orderBy(col("node"))
   }
 
+  /** CDX-style latest-capture dedup: across dumps the same URL is
+    * captured many times and the release keeps the FRESHEST capture
+    * (ties → highest capture id). One decomposable `max(struct(ts, id))`
+    * aggregate on the URL key — never a window, so the per-URL state that
+    * crosses the shuffle is one struct regardless of capture count. The
+    * capture log is synthesized from `documents`: ~97 path buckets per
+    * domain and a deliberately NON-monotone pseudo-random timestamp, so
+    * "latest" is decoupled from ingest order and the tiebreak is
+    * exercised on real collisions.
+    */
+  private def latestCaptureQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val captures = d.select(
+      col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example.com/page/"),
+        pmod(col("doc_id"), lit(97))).as("url"),
+      pmod(col("doc_id") * 7919, lit(100000)).as("capture_ts"))
+    captures
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_captures"),
+        max(struct(col("capture_ts"), col("doc_id"))).as("__best"))
+      .select(col("url"), col("n_captures"),
+        col("__best.capture_ts").as("capture_ts"),
+        col("__best.doc_id").as("kept_doc_id"))
+      .orderBy(col("url"))
+  }
+
   /** Streamed crawl ingest (archive-per-trigger) closed with the same
     * aggregation — per-archive independence makes it verifiable by the
     * batch oracle verbatim.
@@ -355,6 +382,7 @@ object WebQueries extends QueryPack {
     "q_domain_pagerank" -> (pagerankQ _),
     "q_trustrank" -> (trustRankQ _),
     "q_hits" -> (hitsQ _),
+    "q_latest_capture" -> (latestCaptureQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
     "q_stream_web_release" -> (streamWebReleaseQ _),
@@ -595,6 +623,21 @@ object WebQueries extends QueryPack {
     "q_domain_pagerank" -> pagerankOracle,
     "q_trustrank" -> trustRankOracle,
     "q_hits" -> hitsOracle,
+    // freshest capture per URL, ties to highest id — the struct-max
+    // ordering is (ts, id) lexicographic in both engines
+    "q_latest_capture" ->
+      """WITH c AS (SELECT doc_id,
+        |                  'http://' || source || '.example.com/page/' || (doc_id % 97) AS url,
+        |                  (doc_id * 7919) % 100000 AS capture_ts
+        |           FROM documents),
+        |r AS (SELECT url, count(*) AS n_captures,
+        |             max(struct_pack(capture_ts := capture_ts, doc_id := doc_id)) AS best
+        |      FROM c GROUP BY url)
+        |SELECT url, n_captures,
+        |       CAST(best.capture_ts AS BIGINT) AS capture_ts,
+        |       CAST(best.doc_id AS BIGINT) AS kept_doc_id
+        |FROM r ORDER BY url
+        |""".stripMargin,
     // the oracle replays the REP VERDICTS from the construction (regime ×
     // path shape); the Spark side really parses groups, compiles patterns,
     // and resolves longest-match/tie-allow per page
