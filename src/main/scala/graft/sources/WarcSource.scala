@@ -119,6 +119,11 @@ object WarcSource {
           }.toMap
           fields.get("content-length").flatMap(s => s.toLongOption) match {
             case None => p = quarantine(p, "missing content-length")
+            case Some(len) if len < 0 =>
+              // a negative length passes the overrun guard below and
+              // would reach copyOfRange with to < from — crash, not
+              // quarantine; malformed records must cost one record
+              p = quarantine(p, "negative content-length")
             case Some(len) if hdrEnd + 4 + len > n =>
               p = quarantine(p, "payload overruns file")
             case Some(len) =>
@@ -197,26 +202,50 @@ object WarcSource {
   def writeWarc(records: Dataset[OutRecord], path: String): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
-    dir.listFiles().foreach(f => if (f.getName.startsWith("part-")) f.delete())
+    dir.listFiles().foreach(f =>
+      if (f.getName.startsWith("part-") || (f.getName.startsWith(".part-") && f.getName.endsWith(".tmp"))) f.delete())
     val nFiles = records.select("fileNo").distinct().count().toInt.max(1)
     records
       .repartition(nFiles, records.col("fileNo"))
       .sortWithinPartitions("fileNo", "seq")
       .foreachPartition { (it: Iterator[OutRecord]) =>
+        // Output-committer discipline: under task retry / speculative
+        // execution two attempts may run concurrently for the same
+        // fileNo; writing the final name directly would interleave the
+        // attempts' bytes. Each attempt streams into an attempt-unique
+        // .tmp name and atomically renames on successful close — last
+        // complete attempt wins, partial attempts never become visible.
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(tc => tc.taskAttemptId().toString).getOrElse("local")
         var current: Int = Int.MinValue
         var os: java.io.OutputStream = null
-        def close(): Unit = if (os != null) { os.close(); os = null }
-        it.foreach { r =>
-          if (r.fileNo != current) {
-            close()
-            current = r.fileNo
-            val f = new java.io.File(path, s"part-${r.fileNo}.warc" + (if (r.gzip) ".gz" else ""))
-            val raw = new BufferedOutputStream(new FileOutputStream(f))
-            os = if (r.gzip) new GZIPOutputStream(raw) else raw
-          }
-          os.write(serialize(r))
+        var tmp: java.io.File = null
+        var dst: java.io.File = null
+        def commit(): Unit = if (os != null) {
+          os.close(); os = null
+          java.nio.file.Files.move(
+            tmp.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-        close()
+        try {
+          it.foreach { r =>
+            if (r.fileNo != current) {
+              commit()
+              current = r.fileNo
+              val name = s"part-${r.fileNo}.warc" + (if (r.gzip) ".gz" else "")
+              dst = new java.io.File(path, name)
+              tmp = new java.io.File(path, s".$name.$attempt.tmp")
+              val raw = new BufferedOutputStream(new FileOutputStream(tmp))
+              os = if (r.gzip) new GZIPOutputStream(raw) else raw
+            }
+            os.write(serialize(r))
+          }
+          commit()
+        } finally {
+          if (os != null) os.close()
+          if (tmp != null && tmp.exists()) tmp.delete()
+        }
       }
   }
 

@@ -255,7 +255,12 @@ object HtmlExtract {
         val digits = if (hex) body.substring(2) else body.substring(1)
         try {
           val cp = Integer.parseInt(digits, if (hex) 16 else 10)
-          if (Character.isValidCodePoint(cp) && cp > 0) out.appendCodePoint(cp)
+          // surrogate code points (0xD800-0xDFFF) are "valid" to
+          // isValidCodePoint but appendCodePoint would emit an unpaired
+          // surrogate — an ill-formed string whose UTF-8 bytes are
+          // replacement-dependent; treat them as malformed (literal '&')
+          if (Character.isValidCodePoint(cp) && cp > 0 && !(cp >= 0xD800 && cp <= 0xDFFF))
+            out.appendCodePoint(cp)
           else { out.append('&'); return i + 1 }
         } catch {
           case _: NumberFormatException => out.append('&'); return i + 1

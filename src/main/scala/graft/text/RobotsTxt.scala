@@ -34,8 +34,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RobotsTxt {
 
-  /** One rule: allow?, raw pattern (for specificity), compiled regex. */
-  final case class Rule(allow: Boolean, pattern: String, re: java.util.regex.Pattern)
+  /** One rule: allow?, raw pattern, compiled regex, and its RFC 9309
+    * §2.2.2 specificity — the UTF-8 OCTET length of the path pattern with
+    * the trailing `$` anchor excluded (char count would mis-rank non-ASCII
+    * patterns and count the anchor, which matches no octets).
+    */
+  final case class Rule(allow: Boolean, pattern: String, re: java.util.regex.Pattern, spec: Int)
+
+  private def specificity(pattern: String): Int = {
+    val body = if (pattern.endsWith("$")) pattern.dropRight(1) else pattern
+    body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+  }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Rule]]()
   private val CACHE_MAX = 4096
@@ -73,7 +82,7 @@ object RobotsTxt {
           case "allow" | "disallow" =>
             inHeader = false
             if (value.nonEmpty) {
-              val r = Rule(key == "allow", value, compile(value))
+              val r = Rule(key == "allow", value, compile(value), specificity(value))
               if (groupAgents.contains(agentLc)) exact += r
               else if (groupAgents.contains("*")) star += r
             }
@@ -115,7 +124,7 @@ object RobotsTxt {
     while (i < rs.length) {
       val r = rs(i)
       if (r.re.matcher(p).lookingAt()) {
-        val len = r.pattern.length
+        val len = r.spec
         if (len > bestLen || (len == bestLen && r.allow && !bestAllow)) {
           bestLen = len; bestAllow = r.allow
         }

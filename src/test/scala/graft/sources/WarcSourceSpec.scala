@@ -77,6 +77,16 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 1 && rows(0).corrupt == "missing content-length")
   }
 
+  test("negative content-length quarantines (not copyOfRange crash) and resyncs") {
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -7\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val good = WarcSource.serialize(rec(1, "<p>after</p>"))
+    val rows = WarcSource.parseFile("t.warc", bad ++ good)
+    assert(rows.length == 2)
+    assert(rows(0).corrupt == "negative content-length")
+    assert(rows(1).corrupt == null && rows(1).target_uri == "http://x/1")
+  }
+
   test("multi-member gzip decompresses transparently (the Common Crawl layout)") {
     val a = WarcSource.serialize(rec(0, "<p>m0</p>"))
     val b = WarcSource.serialize(rec(1, "<p>m1</p>"))
@@ -109,6 +119,11 @@ class WarcSourceSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(bodies("http://x/7") == "<p>doc7</p>")
     assert(got.where(col("http_status") =!= 200).count() == 0)
+    // output-committer discipline: only committed final names remain —
+    // no attempt-scoped .tmp files survive a successful write
+    val leftover = new java.io.File(dir).listFiles().map(_.getName)
+    assert(leftover.forall(n => !n.endsWith(".tmp")), leftover.mkString(","))
+    assert(leftover.count(_.startsWith("part-")) == 3)
   }
 
   test("charset-aware decode: latin-1 bodies survive, a UTF-8 misread would not") {

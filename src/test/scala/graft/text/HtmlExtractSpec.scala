@@ -46,6 +46,11 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(ext("5 & 6") == "5 & 6")
     assert(ext("&#xZZ;") == "&#xZZ;")
     assert(ext("&#0;x") == "&#0;x")
+    // surrogate code points are malformed — appendCodePoint would emit an
+    // unpaired surrogate whose UTF-8 bytes are replacement-dependent
+    assert(ext("&#xD800;x") == "&#xD800;x")
+    assert(ext("&#xDFFF;") == "&#xDFFF;")
+    assert(ext("&#55296;") == "&#55296;") // decimal form of 0xD800
   }
 
   test("whitespace folds per line; empty lines drop") {

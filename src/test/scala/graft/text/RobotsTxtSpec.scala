@@ -42,6 +42,18 @@ class RobotsTxtSpec extends AnyFunSuite with SparkTestBase {
     assert(!ok(r, "/tmp123/logs-are-fine"))
   }
 
+  test("specificity is octet length with the $ anchor excluded (RFC 9309 2.2.2)") {
+    // '$' matches no octets: Allow '/a$' has specificity 2, Disallow '/a*'
+    // has 3 — under raw char count both would be 3 and the tie would allow
+    val anchored = "User-agent: *\nAllow: /a$\nDisallow: /a*\n"
+    assert(!ok(anchored, "/a"))
+    // non-ASCII octets count: Allow '/é' is 3 OCTETS (2 chars), tying the
+    // 3-octet Disallow '/*a' — allow wins the tie; char count would say
+    // 2 < 3 and wrongly disallow
+    val utf8 = "User-agent: *\nAllow: /é\nDisallow: /*a\n"
+    assert(ok(utf8, "/éa"))
+  }
+
   test("comments strip, empty Disallow is a no-op, unknown keys ignored") {
     val r = "User-agent: * # everyone\nDisallow: # nothing blocked\nCrawl-delay: 10\nSitemap: http://x/s.xml\n"
     assert(ok(r, "/anything"))
