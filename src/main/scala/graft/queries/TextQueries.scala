@@ -292,6 +292,23 @@ object TextQueries extends QueryPack {
       graft.functions.HeavyHitters.exactHeavyHitters(
           docs(s, dir), tokens(col("text")), sketchK = 199, denom = 100)
         .orderBy(col("token"))),
+    // Count-Min sketch frequency estimates (d=3, w=16 — narrow enough
+    // that the 31-word vocabulary collides, so est > exact on some rows
+    // and the one-sided-error property is non-vacuous). Queried tokens =
+    // the residue-4-mod-17 docs' vocabulary; the exact recount is
+    // confined to that bounded set (the HeavyHitters recount discipline)
+    "q_cms_freq" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (depth, width) = (3, 16)
+      val sk = graft.functions.CountMin.sketch(d, tokens(col("text")), depth, width)
+      val qset = d.filter(col("doc_id") % 17 === 4)
+        .select(explode(tokens(col("text"))).as("token")).distinct()
+      val est = graft.functions.CountMin.estimate(sk, qset, "token", depth, width)
+      val exact = d.select(explode(tokens(col("text"))).as("token"))
+        .join(broadcast(qset), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("token")).orderBy(col("token"))
+    }),
     // BM25 lexical retrieval: top-10 corpus docs per benchmark query
     // (residue-5 docs) over the crawl-like sparse corpus — the harness
     // documents table's 31-word vocabulary would make the stop-term cap
@@ -881,6 +898,24 @@ object TextQueries extends QueryPack {
          |n AS (SELECT count(*) AS n FROM tok),
          |c AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1)
          |SELECT token, freq FROM c, n WHERE freq * 100 > n ORDER BY token
+         |""".stripMargin,
+    // rebuild the identical 3x16 counter matrix cell for cell (same
+    // md5-prefix bucket hash), then min over the 3 probed cells
+    "q_cms_freq" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS token FROM documents),
+         |q AS (SELECT DISTINCT unnest($toks) AS token FROM documents WHERE doc_id % 17 = 4),
+         |rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+         |cells AS (SELECT r,
+         |    CAST(CAST(CAST(('0x' || substr(md5('cms' || r || '#' || token), 1, 15)) AS UBIGINT) AS BIGINT) % 16 AS BIGINT) AS c,
+         |    count(*) AS cnt
+         |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+         |probes AS (SELECT token, r,
+         |    CAST(CAST(CAST(('0x' || substr(md5('cms' || r || '#' || token), 1, 15)) AS UBIGINT) AS BIGINT) % 16 AS BIGINT) AS c
+         |  FROM q CROSS JOIN rows_),
+         |est AS (SELECT p.token, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+         |  FROM probes p LEFT JOIN cells USING (r, c) GROUP BY 1),
+         |ex AS (SELECT token, count(*) AS "exact" FROM tok JOIN q USING (token) GROUP BY 1)
+         |SELECT token, est, "exact" FROM est JOIN ex USING (token) ORDER BY token
          |""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
