@@ -364,6 +364,26 @@ object WebQueries extends QueryPack {
       .orderBy(col("url"))
   }
 
+  /** SCD2 history over the same capture log: one row per content CHANGE
+    * with `[effective_from, effective_to)` validity, consecutive same-
+    * content re-crawls collapsed. content_class stands in for a content
+    * fingerprint; mod 3 makes consecutive captures collide often enough
+    * that the collapse rule is exercised on every URL.
+    */
+  private def scd2Q(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val captures = d.select(
+      col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example.com/page/"),
+        pmod(col("doc_id"), lit(97))).as("url"),
+      pmod(col("doc_id") * 7919, lit(100000)).as("capture_ts"),
+      pmod(col("doc_id"), lit(3)).as("content_class"))
+    graft.ops.Scd2.buildHistory(captures, "url", "capture_ts", "content_class", "doc_id")
+      .select(col("url"), col("version"), col("effective_from"), col("effective_to"),
+        col("content_class"), col("doc_id").as("since_doc_id"))
+      .orderBy(col("url"), col("version"))
+  }
+
   /** Streamed crawl ingest (archive-per-trigger) closed with the same
     * aggregation — per-archive independence makes it verifiable by the
     * batch oracle verbatim.
@@ -383,6 +403,7 @@ object WebQueries extends QueryPack {
     "q_trustrank" -> (trustRankQ _),
     "q_hits" -> (hitsQ _),
     "q_latest_capture" -> (latestCaptureQ _),
+    "q_scd2_history" -> (scd2Q _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
     "q_stream_web_release" -> (streamWebReleaseQ _),
@@ -637,6 +658,25 @@ object WebQueries extends QueryPack {
         |       CAST(best.capture_ts AS BIGINT) AS capture_ts,
         |       CAST(best.doc_id AS BIGINT) AS kept_doc_id
         |FROM r ORDER BY url
+        |""".stripMargin,
+    // SCD2: lag-collapse to changes, then lead/row_number intervals —
+    // both engines order per url by (ts, doc_id), a total order
+    "q_scd2_history" ->
+      """WITH c AS (SELECT doc_id,
+        |                  'http://' || source || '.example.com/page/' || (doc_id % 97) AS url,
+        |                  CAST((doc_id * 7919) % 100000 AS BIGINT) AS ts,
+        |                  CAST(doc_id % 3 AS BIGINT) AS cc
+        |           FROM documents),
+        |k AS (SELECT *, lag(cc) OVER (PARTITION BY url ORDER BY ts, doc_id) AS prev FROM c),
+        |ch AS (SELECT * FROM k WHERE prev IS NULL OR prev <> cc),
+        |v AS (SELECT url,
+        |             CAST(row_number() OVER w AS INT) AS version,
+        |             ts AS effective_from,
+        |             lead(ts) OVER w AS effective_to,
+        |             cc AS content_class,
+        |             doc_id AS since_doc_id
+        |      FROM ch WINDOW w AS (PARTITION BY url ORDER BY ts, doc_id))
+        |SELECT * FROM v ORDER BY url, version
         |""".stripMargin,
     // the oracle replays the REP VERDICTS from the construction (regime ×
     // path shape); the Spark side really parses groups, compiles patterns,
