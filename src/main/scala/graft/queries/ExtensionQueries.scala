@@ -297,8 +297,35 @@ object ExtensionQueries extends QueryPack {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Z-order layout decision over orders on the (customer, order-day)
+    * pair: quantize both dimensions to 6 bits against corpus bounds,
+    * interleave into a 12-bit z-value, assign the top-4-bit tile, and
+    * report each tile's bounding box — the per-file min/max stats a
+    * z-ordered write would hand the scan pruner. Every step is exact
+    * bit/integer arithmetic, replayed by the oracle.
+    */
+  private def zorderQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ZOrder
+    val ord = Tables.cached(spark, dir, "orders")
+    val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long")
+    val bounds = ord.agg(
+      min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+      min(day).as("dmin"), max(day).as("dmax"))
+    val q = ord.crossJoin(broadcast(bounds))
+      .withColumn("qx", ZOrder.quantize(col("o_custkey"), col("cmin"), col("cmax"), 6))
+      .withColumn("qy", ZOrder.quantize(day, col("dmin"), col("dmax"), 6))
+      .withColumn("z", ZOrder.zValue(Seq(col("qx"), col("qy")), 6))
+      .withColumn("tile", ZOrder.tile(col("z"), 12, 4))
+    q.groupBy(col("tile")).agg(
+      count(lit(1)).as("n"),
+      min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+      min(col("o_orderdate")).as("min_date"), max(col("o_orderdate")).as("max_date"))
+      .orderBy(col("tile"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_decode" -> (decodeQ _),
+    "q_zorder_layout" -> (zorderQ _),
     "q_multimodal_features" -> (featuresQ _),
     "q_image_neardup" -> (imageNearDupQ _),
     "q_range_join" -> (rangeJoinQ _),
@@ -365,7 +392,28 @@ object ExtensionQueries extends QueryPack {
       |GROUP BY iv.day ORDER BY iv.day
       |""".stripMargin
 
+  // z-value bit interleave replicated literally: bit b of qx lands at
+  // 2b, of qy at 2b+1 — same shift/mask terms both engines
+  private val zInterleave = (0 until 6).flatMap(b =>
+    Seq(s"(((qx >> $b) & 1) << ${2 * b})", s"(((qy >> $b) & 1) << ${2 * b + 1})"))
+    .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "q_zorder_layout" ->
+      s"""WITH b AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+         |    min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmin,
+         |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS dmax
+         |  FROM orders),
+         |q AS (SELECT o_custkey, o_orderdate,
+         |    CAST(floor((o_custkey - cmin) * 63.0 / (cmax - cmin)) AS BIGINT) AS qx,
+         |    CAST(floor((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - dmin) * 63.0 / (dmax - dmin)) AS BIGINT) AS qy
+         |  FROM orders CROSS JOIN b),
+         |z AS (SELECT *, $zInterleave AS z FROM q)
+         |SELECT z >> 8 AS tile, count(*) AS n,
+         |       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+         |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+         |FROM z GROUP BY 1 ORDER BY tile
+         |""".stripMargin,
     "q_multimodal_decode" ->
       // the Spark side DECODES real PNGs and parses real MP4 box trees,
       // FLAC STREAMINFO blocks, MP3 frame chains, and WebM EBML trees; the
