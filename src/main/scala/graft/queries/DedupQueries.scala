@@ -122,6 +122,17 @@ object DedupQueries extends QueryPack {
       Dedup.incrementalComponents(baseLabels,
         d.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id")), touching)
     }),
+    "q_stream_incremental_cc" -> ((s, dir) => {
+      // cluster maintenance ON INGEST: ~5 document chunks arrive as
+      // micro-batches; each folds the previous label snapshot in as stars
+      // plus the pairs touching the batch. The final snapshot must equal
+      // the one-shot full-graph CC — q_dedup_clusters' oracle verbatim.
+      graft.streaming.StreamingOps.streamIncrementalCC(s, dir,
+        known => Dedup.simhashJaccardPairs(known, "doc_id", "text", N, CLUSTER_THR)
+          .select("id_a", "id_b"),
+        nChunks = 5,
+        queryName = s"stream_cc_${math.abs(dir.hashCode)}")
+    }),
     "q_incremental_screen" -> ((s, dir) => {
       // ingest-time near-dup screen: every 5th doc plays the arriving
       // batch, the rest the indexed base corpus (asymmetric probe — no
@@ -410,6 +421,16 @@ object DedupQueries extends QueryPack {
     // layout (on-disk bucketed index, co-located probe join) differs
     "q_screen_persistent" -> screenOracleSql,
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},
+         |cc(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.id = e.src)
+         |SELECT id, min(lbl) AS cluster FROM cc GROUP BY id
+         |""".stripMargin,
+    // the streamed maintenance path must land on the identical full-graph
+    // clustering — same oracle a third time
+    "q_stream_incremental_cc" ->
       s"""WITH RECURSIVE ${simhashEdgesCtes(CLUSTER_THR)},
          |cc(id, lbl) AS (
          |  SELECT doc_id, doc_id FROM documents

@@ -229,6 +229,25 @@ class WatermarkSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed incremental CC snapshots converge to the one-shot full-graph clustering") {
+    import graft.dedup.Dedup
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashNearDupPairs(df, "doc_id", "text").select("id_a", "id_b")
+    val streamed = StreamingOps.streamIncrementalCC(spark, dir, pairs,
+      nChunks = 4, queryName = s"cc_stream_${System.nanoTime()}")
+      .collect().map(_.toSeq).toSet
+    val d = graft.sources.Tables.cached(spark, dir, "documents")
+    val batch = Dedup.connectedComponents(
+      d.select(col("doc_id").as("id")), pairs(d))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // non-trivial: at least one multi-doc cluster crossed chunk boundaries
+    val multi = batch.groupBy(_.apply(1)).filter(_._2.size > 1)
+    assert(multi.nonEmpty)
+  }
+
   test("stream-stream interval join drains to exactly the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingOps.streamStreamJoin(spark, dir,
