@@ -309,6 +309,25 @@ object TextQueries extends QueryPack {
         .groupBy(col("token")).agg(count(lit(1)).as("exact"))
       est.join(exact, Seq("token")).orderBy(col("token"))
     }),
+    // unigram-LM (SentencePiece) tokenizer step: seed pieces → scaled-
+    // integer Viterbi segmentation of every distinct word → hard-EM
+    // expected counts. The corpus is scanned once for the histogram;
+    // the DP runs row-locally on the vocabulary axis
+    "q_unigram_step" -> ((s, dir) => {
+      val words = graft.text.UnigramLm.wordHistogram(docs(s, dir), col("text"))
+      val probs = graft.text.UnigramLm.pieceLogProbs(
+        graft.text.UnigramLm.seedPieces(words, maxPieceLen = 4, topV = 200))
+      graft.text.UnigramLm.viterbiSegment(words, probs, maxPieceLen = 4)
+        .orderBy(col("word"))
+    }),
+    "q_unigram_mstep" -> ((s, dir) => {
+      val words = graft.text.UnigramLm.wordHistogram(docs(s, dir), col("text"))
+      val probs = graft.text.UnigramLm.pieceLogProbs(
+        graft.text.UnigramLm.seedPieces(words, maxPieceLen = 4, topV = 200))
+      graft.text.UnigramLm.expectedCounts(
+        graft.text.UnigramLm.viterbiSegment(words, probs, maxPieceLen = 4))
+        .orderBy(col("piece"))
+    }),
     // BM25 lexical retrieval: top-10 corpus docs per benchmark query
     // (residue-5 docs) over the crawl-like sparse corpus — the harness
     // documents table's 31-word vocabulary would make the stop-term cap
@@ -326,6 +345,70 @@ object TextQueries extends QueryPack {
   )
 
   private val toks = "string_split(text, ' ')"
+
+  /** Shared oracle CTE chain for the unigram-LM gates: word histogram →
+    * seed substrings → kept vocab (top-200 ∪ singles) → scaled-integer
+    * log-probs → per-word span lists → recursive Viterbi DP (exact BIGINT
+    * scores, ties to smallest span start) → recursive backtrace. The DP
+    * recursion carries the growing scores/prevs lists; every rule matches
+    * [[graft.text.UnigramLm]] operation for operation.
+    */
+  private val unigramCtes = {
+    val NEG = Long.MinValue / 2
+    s"""w AS (
+       |  SELECT word, count(*) AS freq
+       |  FROM (SELECT unnest($toks) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1),
+       |pos AS (SELECT word, freq, CAST(unnest(range(0, length(word))) AS INT) AS j FROM w),
+       |spl AS (SELECT word, freq, j, CAST(unnest([1, 2, 3, 4]) AS INT) AS l FROM pos),
+       |sub AS (
+       |  SELECT substr(word, j + 1, l) AS piece, freq
+       |  FROM spl WHERE j + l <= length(word)),
+       |cnts AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM sub GROUP BY 1),
+       |topv AS (SELECT piece, cnt FROM cnts ORDER BY cnt DESC, piece LIMIT 200),
+       |singles AS (SELECT piece, cnt FROM cnts WHERE length(piece) = 1),
+       |kept AS (SELECT DISTINCT piece, cnt FROM (SELECT * FROM topv UNION ALL SELECT * FROM singles)),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM kept),
+       |probs AS (SELECT piece,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e9) AS BIGINT) AS lp
+       |  FROM kept CROSS JOIN tot),
+       |sp0 AS (
+       |  SELECT s.word, s.freq, s.j + s.l AS i, s.j, p.lp
+       |  FROM (SELECT word, freq, j, l, substr(word, j + 1, l) AS piece
+       |        FROM spl WHERE j + l <= length(word)) s
+       |  JOIN probs p USING (piece)),
+       |ws AS (
+       |  SELECT word, freq, length(word) AS n,
+       |         list(struct_pack(i := i, j := j, lp := lp) ORDER BY i, j) AS spans
+       |  FROM sp0 GROUP BY word, freq),
+       |dp AS (
+       |  SELECT word, freq, spans, n, CAST(0 AS BIGINT) AS pos,
+       |         [CAST(0 AS BIGINT)] AS scores, [CAST(-1 AS BIGINT)] AS prevs
+       |  FROM ws
+       |  UNION ALL
+       |  SELECT word, freq, spans, n, pos + 1,
+       |         scores || [coalesce(m, CAST($NEG AS BIGINT))],
+       |         prevs  || [coalesce(bj, CAST(-1 AS BIGINT))]
+       |  FROM (
+       |    SELECT t.*,
+       |      list_min(list_transform(
+       |        list_filter(spans, sp -> sp.i = pos + 1 AND scores[sp.j + 1] + sp.lp = m),
+       |        sp -> sp.j)) AS bj
+       |    FROM (
+       |      SELECT d.*,
+       |        list_max(list_transform(list_filter(spans, sp -> sp.i = pos + 1),
+       |          sp -> scores[sp.j + 1] + sp.lp)) AS m
+       |      FROM dp d WHERE pos < n) t)),
+       |fin AS (SELECT word, freq, n, scores, prevs FROM dp WHERE pos = n),
+       |bt AS (
+       |  SELECT word, n AS pos, CAST([] AS VARCHAR[]) AS ps FROM fin
+       |  UNION ALL
+       |  SELECT b.word, f.prevs[CAST(b.pos AS INT) + 1],
+       |         [substr(f.word, CAST(f.prevs[CAST(b.pos AS INT) + 1] AS INT) + 1,
+       |                 CAST(b.pos - f.prevs[CAST(b.pos AS INT) + 1] AS INT))] || b.ps
+       |  FROM bt b JOIN fin f USING (word) WHERE b.pos > 0),
+       |seg AS (SELECT word, ps FROM bt WHERE pos = 0)""".stripMargin
+  }
 
   /** Planted verbatim spans for the substring-dedup gate: a 17-token
     * license block appended to every 9th doc (mod 2) and a 12-token header
@@ -916,6 +999,20 @@ object TextQueries extends QueryPack {
          |  FROM probes p LEFT JOIN cells USING (r, c) GROUP BY 1),
          |ex AS (SELECT token, count(*) AS "exact" FROM tok JOIN q USING (token) GROUP BY 1)
          |SELECT token, est, "exact" FROM est JOIN ex USING (token) ORDER BY token
+         |""".stripMargin,
+    "q_unigram_step" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT f.word, f.freq, array_to_string(s.ps, '|') AS seg,
+         |       CAST(len(s.ps) AS INT) AS n_pieces,
+         |       f.scores[CAST(f.n AS INT) + 1] AS score_scaled
+         |FROM fin f JOIN seg s USING (word) ORDER BY word
+         |""".stripMargin,
+    "q_unigram_mstep" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |e AS (SELECT unnest(s.ps) AS piece, f.freq
+         |      FROM fin f JOIN seg s USING (word))
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS e_cnt
+         |FROM e GROUP BY piece ORDER BY piece
          |""".stripMargin,
     "q_text_stats" ->
       s"""SELECT doc_id,
