@@ -364,6 +364,41 @@ object WebQueries extends QueryPack {
       .orderBy(col("url"))
   }
 
+  /** Anchor-text aggregation — the relevance signal the bare link graph
+    * lacks: what OTHER pages call a target. Real HTML is built per doc
+    * (bold markup, an entity, a no-href anchor that must be skipped, an
+    * empty-text anchor), parsed by the codegen [[graft.text.HtmlExtract.HtmlAnchors]]
+    * expression, and aggregated per target host: link count, distinct
+    * texts, and the top text by (count desc, text asc) as a decomposable
+    * min(struct(-cnt, text)) — never a window. The oracle replays the
+    * CONSTRUCTION (what the extracted text must come out as).
+    */
+  private def anchorTextQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.HtmlExtract
+    HtmlExtract.register(spark)
+    val d = docs(spark, dir)
+    val html = concat(
+      lit("<p>"), col("text"),
+      lit("</p><a href=\"http://t"), pmod(col("doc_id"), lit(20)),
+      lit(".example.com/p"), pmod(col("doc_id"), lit(7)),
+      lit("\">visit <b>"), col("source"), lit("</b>&nbsp;now</a>"),
+      lit("<a name=\"x\">not a link</a><a href='http://u"),
+      pmod(col("doc_id"), lit(5)), lit(".example.com/'></a>"))
+    val anchors = d.select(explode(HtmlExtract.htmlAnchors(html)).as("a"))
+      .select(split(col("a"), "\t").getItem(0).as("href"),
+        split(col("a"), "\t").getItem(1).as("text"))
+      .withColumn("host", regexp_extract(col("href"), "^http://([^/]+)/", 1))
+    val perText = anchors.groupBy(col("host"), col("text"))
+      .agg(count(lit(1)).as("cnt"))
+    perText.groupBy(col("host")).agg(
+      sum(col("cnt")).as("n_links"),
+      count(lit(1)).as("n_texts"),
+      min(struct((-col("cnt")).as("nc"), col("text").as("t"))).as("b"))
+      .select(col("host"), col("n_links"), col("n_texts"),
+        col("b.t").as("top_text"), (-col("b.nc")).as("top_cnt"))
+      .orderBy(col("host"))
+  }
+
   /** SCD2 history over the same capture log: one row per content CHANGE
     * with `[effective_from, effective_to)` validity, consecutive same-
     * content re-crawls collapsed. content_class stands in for a content
@@ -404,6 +439,7 @@ object WebQueries extends QueryPack {
     "q_hits" -> (hitsQ _),
     "q_latest_capture" -> (latestCaptureQ _),
     "q_scd2_history" -> (scd2Q _),
+    "q_anchor_text" -> (anchorTextQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
     "q_stream_web_release" -> (streamWebReleaseQ _),
@@ -658,6 +694,25 @@ object WebQueries extends QueryPack {
         |       CAST(best.capture_ts AS BIGINT) AS capture_ts,
         |       CAST(best.doc_id AS BIGINT) AS kept_doc_id
         |FROM r ORDER BY url
+        |""".stripMargin,
+    // the oracle replays what the EXTRACTED anchor text must equal: bold
+    // tags strip, &nbsp; decodes to a space, whitespace folds → 'visit
+    // <source> now'; the no-href anchor contributes nothing; the u-host
+    // anchor has empty text. Engine-side parsing is the thing under test
+    "q_anchor_text" ->
+      """WITH a AS (
+        |  SELECT 't' || (doc_id % 20) || '.example.com' AS host,
+        |         'visit ' || source || ' now' AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'u' || (doc_id % 5) || '.example.com', '' FROM documents),
+        |pt AS (SELECT host, text, count(*) AS cnt FROM a GROUP BY 1, 2),
+        |top AS (SELECT host, min(struct_pack(nc := -cnt, t := text)) AS b FROM pt GROUP BY 1),
+        |tot AS (SELECT host, CAST(sum(cnt) AS BIGINT) AS n_links, count(*) AS n_texts
+        |        FROM pt GROUP BY 1)
+        |SELECT tot.host, tot.n_links, tot.n_texts, top.b.t AS top_text,
+        |       -(top.b.nc) AS top_cnt
+        |FROM tot JOIN top USING (host) ORDER BY host
         |""".stripMargin,
     // SCD2: lag-collapse to changes, then lead/row_number intervals —
     // both engines order per url by (ts, doc_id), a total order

@@ -142,6 +142,46 @@ object HtmlExtract {
     out.toArray
   }
 
+  /** Anchors with their text: one `"href\ttext"` entry per `<a>` tag
+    * carrying an href, in document order — the anchor-TEXT relevance
+    * signal the bare link graph lacks (what the web calls the target,
+    * not what the target calls itself). The text is the [[extractText]]
+    * rendering of the anchor's inner HTML (inner tags stripped, entities
+    * decoded, whitespace folded) with newlines flattened to spaces; it
+    * runs to the next case-insensitive `</a` (HTML forbids nested
+    * anchors) or end of document. The tab separator is safe: `\t` is
+    * whitespace, so extractText can never emit one.
+    */
+  def extractAnchors(html: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return out.toArray
+      if (lt + 2 <= n && (html.charAt(lt + 1) == 'a' || html.charAt(lt + 1) == 'A') &&
+          (lt + 2 == n || !Character.isLetterOrDigit(html.charAt(lt + 2)))) {
+        val tagEnd = skipToTagEnd(html, lt + 2)
+        val tag = html.substring(lt, math.min(tagEnd, n))
+        attrValueRaw(tag, "href") match {
+          case Some(href) =>
+            val close = indexOfIgnoreCase(html, "</a", math.min(tagEnd, n))
+            val end = if (close < 0) n else close
+            val text = extractText(html.substring(math.min(tagEnd, n), end))
+              .replace('\n', ' ')
+            out += (href + "\t" + text)
+            i = if (close < 0) n else close + 1
+          case None => i = tagEnd
+        }
+      } else i = lt + 1
+    }
+    out.toArray
+  }
+
+  def anchorsArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      extractAnchors(html.toString).map(UTF8String.fromString).asInstanceOf[Array[Any]])
+
   /** Case-preserving variant: the attr NAME matches case-insensitively but
     * the returned value keeps its original case (needed for hrefs).
     */
@@ -316,6 +356,8 @@ object HtmlExtract {
       "graft_html_noindex", exprs => HtmlNoindex(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_html_links", exprs => HtmlLinks(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_html_anchors", exprs => HtmlAnchors(exprs.head), "built-in")
   }
 
   def htmlToText(c: Column): Column =
@@ -326,6 +368,9 @@ object HtmlExtract {
 
   def htmlLinks(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_html_links", c)
+
+  def htmlAnchors(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_html_anchors", c)
 }
 
 /** `graft_html_text(html)` — see [[HtmlExtract.extractText]]. */
@@ -367,6 +412,27 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.text.HtmlExtract.linksArray($a);")
 
   override protected def withNewChildInternal(c: Expression): HtmlLinks = copy(child = c)
+}
+
+/** `graft_html_anchors(html)` — `"href\ttext"` pairs in document order;
+  * see [[HtmlExtract.extractAnchors]].
+  */
+case class HtmlAnchors(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"input must be string, got ${child.dataType}")
+
+  override def nullSafeEval(h: Any): Any =
+    HtmlExtract.anchorsArray(h.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.text.HtmlExtract.anchorsArray($a);")
+
+  override protected def withNewChildInternal(c: Expression): HtmlAnchors = copy(child = c)
 }
 
 /** `graft_html_noindex(html)` — see [[HtmlExtract.hasNoindex]]. */

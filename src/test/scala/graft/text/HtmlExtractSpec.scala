@@ -53,6 +53,23 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(ext("&#55296;") == "&#55296;") // decimal form of 0xD800
   }
 
+  test("anchor extraction pairs href with rendered inner text") {
+    def anchors(s: String): Seq[(String, String)] =
+      HtmlExtract.extractAnchors(s).toSeq.map { a =>
+        val t = a.split("\t", -1); (t(0), t.lift(1).getOrElse(""))
+      }
+    // inner markup strips, entities decode, whitespace folds
+    assert(anchors("""x<a href="http://h/p">visit <b>here</b>&nbsp;now</a>y""") ==
+      Seq(("http://h/p", "visit here now")))
+    // no-href anchors are skipped; empty-text anchors keep an empty text
+    assert(anchors("""<a name="x">skip</a><a href='u'></a>""") == Seq(("u", "")))
+    // unquoted href, case-insensitive close tag, document order
+    assert(anchors("""<a href=/a1>one</a><A HREF="/a2">two</A>""") ==
+      Seq(("/a1", "one"), ("/a2", "two")))
+    // unterminated anchor runs to end of document; newlines flatten
+    assert(anchors("<a href=\"z\">line1<p>line2") == Seq(("z", "line1 line2")))
+  }
+
   test("whitespace folds per line; empty lines drop") {
     assert(ext("<p>  a   b  </p>\n\n<p>\t c </p>") == "a b\nc")
     assert(ext("<div></div><div>  </div><div>x</div>") == "x")
