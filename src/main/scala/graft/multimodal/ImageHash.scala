@@ -38,22 +38,23 @@ object ImageHash {
     */
   final case class ImageSignature(id: Long, dhash: Long, pooled: Array[Double])
 
-  /** Area-averaged luminance on the ROWS×COLS grid, row-major. Integer
-    * pixel/band sums accumulate in Long and divide once per cell, so the
-    * pooled values are exact rationals rendered to double — deterministic
-    * across partitionings and JVMs.
+  /** Area-averaged luminance on an arbitrary rows×cols grid, row-major.
+    * Integer pixel/band sums accumulate in Long and divide once per cell,
+    * so the pooled values are exact rationals rendered to double —
+    * deterministic across partitionings and JVMs.
     */
-  private[multimodal] def pooledLuminance(img: java.awt.image.BufferedImage): Array[Double] = {
+  private[multimodal] def pooledGrid(img: java.awt.image.BufferedImage,
+      rows: Int, cols: Int): Array[Double] = {
     val raster = img.getRaster
     val (w, h, nb) = (img.getWidth, img.getHeight, raster.getNumBands)
-    require(w >= COLS && h >= ROWS, s"image ${w}x$h smaller than the ${COLS}x$ROWS pooling grid")
-    val out = new Array[Double](ROWS * COLS)
+    require(w >= cols && h >= rows, s"image ${w}x$h smaller than the ${cols}x$rows pooling grid")
+    val out = new Array[Double](rows * cols)
     var r = 0
-    while (r < ROWS) {
-      val y0 = r * h / ROWS; val y1 = (r + 1) * h / ROWS
+    while (r < rows) {
+      val y0 = r * h / rows; val y1 = (r + 1) * h / rows
       var c = 0
-      while (c < COLS) {
-        val x0 = c * w / COLS; val x1 = (c + 1) * w / COLS
+      while (c < cols) {
+        val x0 = c * w / cols; val x1 = (c + 1) * w / cols
         var sum = 0L
         var y = y0
         while (y < y1) {
@@ -65,13 +66,16 @@ object ImageHash {
           }
           y += 1
         }
-        out(r * COLS + c) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0) * nb)
+        out(r * cols + c) = sum.toDouble / ((y1 - y0).toLong * (x1 - x0) * nb)
         c += 1
       }
       r += 1
     }
     out
   }
+
+  private[multimodal] def pooledLuminance(img: java.awt.image.BufferedImage): Array[Double] =
+    pooledGrid(img, ROWS, COLS)
 
   /** dHash bit (r, c) = 1 iff pooled(r)(c) < pooled(r)(c+1): 8 comparisons
     * per row × 8 rows = 64 bits.
@@ -127,6 +131,161 @@ object ImageHash {
         aggregate(transform(col("d"), x => abs(x - col("dbar"))), lit(0.0d), _ + _) / n)
       .filter(col("pooled_l1") <= tol)
       .select(col("id_a"), col("id_b"), round(col("pooled_l1"), 6).as("pooled_l1"))
+  }
+
+  // ---- pHash (DCT perceptual hash) — the frequency-domain head ---------
+
+  /** pHash pooling grid (32×32) and DCT block (top-left 8×8). */
+  val PH_N = 32
+  val PH_B = 8
+
+  /** DCT-II basis, [[StrictMath.cos]] so the table is bit-identical on
+    * every JVM (Math.cos may use platform intrinsics; StrictMath is
+    * specified to fdlibm exactly).
+    */
+  private lazy val phCos: Array[Array[Double]] = Array.tabulate(PH_B, PH_N)((u, x) =>
+    StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * PH_N)))
+
+  /** 63-bit pHash: separable un-normalized DCT-II of the 32×32 pooled
+    * luminance, top-left 8×8 coefficient block, DC EXCLUDED (that is what
+    * buys brightness invariance — a constant shift lands entirely in DC),
+    * bit i = AC_i > median(AC). Exactly invariant under contrast scaling
+    * by powers of two (every sum and product scales exactly; the median
+    * is an ELEMENT of the scaled set, so every comparison is preserved)
+    * and invariant under brightness shifts up to ~1e-13 coefficient noise
+    * — far below the fixture margins.
+    */
+  private[multimodal] def phash63(pooled: Array[Double]): Long = {
+    require(pooled.length == PH_N * PH_N, s"need ${PH_N}x$PH_N pooled grid")
+    val g = Array.ofDim[Double](PH_B, PH_N) // G(u, y) = row-direction pass
+    var u = 0
+    while (u < PH_B) {
+      var y = 0
+      while (y < PH_N) {
+        var s = 0.0
+        var x = 0
+        while (x < PH_N) { s += pooled(y * PH_N + x) * phCos(u)(x); x += 1 }
+        g(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val f = new Array[Double](PH_B * PH_B)
+    u = 0
+    while (u < PH_B) {
+      var v = 0
+      while (v < PH_B) {
+        var s = 0.0
+        var y = 0
+        while (y < PH_N) { s += g(u)(y) * phCos(v)(y); y += 1 }
+        f(u * PH_B + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(f, 1, PH_B * PH_B) // 63 AC coeffs
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31) // exact middle element of 63
+    var bits = 0L
+    var i = 0
+    while (i < 63) { if (ac(i) > med) bits |= 1L << i; i += 1 }
+    bits
+  }
+
+  /** Z-score normalization of the pooled grid — the pHash verify vector:
+    * EXACTLY invariant under power-of-two contrast scaling (scaling
+    * commutes with IEEE rounding, /1024 and sqrt(4v)=2·sqrt(v) are exact)
+    * and brightness-invariant to fp noise. Division by n=1024 (a power of
+    * two) is exact for any double.
+    */
+  private[multimodal] def zScores(p: Array[Double]): Array[Double] = {
+    val n = p.length
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += p(i); i += 1 }
+    val mean = s / n
+    var v = 0.0
+    i = 0
+    while (i < n) { val d = p(i) - mean; v += d * d; i += 1 }
+    val std = math.sqrt(v / n)
+    require(std > 0, "constant image has no pHash")
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = (p(i) - mean) / std; i += 1 }
+    out
+  }
+
+  /** Per-image pHash signature: the 63-bit hash plus the z-normalized
+    * 32×32 grid the exact-verify stage reads (8 KB/row — the verify
+    * payload, like the dHash pooled grid, never the decoded raster).
+    */
+  final case class PhashSignature(id: Long, phash: Long, z: Array[Double])
+
+  def phashSignatures(media: Dataset[Multimodal.MediaRecord]): Dataset[PhashSignature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(m.media))
+        require(img != null, s"undecodable ${m.mediaType} payload for id ${m.id}")
+        val pooled = pooledGrid(img, PH_N, PH_N)
+        PhashSignature(m.id, phash63(pooled), zScores(pooled))
+      }
+    }
+  }
+
+  /** pHash near-dup pairs: equi-join on the 63-bit hash (banded-candidate
+    * discipline), exact verify = mean |z_a − z_b| ≤ tol. Brightness- and
+    * contrast-modified copies verify at (numerically) zero; 63-bit
+    * collisions between unrelated images are rejected here.
+    */
+  def phashNearDupPairs(sig: DataFrame, tol: Double): DataFrame = {
+    val n = lit((PH_N * PH_N).toDouble)
+    val a = sig.select(col("id").as("id_a"), col("phash"), col("z").as("za"))
+    val b = sig.select(col("id").as("id_b"), col("phash"), col("z").as("zb"))
+    a.join(b, Seq("phash"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("z_l1",
+        aggregate(zip_with(col("za"), col("zb"), (x, y) => abs(x - y)), lit(0.0d), _ + _) / n)
+      .filter(col("z_l1") <= tol)
+      .select(col("id_a"), col("id_b"), round(col("z_l1"), 6).as("z_l1"))
+  }
+
+  /** Deterministic pattern PNG with a contrast control for the pHash
+    * fixtures: grayscale,
+    * px = (8 + (xs·x + ys·y + x²%13 + 3·y²%11 + 29·patternId) mod 100)
+    * · scale + shift. The quadratic texture terms matter: a PURE linear
+    * sawtooth has exactly-duplicated DCT coefficients, which park AC
+    * values exactly on the median — a knife edge where the ~1e-13
+    * brightness-shift coefficient noise can flip a hash bit (real images
+    * never have bit-identical DCT coefficients; the degenerate synthetic
+    * ones did). Max sample (8+99)·scale + shift must stay ≤ 255 —
+    * enforced — so a scaled/shifted copy is EXACTLY the base image under
+    * the affine map and the invariance arguments are exact.
+    */
+  def syntheticAffinePng(patternId: Long, width: Int, height: Int,
+      shift: Int, scale: Int): Array[Byte] = {
+    require(scale >= 1 && 107 * scale + shift <= 255,
+      s"scale=$scale shift=$shift would clamp at 255")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    val xs = 3 + (patternId % 11).toInt
+    val ys = 2 + (patternId % 7).toInt
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0,
+          (8 + ((xs * x + ys * y + (x * x) % 13 + 3 * ((y * y) % 11) +
+            29 * patternId) % 100).toInt) * scale + shift)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Deterministic pattern PNG for the near-dup fixtures: grayscale,

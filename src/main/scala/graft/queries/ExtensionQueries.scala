@@ -118,6 +118,45 @@ object ExtensionQueries extends QueryPack {
     ImageHash.nearDupPairs(sig, tol = 2.0).orderBy(col("id_a"))
   }
 
+  /** pHash twin fixture: even ids are base patterns (dims ≥ the 32×32
+    * pHash pooling grid); odd ids are a brightness twin (+40) when
+    * k%3==0, an exact ×2 CONTRAST twin when k%3==1 (the invariance dHash
+    * shares but the z-verify must also survive exactly), and an
+    * unrelated pattern otherwise.
+    */
+  private def phashPairMedia(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val k = id / 2
+        val role = k % 3
+        val twin = id % 2 == 1
+        val patternId = if (!twin || role <= 1) k else k + 1000000L
+        val (shift, scale) =
+          if (twin && role == 0) (40, 1)
+          else if (twin && role == 1) (0, 2)
+          else (0, 1)
+        val w = 32 + (patternId * 13 % 48).toInt
+        val h = 32 + (patternId * 7 % 48).toInt
+        Multimodal.MediaRecord(id,
+          graft.multimodal.ImageHash.syntheticAffinePng(patternId, w, h, shift, scale),
+          "image/png")
+      }
+  }
+
+  /** DCT perceptual hash near-dup: REAL decode → 32×32 pooled luminance →
+    * separable DCT-II → 63-bit AC-median hash → equi-join → z-score exact
+    * verify. The oracle replays the planted-twin construction: both twin
+    * kinds must land at z-distance (numerically) zero.
+    */
+  private def imagePhashQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.ImageHash
+    val sig = ImageHash.phashSignatures(phashPairMedia(spark, dir)).toDF()
+    ImageHash.phashNearDupPairs(sig, tol = 1e-6).orderBy(col("id_a"), col("id_b"))
+  }
+
   private def decodeQ(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decode(mediaMixed(spark, dir)).toDF()
       // nBytes is the PNG-compressed size — real but not SQL-derivable, so
@@ -328,6 +367,7 @@ object ExtensionQueries extends QueryPack {
     "q_zorder_layout" -> (zorderQ _),
     "q_multimodal_features" -> (featuresQ _),
     "q_image_neardup" -> (imageNearDupQ _),
+    "q_image_phash" -> (imagePhashQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_range_join_auto" -> (rangeJoinAutoQ _),
     "q_topk_per_key" -> (topKPerKeyQ _),
@@ -466,6 +506,14 @@ object ExtensionQueries extends QueryPack {
     "q_topk_per_key" -> topKOracle,
     // identical semantics — the optimizer rewrite only changes the plan
     "q_topk_auto" -> topKOracle,
+    // planted pHash twins: brightness (+40) pairs at k%3==0, exact x2
+    // contrast pairs at k%3==1; both verify at (rounded) zero z-distance
+    "q_image_phash" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0.0 AS z_l1
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0 AND (a.doc_id // 2) % 3 IN (0, 1)
+        |ORDER BY id_a, id_b
+        |""".stripMargin,
     "q_image_neardup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0.0 AS pooled_l1
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1

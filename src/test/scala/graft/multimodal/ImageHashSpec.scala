@@ -12,6 +12,53 @@ class ImageHashSpec extends SparkTestBase {
     ImageHash.ImageSignature(0L, ImageHash.dHash64(pooled), pooled)
   }
 
+  private def phashOf(bytes: Array[Byte]): (Long, Array[Double]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val pooled = ImageHash.pooledGrid(img, ImageHash.PH_N, ImageHash.PH_N)
+    (ImageHash.phash63(pooled), ImageHash.zScores(pooled))
+  }
+
+  test("pHash is invariant to brightness shift AND exact contrast doubling") {
+    for (p <- Seq(0L, 7L, 99L, 5432L)) {
+      val (hBase, zBase) = phashOf(ImageHash.syntheticAffinePng(p, 48, 40, 0, 1))
+      val (hShift, zShift) = phashOf(ImageHash.syntheticAffinePng(p, 48, 40, 40, 1))
+      val (hScale, zScale) = phashOf(ImageHash.syntheticAffinePng(p, 48, 40, 0, 2))
+      assert(hBase == hShift, s"pattern $p brightness")
+      assert(hBase == hScale, s"pattern $p contrast")
+      // contrast z-scores are EXACTLY equal (power-of-two scaling commutes
+      // with IEEE rounding); brightness z-scores equal to fp noise
+      assert(zBase.zip(zScale).forall { case (a, b) => a == b }, s"pattern $p z exact")
+      val l1 = zBase.zip(zShift).map { case (a, b) => math.abs(a - b) }.sum / zBase.length
+      assert(l1 < 1e-9, s"pattern $p z l1 $l1")
+    }
+  }
+
+  test("pHash distinguishes distinct patterns") {
+    val hashes = Seq(0L, 1L, 2L, 3L, 17L, 1000004L)
+      .map(p => phashOf(ImageHash.syntheticAffinePng(p, 48, 40, 0, 1))._1)
+    assert(hashes.distinct.size == hashes.size)
+  }
+
+  test("phashNearDupPairs finds exactly the planted twins on a mixed set") {
+    // ids 0..11: base/twin pairs per the gate construction — k%3==0
+    // brightness, k%3==1 contrast, k%3==2 unrelated
+    val media = (0L until 12L).map { id =>
+      val k = id / 2
+      val role = k % 3
+      val twin = id % 2 == 1
+      val pid = if (!twin || role <= 1) k else k + 1000000L
+      val (shift, scale) =
+        if (twin && role == 0) (40, 1) else if (twin && role == 1) (0, 2) else (0, 1)
+      Multimodal.MediaRecord(id,
+        ImageHash.syntheticAffinePng(pid, 48 + (pid % 7).toInt, 40 + (pid % 5).toInt, shift, scale),
+        "image/png")
+    }
+    val sig = ImageHash.phashSignatures(sp.createDataset(media)).toDF()
+    val pairs = ImageHash.phashNearDupPairs(sig, tol = 1e-6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L), (6L, 7L), (8L, 9L)))
+  }
+
   test("dHash is invariant to a global brightness shift (the planted-twin construction)") {
     for (p <- Seq(0L, 5L, 41L, 1234L)) {
       val base = sigOf(ImageHash.syntheticPatternPng(p, 40, 32, shift = 0))
