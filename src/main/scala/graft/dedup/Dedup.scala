@@ -691,6 +691,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Verified near-dup pairs TOUCHING a batch: exactly
+    * `simhashJaccardPairs(known).filter(id_a ∈ batch OR id_b ∈ batch)`,
+    * computed WITHOUT the accumulated side's quadratic self-join — the
+    * banded probe side is restricted to the batch's rows before the
+    * bucket join, so cost is |batch|·(bucket density), never |known|².
+    * Pigeonhole recall is preserved (a qualifying pair has ≥1 shared
+    * band, and its batch endpoint is on the probe side); both-in-batch
+    * pairs appear from both directions and dedupe. This is the
+    * incremental-maintenance head: at 100 TB the banded side lives as
+    * the persistent bucketed index and this probe is shuffle-free.
+    */
+  def simhashJaccardPairsTouching(
+      known: DataFrame,
+      batchIds: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 1,
+      threshold: Double = 0.9,
+      bits: Int = 48,
+      nBands: Int = 12,
+      maxHamming: Int = 11): DataFrame = {
+    require(maxHamming < nBands, s"pigeonhole needs maxHamming ($maxHamming) < nBands ($nBands)")
+    require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
+    val spark = known.sparkSession
+    import spark.implicits._
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val sigs = simhash(known, idCol, textCol, bits)
+    val banded = sigs.crossJoin(broadcast((0 until nBands).toDF("band")))
+      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    val ids = batchIds.select(col(batchIds.columns.head).as("id"))
+    val probe = banded.join(ids, Seq("id"), "left_semi")
+      .select(col("id").as("id_x"), col("simhash").as("sig_x"), col("band"), col("bkey"))
+    val index = banded
+      .select(col("id").as("id_y"), col("simhash").as("sig_y"), col("band"), col("bkey"))
+    val cands = probe.join(index, Seq("band", "bkey"))
+      .filter(col("id_x") =!= col("id_y"))
+      .filter(expr("bit_count(sig_x ^ sig_y)") <= maxHamming)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val sh = known.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** 32-bit SimHash over tokens: bit b of the signature is the sign of
     * Σ_tokens (±1 depending on bit b of the token's 60-bit hash).
     * Computed as explode(tokens) × 32 bit positions → conditional sum —

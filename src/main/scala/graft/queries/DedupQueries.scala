@@ -128,8 +128,8 @@ object DedupQueries extends QueryPack {
       // plus the pairs touching the batch. The final snapshot must equal
       // the one-shot full-graph CC — q_dedup_clusters' oracle verbatim.
       graft.streaming.StreamingOps.streamIncrementalCC(s, dir,
-        known => Dedup.simhashJaccardPairs(known, "doc_id", "text", N, CLUSTER_THR)
-          .select("id_a", "id_b"),
+        (known, batchIds) => Dedup.simhashJaccardPairsTouching(
+          known, batchIds, "doc_id", "text", N, CLUSTER_THR),
         nChunks = 5,
         queryName = s"stream_cc_${math.abs(dir.hashCode)}")
     }),

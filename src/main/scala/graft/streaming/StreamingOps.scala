@@ -699,14 +699,16 @@ object StreamingOps {
     * The final snapshot therefore equals the one-shot CC of the whole
     * corpus — the batch oracle verifies the streamed path verbatim.
     * Gate-scale note: `pairsFn` re-derives the accumulated side's
-    * signatures each batch; the production deployment probes the
-    * PERSISTENT banded index (`Dedup.persistentBandedIndex`) instead, so
-    * per-batch cost is probe-sized. The maintenance identity is the same.
+    * SIGNATURES each batch (linear in |known|, since the asymmetric
+    * probe removes the quadratic self-join term); the production
+    * deployment keeps the banded side as the PERSISTENT bucketed index
+    * (`Dedup.persistentBandedIndex`) so even that linear pass amortizes
+    * to index maintenance. The maintenance identity is the same.
     */
   def streamIncrementalCC(
       spark: SparkSession,
       dir: String,
-      pairsFn: DataFrame => DataFrame,
+      pairsFn: (DataFrame, DataFrame) => DataFrame,
       nChunks: Int = 5,
       queryName: String = "stream_cc"): DataFrame = {
     import graft.dedup.Dedup
@@ -736,12 +738,11 @@ object StreamingOps {
         val acc = subdirs(s"$root/acc")
         val known = if (acc.isEmpty) batchDocs
           else sp.read.parquet(acc: _*).unionByName(batchDocs)
-        val pairs = pairsFn(known)
-        val touching = pairs
-          .join(batchIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
-          .unionByName(pairs
-            .join(batchIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi"))
-          .distinct()
+        // pairsFn(known, batchIds) must return exactly the verified pairs
+        // with >= 1 endpoint in the batch — the asymmetric banded probe
+        // (e.g. Dedup.simhashJaccardPairsTouching) does it without the
+        // accumulated side's quadratic self-join
+        val touching = pairsFn(known, batchIds).select("id_a", "id_b").distinct()
         val prevDir = s"$root/labels/b${batchId - 1}"
         val prev = if (batchId == 0 || !new java.io.File(prevDir).exists()) {
           import sp.implicits._

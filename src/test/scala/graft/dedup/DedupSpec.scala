@@ -286,6 +286,22 @@ class DedupSpec extends SparkTestBase {
     assert(wide.exists { case (a, b, _) => a == 0L && b == 1L }) // exact dup
   }
 
+  test("touching head equals the full pair set restricted to batch endpoints") {
+    import spark.implicits._
+    // realistic slice: the sf0.001 documents table, batch = every 5th doc
+    val d = graft.sources.Tables.cached(spark, "/root/testdata/sf0.001", "documents")
+    val batchIds = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val got = Dedup.simhashJaccardPairsTouching(d, batchIds, "doc_id", "text")
+      .select("id_a", "id_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.simhashJaccardPairs(d, "doc_id", "text")
+      .select("id_a", "id_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter { case (a, b, _) => a % 5 == 0 || b % 5 == 0 }
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < full.size) // restriction is real
+  }
+
   test("clusterSplit: no near-dup pair ever straddles train/holdout") {
     import spark.implicits._
     // three exact-dup families + singletons: every family must land whole

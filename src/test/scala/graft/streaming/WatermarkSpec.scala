@@ -232,14 +232,15 @@ class WatermarkSpec extends SparkTestBase {
   test("streamed incremental CC snapshots converge to the one-shot full-graph clustering") {
     import graft.dedup.Dedup
     val dir = "/root/testdata/sf0.001"
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      Dedup.simhashNearDupPairs(df, "doc_id", "text").select("id_a", "id_b")
-    val streamed = StreamingOps.streamIncrementalCC(spark, dir, pairs,
+    val streamed = StreamingOps.streamIncrementalCC(spark, dir,
+      (known, batchIds) => Dedup.simhashJaccardPairsTouching(
+        known, batchIds, "doc_id", "text"),
       nChunks = 4, queryName = s"cc_stream_${System.nanoTime()}")
       .collect().map(_.toSeq).toSet
     val d = graft.sources.Tables.cached(spark, dir, "documents")
     val batch = Dedup.connectedComponents(
-      d.select(col("doc_id").as("id")), pairs(d))
+      d.select(col("doc_id").as("id")),
+      Dedup.simhashJaccardPairs(d, "doc_id", "text").select("id_a", "id_b"))
       .collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
