@@ -100,6 +100,18 @@ object TextQueries extends QueryPack {
     "q_pack_fill" -> ((s, dir) =>
       graft.text.Packing.packFill(docs(s, dir), "doc_id", "text",
         budget = 256, nShards = 8, maxPacksSpanned = 1000L)),
+    // whole-document FFD bin packing (the no-split SFT shape): per-shard
+    // descending fold, first-fit via array_position — replayed move for
+    // move by the oracle's recursive CTE. nShards scales with the corpus
+    // (~50 docs/shard) because the per-shard fold is O(docs·bins): shard
+    // size, not corpus size, is the bounded unit — both engines derive
+    // the SAME count from the data
+    "q_pack_ffd" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nSh = math.max(1, math.ceil(d.count() / 50.0).toInt)
+      graft.text.Packing.packBestFit(d, "doc_id", "text",
+        budget = 100, nShards = nSh).orderBy(col("doc_id"))
+    }),
     // BPE vocabulary training step: learn the best merge on the corpus word
     // histogram, apply it, report the resulting top-20 pair counts
     "q_bpe_merge" -> ((s, dir) =>
@@ -531,6 +543,38 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, shard, n_tokens, "offset", pack_id, offset_in_pack,
          |       packs_spanned
          |FROM p
+         |""".stripMargin,
+    // FFD fold replay: recursive CTE carrying (loads, assignments); the
+    // first-fit index is 1-based list_position on both engines, and the
+    // index lambda in list_transform is 1-based here vs 0-based in Spark
+    // — both compare against the SAME 1-based fit position
+    "q_pack_ffd" ->
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT doc_id,
+         |         doc_id % (SELECT greatest(CAST(ceil(count(*) / 50.0) AS BIGINT), 1) FROM documents) AS shard,
+         |         CAST(len($toks) AS INT) AS n
+         |  FROM documents),
+         |sh AS (SELECT shard,
+         |         list(struct_pack(negn := -n, id := doc_id) ORDER BY -n, doc_id) AS ds
+         |       FROM d0 GROUP BY shard),
+         |fold(shard, ds, t, loads, asg) AS (
+         |  SELECT shard, ds, 0, CAST([] AS BIGINT[]), CAST([] AS INT[]) FROM sh
+         |  UNION ALL
+         |  SELECT shard, ds, t + 1,
+         |    CASE WHEN fit IS NULL OR fit = 0 THEN loads || [CAST(n1 AS BIGINT)]
+         |         ELSE list_transform(loads, (l, i) -> CASE WHEN i = fit THEN l + n1 ELSE l END)
+         |    END,
+         |    asg || [CASE WHEN fit IS NULL OR fit = 0 THEN CAST(len(loads) AS INT)
+         |                 ELSE CAST(fit - 1 AS INT) END]
+         |  FROM (
+         |    SELECT f.*, -(ds[t + 1].negn) AS n1,
+         |      list_position(list_transform(loads,
+         |        l -> l - ds[t + 1].negn <= CAST(100 AS BIGINT)), true) AS fit
+         |    FROM fold f WHERE t < len(ds)) s),
+         |fin AS (SELECT shard, ds, asg FROM fold WHERE t = len(ds)),
+         |u AS (SELECT shard, unnest(ds) AS d, unnest(asg) AS bin FROM fin)
+         |SELECT d.id AS doc_id, shard, -(d.negn) AS n_tokens, bin
+         |FROM u ORDER BY doc_id
          |""".stripMargin,
     "q_pack_fill" ->
       s"""$packCte,

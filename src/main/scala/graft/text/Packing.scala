@@ -111,6 +111,71 @@ object Packing {
     * raise_error instead of silently exploding one task. The DuckDB oracle
     * mirrors the bound with its JOIN range(0, max) expansion.
     */
+  /** Whole-document first-fit-decreasing bin packing — the NO-SPLIT
+    * complement of [[packOffsets]]: every document lands entirely in one
+    * bin (the shape SFT/instruction corpora need, where an example must
+    * not cross a sequence boundary), and FFD's 11/9·OPT+1 guarantee keeps
+    * wasted budget near the information-theoretic floor where greedy
+    * next-fit leaves ~half-empty tails.
+    *
+    * Scale shape: documents hash-shard (same discipline as the offset
+    * packer), each shard's list sorts DESCENDING by (tokens, id) inside a
+    * bounded `sort_array(collect_list(...))`, and the fold itself is ONE
+    * row-local `aggregate` expression carrying (bin loads, assignments) —
+    * the sequential-by-nature algorithm runs per shard, in parallel
+    * across shards, with one shuffle total. The BOUNDED UNIT is the
+    * shard, harder than the offset packer's memory rule: the fold is
+    * O(docs·bins) per shard (the loads array is rescanned and rebuilt per
+    * document), so callers scale `nShards` to pin ~50–500 documents per
+    * shard — per-shard cost is then constant and total cost linear, at
+    * any corpus size. First-fit = 1-based `array_position` of the first
+    * bin with room — the same primitive in the DuckDB oracle, so the
+    * fold replays exactly. A document larger than the budget opens its
+    * own overflow bin (no split, disclosed).
+    *
+    * Output: (idCol, shard, n_tokens, bin) — bin is the 0-based FFD bin
+    * index within the shard.
+    */
+  def packBestFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      nShards: Int): DataFrame = {
+    require(budget > 0 && nShards > 0, "budget and nShards must be positive")
+    val docs = df.select(
+      col(idCol).as("id"),
+      pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+      tokenCount(col(textCol)).as("n_tokens"))
+    // descending (tokens, then ascending id for ties): sort ascending on
+    // (-tokens, id)
+    val sharded = docs.groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct((-col("n_tokens")).as("negn"), col("id"))))
+        .as("ds"))
+    val foldExpr =
+      s"""aggregate(
+         |  ds,
+         |  named_struct('loads', CAST(array() AS array<bigint>),
+         |               'asg', CAST(array() AS array<int>)),
+         |  (acc, d) -> named_struct(
+         |    'loads',
+         |    IF(array_position(transform(acc.loads, l -> l - d.negn <= CAST($budget AS BIGINT)), true) > 0,
+         |       transform(acc.loads, (l, i) ->
+         |         IF(i = CAST(array_position(transform(acc.loads, l2 -> l2 - d.negn <= CAST($budget AS BIGINT)), true) AS INT) - 1,
+         |            l - d.negn, l)),
+         |       concat(acc.loads, array(CAST(-d.negn AS BIGINT)))),
+         |    'asg',
+         |    concat(acc.asg, array(
+         |      IF(array_position(transform(acc.loads, l -> l - d.negn <= CAST($budget AS BIGINT)), true) > 0,
+         |         CAST(array_position(transform(acc.loads, l2 -> l2 - d.negn <= CAST($budget AS BIGINT)), true) AS INT) - 1,
+         |         size(acc.loads))))))""".stripMargin
+    sharded
+      .withColumn("folded", expr(foldExpr))
+      .select(col("shard"), explode(arrays_zip(col("ds"), col("folded.asg"))).as("z"))
+      .select(col("z.ds.id").as(idCol), col("shard"),
+        (-col("z.ds.negn")).as("n_tokens"), col("z.asg").as("bin"))
+  }
+
   def packFill(
       df: DataFrame,
       idCol: String,

@@ -82,6 +82,53 @@ class PackingSpec extends SparkTestBase {
     assert(run() === run())
   }
 
+  test("packBestFit: hand-traced FFD fold on one shard") {
+    // budget 10, sizes 6,5,4,3,2 → sorted desc: 6→bin0, 5→bin1 (6+5>10),
+    // 4→bin0 (=10), 3→bin1 (=8), 2→bin1 (=10): two exactly-full bins
+    val docs = Seq(doc(0L, 6), doc(1L, 5), doc(2L, 4), doc(3L, 3), doc(4L, 2))
+      .toDF("doc_id", "text")
+    val out = Packing.packBestFit(docs, "doc_id", "text", budget = 10, nShards = 1)
+      .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+    assert(out == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("packBestFit: an over-budget document opens its own overflow bin") {
+    val docs = Seq(doc(0L, 15), doc(1L, 9), doc(2L, 2)).toDF("doc_id", "text")
+    val out = Packing.packBestFit(docs, "doc_id", "text", budget = 10, nShards = 1)
+      .select("doc_id", "bin").as[(Long, Int)].collect().toMap
+    // 15 → bin0 alone (overflow); 9 → bin1; 2 → bin1? 9+2>10 → no, bin2...
+    // first-fit checks bin0 (15+2>10) then bin1 (9+2>10) → new bin2
+    assert(out == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+
+  test("packBestFit invariants on the harness corpus: loads bounded, fewer bins than arrival-order next-fit") {
+    val d = graft.sources.Tables.cached(spark, "/root/testdata/sf0.001", "documents")
+    val out = Packing.packBestFit(d, "doc_id", "text", budget = 100, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Int, Int)].collect()
+    // recompute loads: every multi-doc bin within budget; overflow bins solo
+    out.groupBy(t => (t._2, t._4)).foreach { case ((s, b), ds) =>
+      val load = ds.map(_._3).sum
+      assert(load <= 100 || ds.length == 1, s"shard $s bin $b load $load")
+    }
+    // FFD uses no more bins than a doc_id-order greedy next-fit per shard
+    val ffdBins = out.groupBy(_._2).view.mapValues(_.map(_._4).max + 1).toMap
+    val nfBins = out.groupBy(_._2).view.mapValues { ds =>
+      var bins = 1; var load = 0
+      ds.sortBy(_._1).foreach { t =>
+        if (load + t._3 > 100 && load > 0) { bins += 1; load = 0 }
+        load += t._3
+      }
+      bins
+    }.toMap
+    ffdBins.foreach { case (s, n) => assert(n <= nfBins(s), s"shard $s ffd $n nf ${nfBins(s)}") }
+    // deterministic under physical layout changes
+    val again = Packing.packBestFit(d.repartition(13), "doc_id", "text", budget = 100, nShards = 4)
+      .select("doc_id", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(again.toSet == out.toSet)
+  }
+
   test("packOffsetsKeyed: each key stripe packs exactly like a standalone run") {
     val docs = (0L until 40L).map(i =>
       (i, (0 until (i % 7 + 1).toInt).map(t => s"w$t").mkString(" "),
