@@ -116,8 +116,12 @@ object DedupQueries extends QueryPack {
         .select("id_a", "id_b")
       val baseLabels = Dedup.connectedComponents(
         base.select(col("doc_id").as("id")), basePairs)
-      val touching = Dedup.simhashJaccardPairs(d, "doc_id", "text", N, CLUSTER_THR)
-        .filter(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+      // asymmetric touching head: identical to the full pair set filtered
+      // to batch endpoints (DedupSpec-proven), without the base side's
+      // quadratic self-join
+      val touching = Dedup.simhashJaccardPairsTouching(d,
+          d.filter(col("doc_id") % 5 === 0).select("doc_id"),
+          "doc_id", "text", N, CLUSTER_THR)
         .select("id_a", "id_b")
       Dedup.incrementalComponents(baseLabels,
         d.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id")), touching)
