@@ -419,6 +419,26 @@ object WebQueries extends QueryPack {
       .orderBy(col("url"), col("version"))
   }
 
+  /** Streaming SCD2: the same capture log arriving as document chunks,
+    * history maintained per batch (only touched URLs rebuild). Final
+    * table ≡ the one-shot batch build — q_scd2_history's oracle
+    * verbatim.
+    */
+  private def streamScd2Q(spark: SparkSession, dir: String): DataFrame = {
+    val proj = (b: DataFrame) => b.select(
+      col("doc_id"),
+      concat(lit("http://"), col("source"), lit(".example.com/page/"),
+        pmod(col("doc_id"), lit(97))).as("url"),
+      pmod(col("doc_id") * 7919, lit(100000)).as("capture_ts"),
+      pmod(col("doc_id"), lit(3)).as("content_class"))
+    graft.streaming.StreamingOps.streamScd2(spark, dir, proj,
+      "url", "capture_ts", "content_class", "doc_id",
+      queryName = s"stream_scd2_${math.abs(dir.hashCode)}")
+      .select(col("url"), col("version"), col("effective_from"), col("effective_to"),
+        col("content_class"), col("doc_id").as("since_doc_id"))
+      .orderBy(col("url"), col("version"))
+  }
+
   /** Streamed crawl ingest (archive-per-trigger) closed with the same
     * aggregation — per-archive independence makes it verifiable by the
     * batch oracle verbatim.
@@ -439,6 +459,7 @@ object WebQueries extends QueryPack {
     "q_hits" -> (hitsQ _),
     "q_latest_capture" -> (latestCaptureQ _),
     "q_scd2_history" -> (scd2Q _),
+    "q_stream_scd2" -> (streamScd2Q _),
     "q_anchor_text" -> (anchorTextQ _),
     "q_url_canonical" -> (urlCanonicalQ _),
     "q_web_release" -> (webReleaseQ _),
@@ -713,6 +734,25 @@ object WebQueries extends QueryPack {
         |SELECT tot.host, tot.n_links, tot.n_texts, top.b.t AS top_text,
         |       -(top.b.nc) AS top_cnt
         |FROM tot JOIN top USING (host) ORDER BY host
+        |""".stripMargin,
+    // streamed maintenance must land on the identical history — same
+    // oracle verbatim
+    "q_stream_scd2" ->
+      """WITH c AS (SELECT doc_id,
+        |                  'http://' || source || '.example.com/page/' || (doc_id % 97) AS url,
+        |                  CAST((doc_id * 7919) % 100000 AS BIGINT) AS ts,
+        |                  CAST(doc_id % 3 AS BIGINT) AS cc
+        |           FROM documents),
+        |k AS (SELECT *, lag(cc) OVER (PARTITION BY url ORDER BY ts, doc_id) AS prev FROM c),
+        |ch AS (SELECT * FROM k WHERE prev IS NULL OR prev <> cc),
+        |v AS (SELECT url,
+        |             CAST(row_number() OVER w AS INT) AS version,
+        |             ts AS effective_from,
+        |             lead(ts) OVER w AS effective_to,
+        |             cc AS content_class,
+        |             doc_id AS since_doc_id
+        |      FROM ch WINDOW w AS (PARTITION BY url ORDER BY ts, doc_id))
+        |SELECT * FROM v ORDER BY url, version
         |""".stripMargin,
     // SCD2: lag-collapse to changes, then lead/row_number intervals —
     // both engines order per url by (ts, doc_id), a total order

@@ -249,6 +249,29 @@ class WatermarkSpec extends SparkTestBase {
     assert(multi.nonEmpty)
   }
 
+  test("streamed SCD2 maintenance converges to the one-shot history build") {
+    import org.apache.spark.sql.DataFrame
+    val dir = "/root/testdata/sf0.001"
+    val proj = (b: DataFrame) => b.select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(17)).as("key"), // keys straddle chunks
+      pmod(col("doc_id") * 7919, lit(1000)).as("ts"),
+      pmod(col("doc_id"), lit(3)).as("cc"))
+    val streamed = StreamingOps.streamScd2(spark, dir, proj,
+      "key", "ts", "cc", "doc_id",
+      nChunks = 4, queryName = s"scd2_stream_${System.nanoTime()}")
+      .select("key", "version", "effective_from", "effective_to", "cc")
+      .collect().map(_.toSeq).toSet
+    val d = graft.sources.Tables.cached(spark, dir, "documents")
+    val batch = graft.ops.Scd2.buildHistory(proj(d), "key", "ts", "cc", "doc_id")
+      .select("key", "version", "effective_from", "effective_to", "cc")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // non-trivial: some key has multiple versions
+    assert(batch.groupBy(_.head).exists(_._2.size > 1))
+  }
+
   test("stream-stream interval join drains to exactly the batch join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingOps.streamStreamJoin(spark, dir,
