@@ -332,6 +332,16 @@ object TextQueries extends QueryPack {
       graft.text.UnigramLm.viterbiSegment(words, probs, maxPieceLen = 4)
         .orderBy(col("word"))
     }),
+    // per-doc subword encoding: DP once per distinct word, docs join on
+    // the word key (the BPE encodePerDoc axis rule)
+    "q_unigram_encode" -> ((s, dir) => {
+      val words = graft.text.UnigramLm.wordHistogram(docs(s, dir), col("text"))
+      val probs = graft.text.UnigramLm.pieceLogProbs(
+        graft.text.UnigramLm.seedPieces(words, maxPieceLen = 4, topV = 200))
+      val segs = graft.text.UnigramLm.viterbiSegment(words, probs, maxPieceLen = 4)
+      graft.text.UnigramLm.encodePerDoc(docs(s, dir), "doc_id", col("text"), segs)
+        .orderBy(col("doc_id"))
+    }),
     "q_unigram_mstep" -> ((s, dir) => {
       val words = graft.text.UnigramLm.wordHistogram(docs(s, dir), col("text"))
       val probs = graft.text.UnigramLm.pieceLogProbs(
@@ -1050,6 +1060,16 @@ object TextQueries extends QueryPack {
          |       CAST(len(s.ps) AS INT) AS n_pieces,
          |       f.scores[CAST(f.n AS INT) + 1] AS score_scaled
          |FROM fin f JOIN seg s USING (word) ORDER BY word
+         |""".stripMargin,
+    "q_unigram_encode" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |np AS (SELECT f.word, CAST(len(s.ps) AS INT) AS n_pieces
+         |       FROM fin f JOIN seg s USING (word)),
+         |tok AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_pieces) AS BIGINT) AS n_subwords
+         |FROM tok JOIN np USING (word)
+         |WHERE length(word) > 0
+         |GROUP BY doc_id ORDER BY doc_id
          |""".stripMargin,
     "q_unigram_mstep" ->
       s"""WITH RECURSIVE $unigramCtes,

@@ -148,4 +148,44 @@ object UnigramLm {
     val segs = viterbiSegment(words, probs, maxPieceLen)
     (segs, expectedCounts(segs))
   }
+
+  /** Per-document subword encoding under trained segmentations — the BPE
+    * `encodePerDoc` counterpart: the Viterbi DP ran once per DISTINCT
+    * word, documents join the (word → piece count) frame on the word key,
+    * so cost is corpus-join-vocab, never corpus·DP.
+    */
+  def encodePerDoc(docs: DataFrame, idCol: String, textCol: Column,
+      segments: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(split(textCol, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(segments.select(col("word"), col("n_pieces")), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_subwords"))
+
+  /** Viterbi-EM driver loop: re-estimate piece probabilities from the
+    * previous round's hard counts and re-segment, `iters` times. Pieces
+    * whose expected count drops to zero prune out; the single-character
+    * closure set survives every round (floor count 1) so segmentation
+    * stays total. Each round is the same bounded vocab-axis work as
+    * [[emStep]] — the driver loop carries only DataFrame lineage, no
+    * collected state.
+    */
+  def emSteps(docs: DataFrame, textCol: Column, maxPieceLen: Int, topV: Int,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one EM iteration")
+    val words = wordHistogram(docs, textCol)
+    val seed = seedPieces(words, maxPieceLen, topV)
+    val singles = seed.filter(length(col("piece")) === 1).select(col("piece"))
+    var counts = seed
+    var segs = viterbiSegment(words, pieceLogProbs(counts), maxPieceLen)
+    var i = 1
+    while (i < iters) {
+      val e = expectedCounts(segs)
+      counts = e.join(singles, Seq("piece"), "full")
+        .select(col("piece"), coalesce(col("e_cnt"), lit(1L)).as("cnt"))
+      segs = viterbiSegment(words, pieceLogProbs(counts), maxPieceLen)
+      i += 1
+    }
+    segs
+  }
 }

@@ -72,6 +72,33 @@ class UnigramLmSpec extends SparkTestBase {
     assert(got == Map("a" -> 7L, "b" -> 5L))
   }
 
+  test("encodePerDoc: per-doc subword counts from the word-keyed join") {
+    val docs = Seq((1L, "ab ab c"), (2L, "c")).toDF("doc_id", "text")
+    val segs = Seq(("ab", 2L, "a|b", 2, -5L), ("c", 2L, "c", 1, -3L))
+      .toDF("word", "freq", "seg", "n_pieces", "score_scaled")
+    val got = UnigramLm.encodePerDoc(docs, "doc_id", col("text"), segs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, w, s) => id -> ((w, s)) }.toMap
+    assert(got == Map(1L -> ((3L, 5L)), 2L -> ((1L, 1L))))
+  }
+
+  test("EM loop: later iterations stay total, deterministic, and never worsen corpus NLL") {
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "new newer newest new"))
+      .toDF("doc_id", "text")
+    def nll(segs: org.apache.spark.sql.DataFrame): Long =
+      -segs.select(sum(col("freq") * col("score_scaled"))).as[Long].head()
+    val one = UnigramLm.emSteps(docs, col("text"), 4, 30, iters = 1)
+    val three = UnigramLm.emSteps(docs, col("text"), 4, 30, iters = 3)
+    val s3 = three.select("word", "seg").as[(String, String)].collect().toMap
+    s3.foreach { case (w, seg) => assert(seg.split("\\|").mkString == w) }
+    // hard-EM re-estimation concentrates mass on used pieces — the toy
+    // corpus NLL must not get worse (scores are exact scaled integers)
+    assert(nll(three) <= nll(one))
+    val again = UnigramLm.emSteps(docs, col("text"), 4, 30, iters = 3)
+      .collect().toSet
+    assert(again == three.collect().toSet)
+  }
+
   test("full EM step on a toy corpus is deterministic and segments every word") {
     val docs = Seq((1L, "low lower lowest low low"), (2L, "new newer newest new"))
       .toDF("doc_id", "text")
