@@ -28,6 +28,7 @@ object SparkEntry {
     ScaleQueries,
     WorkflowQueries,
     WebQueries,
+    SketchQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

@@ -787,6 +787,64 @@ object StreamingOps {
     * inputs are pure functions of batchId ⇒ idempotent under
     * foreachBatch's at-least-once replays.
     */
+  /** STREAMING HLL distinct-count maintenance: the mergeable-summaries
+    * property ([[graft.functions.DistinctSketch]]) deployed on ingest.
+    * Each micro-batch builds its own per-group register table (one
+    * bounded aggregate over the batch, ≤ groups·64 rows) and lands it in
+    * a batchId-keyed staging dir — idempotent under Structured Streaming
+    * batch replay because register max-merge is idempotent and the
+    * per-batch write is an overwrite. The corpus-wide sketch is the
+    * register-wise max across batch dirs, computed once after the drain;
+    * streamed ≡ batch holds by the merge property (spec-proven), under
+    * ANY trigger chunking. At 100 TB this is the shape distinct-count
+    * dashboards use: per-shard/per-day register tables on disk, merged at
+    * read time, never a re-scan of the corpus.
+    *
+    * Returns the same frame as the batch `q_hll_distinct` gate (per-lang +
+    * merged-ALL summary joined with exact distinct counts over the staged
+    * corpus), so the gate shares that oracle verbatim.
+    */
+  def streamHllDistinct(
+      spark: SparkSession,
+      dir: String,
+      nChunks: Int = 5,
+      queryName: String = "stream_hll"): DataFrame = {
+    import graft.functions.DistinctSketch
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val root = s"target/stream_hll_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val staging = s"$root/staging"
+    docs.repartition(nChunks, pmod(col("doc_id"), lit(nChunks)))
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DistinctSketch.hllRegisters(batch, col("lang"), col("text"), "hll")
+          .write.mode("overwrite").parquet(s"$root/regs/b$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    val merged = spark.read.parquet(s"$root/regs/*")
+      .groupBy(col("grp"), col("bucket")).agg(max(col("reg")).as("reg"))
+    val withAll = merged.unionByName(DistinctSketch.hllMergeAll(merged))
+    val corpus = spark.read.parquet(staging)
+    val exact = corpus.groupBy(col("lang").as("grp"))
+      .agg(countDistinct(col("text")).as("n_exact"))
+      .unionByName(corpus.agg(countDistinct(col("text")).as("n_exact"))
+        .select(lit("ALL").as("grp"), col("n_exact")))
+    DistinctSketch.hllSummary(withAll)
+      .join(broadcast(exact), Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("v_empty"), col("z_scaled"),
+        col("est"))
+      .orderBy(col("grp"))
+  }
+
   def streamScd2(
       spark: SparkSession,
       dir: String,
