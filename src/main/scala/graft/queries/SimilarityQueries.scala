@@ -103,6 +103,16 @@ object SimilarityQueries extends QueryPack {
       // clusters, active at sf0.1's ~625 — the oracle replays the formula)
       Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
         NEARDUP_THR, NLISTS, DIM, KM_ITERS, maxClusterSize = Some(SEM_CAP))),
+    "q_ann_sq" -> ((s, dir) => {
+      // SQ8 scalar quantization: per-dim affine int8 codes (train = one
+      // dim-bounded min/max aggregate, no codebook iterations), ADC scan
+      // over reconstructions + exact refine — the cheap compressed-domain
+      // flat path between raw floats and PQ
+      val e = emb(s, dir)
+      Similarity.sqTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
+        K, DIM, REFINE)
+    }),
     "q_ann_pq" -> ((s, dir) => {
       // product quantization: per-subspace L2 codebooks (learned, round-6
       // quantized Lloyd), ADC candidate scan over reconstructions, exact
@@ -468,6 +478,38 @@ object SimilarityQueries extends QueryPack {
          |    SELECT *, row_number() OVER (PARTITION BY query_id
          |                                 ORDER BY sim_adc DESC, neighbor_id) AS rnk_adc
          |    FROM adc) WHERE rnk_adc <= $REFINE),
+         |re AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim FROM cand),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY query_id
+         |                                     ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |      FROM re)
+         |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
+    // SQ8: DuckDB retrains the per-dim min/max, re-derives every code and
+    // reconstruction, and replays ADC + refine — floor/least/affine maps
+    // are the same IEEE expressions both sides
+    "q_ann_sq" ->
+      s"""WITH v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, $DIM) r(x)),
+         |el AS (SELECT v.vec_id, p.i, dv[p.i + 1] AS x FROM v CROSS JOIN pos p),
+         |mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM el GROUP BY 1),
+         |cd AS (SELECT vec_id, i,
+         |    CASE WHEN mx = mn THEN 0
+         |         ELSE CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) AS INT) END AS c,
+         |    mn, mx
+         |  FROM el JOIN mm USING (i)),
+         |rc AS (SELECT vec_id,
+         |    list(mn + CAST(c AS DOUBLE) * (mx - mn) / 255.0 ORDER BY i) AS rv
+         |  FROM cd GROUP BY 1),
+         |q AS (SELECT vec_id AS query_id, dv AS qv FROM v WHERE vec_id < $NQUERIES),
+         |adc AS (SELECT q.query_id, v.vec_id AS neighbor_id, v.dv AS cv, q.qv,
+         |               ${cosSql("q.qv", "r.rv")} AS sim_adc
+         |        FROM rc r JOIN v ON v.vec_id = r.vec_id CROSS JOIN q
+         |        WHERE q.query_id <> v.vec_id),
+         |cand AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY sim_adc DESC, neighbor_id) AS rnk_adc
+         |    FROM adc) t1 WHERE rnk_adc <= $REFINE),
          |re AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim FROM cand),
          |r AS (SELECT query_id, neighbor_id, sim,
          |             CAST(row_number() OVER (PARTITION BY query_id

@@ -718,4 +718,86 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
+
+  // ---------- SQ8 scalar quantization (round 6) -------------------------
+
+  /** Per-dimension (min, max) train statistics for SQ8 — one corpus
+    * aggregate on the dim-bounded position axis, collected as literals
+    * (the codebook-as-literal discipline of [[pqCodebooks]]: dim doubles,
+    * driver-tiny, shipped into codegen so the encode scan is join-free).
+    */
+  def sqMinMax(corpus: DataFrame, vecCol: String, dim: Int): (Seq[Double], Seq[Double]) = {
+    val rows = corpus
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.length == dim, s"expected $dim dims, saw ${rows.length}")
+    (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+  }
+
+  /** SQ8 encode: per-dim affine map onto 0..255, floor-quantized —
+    * `code_d = min(255, ⌊(x − mn_d)·255 / (mx_d − mn_d)⌋)` (constant dims
+    * code 0). One byte per dimension at rest vs 4 for the raw float —
+    * the flat-scan compression point between raw vectors and PQ's m-byte
+    * codes: no codebook training pass, decode is two flops, and the scan
+    * still reads 4× less than raw. Deterministic: the affine map is the
+    * same IEEE expression in the DuckDB oracle.
+    */
+  def sqCodes(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnL = typedlit(mins)
+    val mxL = typedlit(maxs)
+    transform(v, (x, i) => {
+      val mn = element_at(mnL, i + 1)
+      val mx = element_at(mxL, i + 1)
+      when(mx === mn, lit(0))
+        .otherwise(least(floor((x - mn) * lit(255.0) / (mx - mn)), lit(255.0))
+          .cast("int"))
+    })
+  }
+
+  /** SQ8 decode: `mn_d + code_d·(mx_d − mn_d) / 255` — the reconstruction
+    * the ADC candidate scan reads instead of the raw vector.
+    */
+  def sqReconstruct(codes: Column, mins: Seq[Double], maxs: Seq[Double]): Column = {
+    val mnL = typedlit(mins)
+    val mxL = typedlit(maxs)
+    transform(codes, (c, i) => {
+      val mn = element_at(mnL, i + 1)
+      val mx = element_at(mxL, i + 1)
+      mn + c.cast("double") * (mx - mn) / lit(255.0)
+    })
+  }
+
+  /** SQ8 ANN: asymmetric-distance candidate scan over the int8
+    * reconstructions + exact refine — [[pqTopK]]'s two-stage shape with
+    * scalar quantization in place of product codebooks (the FAISS
+    * SQ8 flat index). Same salted two-stage top-k; the scan side reads
+    * one byte per dimension.
+    */
+  def sqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val (mins, maxs) = sqMinMax(corpus, vecCol, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("code", sqCodes(col("cv"), mins, maxs))
+      .withColumn("recon", sqReconstruct(col("code"), mins, maxs))
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q0), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim_adc", round(cosineFast(col("qv"), col("recon")), 6))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    topKPerQuery(scored, "sim_adc", refine).drop("rnk")
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
 }

@@ -269,4 +269,53 @@ class SimilaritySpec extends SparkTestBase {
       s"bench side not broadcast:\n$plan")
     assert(!plan.contains("Window"), s"argmax must be an aggregate, not a window:\n$plan")
   }
+
+  test("sq codes are bytes in [0, 255] with min->0 and max->255 per dim") {
+    val (mins, maxs) = Similarity.sqMinMax(corpus, "embedding", DIM)
+    assert(mins.size == DIM && maxs.size == DIM)
+    assert(mins.indices.forall(i => mins(i) <= maxs(i)))
+    val enc = corpus.select(
+        Similarity.sqCodes(Similarity.asDouble(col("embedding")), mins, maxs).as("code"))
+      .as[Seq[Int]].collect()
+    assert(enc.forall(_.size == DIM))
+    assert(enc.forall(_.forall(c => c >= 0 && c <= 255)))
+    // the corpus min of each dim codes to 0 and the max to 255
+    val byDim = enc.map(_.toArray).transpose
+    assert(byDim.forall(cs => cs.min == 0 && cs.max == 255))
+  }
+
+  test("sq reconstruction error is bounded by one quantization step per dim") {
+    val (mins, maxs) = Similarity.sqMinMax(corpus, "embedding", DIM)
+    val rows = corpus.select(
+        Similarity.asDouble(col("embedding")).as("v"),
+        Similarity.sqReconstruct(
+          Similarity.sqCodes(Similarity.asDouble(col("embedding")), mins, maxs),
+          mins, maxs).as("r"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    rows.foreach { case (v, r) =>
+      v.indices.foreach { i =>
+        val step = (maxs(i) - mins(i)) / 255.0
+        assert(math.abs(v(i) - r(i)) <= step + 1e-12,
+          s"dim $i: |${v(i)} - ${r(i)}| > step $step")
+      }
+    }
+  }
+
+  test("sqTopK with refine = corpus size reproduces brute force exactly") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val sq = Similarity.sqTopK(q, corpus, "vec_id", "embedding", 5, DIM, refine = 100)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(sq === bf)
+  }
+
+  test("sqTopK recall@5 with tight refine: int8 ADC ranks the scaled copy first") {
+    val q = corpus.filter(col("vec_id") === 0L)
+    val sq = Similarity.sqTopK(q, corpus, "vec_id", "embedding", 5, DIM, refine = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    // 8-bit reconstructions are accurate enough that the cosine-1 scaled
+    // copy survives a refine cut of 5 and ranks first
+    assert(sq.find(_._4 == 1).get._2 == 1L)
+  }
 }
