@@ -109,4 +109,55 @@ object Mixture {
         sum(tokenExpr).as("n_tokens"),
         round(max(rateExpr), 6).as("rate"))
   }
+
+  /** One DoReMi domain-reweighting step (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining" —
+    * exponentiated-gradient update): from a uniform prior, each domain's
+    * weight rises with its EXCESS loss over the corpus baseline,
+    *
+    *   α_g ∝ exp(η · max(0, L_g − L̄)),   weight_g = (1−c)·α_g/Z + c/|G|
+    *
+    * where L_g is the domain's mean per-doc loss (here proxied by the
+    * corpus-LM nll from [[graft.text.LmScore]] — DoReMi's proxy-model
+    * loss slot), L̄ the corpus mean, and c the uniform smoothing that
+    * keeps every domain sampled. Harder-than-average domains get
+    * upweighted — the step that produced DoReMi's published Pile weights.
+    *
+    * Cross-engine pinning: means are 6-dp-rounded BEFORE the subtraction
+    * and exp (identical doubles in, identical doubles out), exp outputs
+    * pin to 9 dp and normalize by an EXACT DECIMAL(28,9) sum, so the only
+    * FP ops on unpinned values are single divisions/multiplies of
+    * identical operands. Scale: two aggregates on the |domains| axis (one
+    * corpus-sized map-side-combined pass each), two one-row cross joins —
+    * nothing but the input scan touches the corpus axis.
+    *
+    * Input: one row per scored doc with (domainCol, nllCol); NULL nll
+    * rows (unscoreable docs) are excluded from both means.
+    * Output: (domain, n_docs, mean_nll, excess, weight).
+    */
+  def doremiStep(
+      scored: DataFrame,
+      domainCol: String,
+      nllCol: String,
+      eta: Double = 1.0,
+      smoothing: Double = 0.01): DataFrame = {
+    require(eta > 0, s"eta must be positive: $eta")
+    require(smoothing >= 0 && smoothing < 1, s"smoothing in [0,1): $smoothing")
+    val d = scored.select(col(domainCol).as("domain"), col(nllCol).as("nll"))
+      .filter(col("nll").isNotNull)
+    val perDom = d.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 6).as("mean_nll"))
+    val overall = d.agg(round(avg(col("nll")), 6).as("mean_all"))
+    val raw = perDom.crossJoin(overall) // one scalar row
+      .withColumn("excess",
+        round(greatest(col("mean_nll") - col("mean_all"), lit(0.0)), 6))
+      .withColumn("w_raw", round(exp(lit(eta) * col("excess")), 9))
+    val z = raw.agg(
+      sum(col("w_raw").cast("decimal(28,9)")).cast("double").as("z"),
+      count(lit(1)).as("n_domains"))
+    raw.crossJoin(z) // one scalar row
+      .select(col("domain"), col("n_docs"), col("mean_nll"), col("excess"),
+        round(lit(1.0 - smoothing) * (col("w_raw") / col("z")) +
+          lit(smoothing) / col("n_domains"), 6).as("weight"))
+  }
 }

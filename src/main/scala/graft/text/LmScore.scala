@@ -58,16 +58,32 @@ object LmScore {
     * (spec-proven), only the partitioning changes.
     */
   def nllPerDoc(df: DataFrame, idCol: String, textCol: String,
-      hotK: Int = 1024, saltN: Int = 16): DataFrame = {
-    val docBigrams = df
+      hotK: Int = 1024, saltN: Int = 16): DataFrame =
+    nllPerDocCross(df, df, idCol, textCol, hotK, saltN)
+
+  /** [[nllPerDoc]] generalized to score one frame under an LM trained on
+    * ANOTHER (the Moore–Lewis cross-entropy-difference shape): counts,
+    * vocabulary, and hot-key markers come from `train`; every bigram of
+    * `score` is scored with add-one smoothing, unseen bigrams/unigrams
+    * falling back to c = 0 — i.e. P = 1/(c1 + V) for an unseen pair and
+    * 1/V for an unseen history (LEFT joins + coalesce; for train == score
+    * the left joins never miss, so this is row-identical to the original
+    * self-trained plan — the delegating [[nllPerDoc]] gates prove it).
+    */
+  def nllPerDocCross(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, hotK: Int = 1024, saltN: Int = 16): DataFrame = {
+    val docBigrams = score
       .select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val biCounts = docBigrams.groupBy(col("w1"), col("w2"))
+    val biCounts = train
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
-    val uniCounts = df
+    val uniCounts = train
       .select(explode(split(col(textCol), " ")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+    val vocab = train.select(explode(split(col(textCol), " ")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
 
     // bounded hot-key markers (deterministic tie-break so the marker set —
@@ -97,11 +113,12 @@ object LmScore {
         when(col("hot_uni").isNotNull, pmod(hash(col("id")), lit(saltN))).otherwise(lit(0)))
 
     val scored = keyed
-      .join(saltedBi, Seq("w1", "w2", "bsalt"))
-      .join(saltedUni, Seq("w1", "usalt"))
+      .join(saltedBi, Seq("w1", "w2", "bsalt"), "left")
+      .join(saltedUni, Seq("w1", "usalt"), "left")
       .crossJoin(vocab) // one scalar row
-      .withColumn("nlp", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
-    df.select(col(idCol).as("id"))
+      .withColumn("nlp", -log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("v"))))
+    score.select(col(idCol).as("id"))
       .join(scored.groupBy(col("id"))
         .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("nll")),
         Seq("id"), "left")

@@ -150,6 +150,33 @@ class LmScoreSpec extends SparkTestBase {
     }
   }
 
+  test("cross scoring: unseen bigrams and histories fall back to c = 0 add-one") {
+    // LM trained on `corpus` (unigrams a=3,b=3,c=1,x=1 → V=4; bigrams
+    // (a,b)=3,(b,c)=1); score a frame with one seen bigram, one unseen
+    // bigram over a seen history, and one fully-unseen history
+    val toScore = Seq(
+      (10L, "a b"),  // seen:       p = (3+1)/(3+4)
+      (11L, "a c"),  // unseen pair: p = (0+1)/(3+4)
+      (12L, "z q")   // unseen hist: p = (0+1)/(0+4)
+    ).toDF("doc_id", "text")
+    val out = LmScore.nllPerDocCross(corpus, toScore, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val eps = 1e-12
+    assert(math.abs(out(10L) - -math.log(4.0 / 7)) < eps)
+    assert(math.abs(out(11L) - -math.log(1.0 / 7)) < eps)
+    assert(math.abs(out(12L) - -math.log(1.0 / 4)) < eps)
+  }
+
+  test("cross scoring with train == score is row-identical to nllPerDoc") {
+    val df = ((0L to 7L).map(i => (i, "of the of the end " + ("w" + i))) :+
+      (8L, "x")).toDF("doc_id", "text")
+    val self = LmScore.nllPerDoc(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).sortBy(_._1)
+    val cross = LmScore.nllPerDocCross(df, df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).sortBy(_._1)
+    assert(self.toSeq == cross.toSeq)
+  }
+
   test("salting plan shape: broadcast marker joins, scoring shuffle keyed on salt") {
     val df = (0L to 7L).map(i => (i, "of the end " + ("w" + i))).toDF("doc_id", "text")
     val scored = LmScore.nllPerDoc(df, "doc_id", "text")
