@@ -147,6 +147,131 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Matryoshka funnel retrieval (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning"): an MRL-trained embedding packs coarse
+    * semantics into its PREFIX, so stage 1 scores candidates with the
+    * cosine of just the first `prefixDims` coordinates (cosine of the
+    * truncated vectors IS the MRL similarity — its own norms renormalize
+    * it), shortlists `refine` per query, and stage 2 re-ranks the
+    * shortlist with exact full-dimension cosine.
+    *
+    * Scale shape: the stage-1 scan does prefixDims/dim of the multiply
+    * work of brute force over the whole corpus (and at 100 TB the prefix
+    * lives as its OWN parquet column so the scan reads prefixDims/dim of
+    * the bytes too — column pruning does the rest); stage 2 touches only
+    * |queries|·refine rows, joined back to full vectors on the id key.
+    * Both ranking stages go through the salted two-stage
+    * [[topKPerQuery]]. Output: (query_id, neighbor_id, sim, rnk).
+    */
+  def mrlTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      prefixDims: Int,
+      refine: Int): DataFrame = {
+    require(prefixDims > 0, s"prefixDims must be positive: $prefixDims")
+    require(refine >= k, s"refine ($refine) must be >= k ($k)")
+    graft.functions.VectorExpressions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(slice(col(vecCol), 1, prefixDims)).as("qp"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(slice(col(vecCol), 1, prefixDims)).as("cp"),
+      asDouble(col(vecCol)).as("cv"))
+    val short = topKPerQuery(
+      c.select(col("neighbor_id"), col("cp"))
+        .crossJoin(broadcast(q.select(col("query_id"), col("qp"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("psim", round(cosineFast(col("qp"), col("cp")), 6)),
+      "psim", refine)
+    val scored = short.select(col("query_id"), col("neighbor_id"))
+      .join(c.select(col("neighbor_id"), col("cv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("sim", round(cosineFast(col("qv"), col("cv")), 6))
+    topKPerQuery(scored, "sim", k)
+      .select("query_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** Recall@k of an approximate retrieval head against the exact one —
+    * the evaluation operator for the whole ANN family (every production
+    * ANN deployment tracks this number). Both inputs are ranked lists
+    * (query_id, neighbor_id, rnk); recall is computed over each head's
+    * rows with rnk <= k.
+    *
+    * Scale shape: both inputs are top-k lists — |queries|·k rows by
+    * construction — so the hit join and the per-query aggregate are
+    * bounded regardless of corpus size. n_true can be < k when the exact
+    * head had fewer admissible candidates; recall divides by what the
+    * exact head actually returned.
+    * Output: (query_id, n_true, n_hit, recall).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+  }
+
+  /** Cluster-balanced sampling — the semantic analog of stratified
+    * sampling: strata are LEARNED k-means clusters of the embedding space
+    * (topics), and each cluster is capped at the uniform share
+    * total/nClusters, so dominant topics downsample and niche topics
+    * survive whole (the topic-rebalancing step cluster-aware curation
+    * pipelines run between dedup and mixture; same family as SemDeDup's
+    * clustering, different decision — balance, not near-dup pruning).
+    *
+    * rate_c = min(1, (total/nClusters)/n_c); acceptance is the pure
+    * content hash (hash60(id) mod 1e6 < floor(rate·1e6)) used by every
+    * other sampler — no RNG state, membership stable as the corpus grows.
+    * All rate arithmetic is fixed-order IEEE division of exact integers,
+    * so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: centroids via the deterministic distributed Lloyd
+    * ([[kmeansCentroids]] — k×dim doubles to the driver); assignment is a
+    * map-local argmax over literal centroid arrays (no join); the count
+    * frame lives on the |clusters| axis and BROADCASTS back onto the
+    * assignment scan. Two corpus passes total (count, then filter).
+    * Output: (cluster, n_docs, rate, n_kept) — the report axis; callers
+    * wanting the kept rows use the same filter inline.
+    */
+  def clusterBalance(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      dim: Int,
+      iters: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(corpus.sparkSession)
+    val cents = kmeansCentroids(corpus, vecCol, nLists, dim, iters)
+    val assigned = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("dv"))
+      .withColumn("cluster", ivfListWith(col("dv"), cents))
+      .select(col("id"), col("cluster"))
+    val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_docs"))
+    val total = assigned.agg(count(lit(1)).as("total"))
+    val rated = counts.crossJoin(total) // one scalar row
+      .withColumn("rate_raw", least(lit(1.0),
+        col("total").cast("double") / lit(nLists) / col("n_docs")))
+      .withColumn("thr", floor(col("rate_raw") * lit(1000000L)).cast("long"))
+    val kept = assigned.join(broadcast(rated.select(col("cluster"), col("thr"))),
+        Seq("cluster"))
+      .filter(pmod(graft.text.TextFunctions.hash60(col("id").cast("string")),
+        lit(1000000L)) < col("thr"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_kept"))
+    rated.join(kept, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_docs"),
+        round(col("rate_raw"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Deterministic "random" hyperplanes for sign-LSH: plane j, dimension d
     * has component sin(1 + j·dim + d) — fixed, engine-independent, zero-mean
     * across dimensions. Returns an array-of-arrays column expression builder.

@@ -99,14 +99,104 @@ object Bm25 {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))),
         6))
 
+    scoreAndRank(contrib, k)
+  }
+
+  /** Exact-decimal accumulation + salted two-stage top-k shared by the
+    * in-memory and persistent paths (identical arithmetic ⇒ identical
+    * oracle).
+    */
+  private def scoreAndRank(contrib: DataFrame, k: Int): DataFrame = {
     val scored = contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c").cast("decimal(28,6)")).as("sx"))
       .select(col("query_id"), col("doc_id").as("neighbor_id"),
         round(col("sx").cast("double"), 6).as("score"))
-
     graft.similarity.Similarity.topKPerQuery(scored, "score", k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("score"), col("rnk"))
+  }
+
+  /** Build the BM25 index ONCE as on-disk bucketed tables (the serving
+    * shape SCALE.md's BM25 row promises): postings and idf both bucketed
+    * on `term`, corpus stats as a one-row parquet. Repeated query batches
+    * then probe via [[retrieveAgainstPersistentIndex]] without
+    * re-deriving any of it — the index-once / probe-per-batch asymmetry
+    * of the dedup screens applied to retrieval.
+    *
+    * Returns (postingsTable, idfTable) as catalog-backed frames.
+    */
+  def persistentIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      queryPred: Column,
+      maxDfFrac: Double = 0.5,
+      nBuckets: Int = 8): (DataFrame, DataFrame) = {
+    val isQuery = coalesce(queryPred, lit(false))
+    val toks = split(col(textCol), " ")
+    val corpus = df.filter(!isQuery)
+      .select(col(idCol).as("doc_id"), toks.as("t"), size(toks).as("dl"))
+    val postings = corpus
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = corpus.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"target/bucketed/${table}_stats")
+    val idf = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(stats) // one scalar row
+      .filter(col("df") <= lit(maxDfFrac) * col("n"))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("term"), col("idf"))
+    val p = graft.sources.PartitionedSink
+      .writeBucketedTable(postings, "term", nBuckets, table)
+    val i = graft.sources.PartitionedSink
+      .writeBucketedTable(idf, "term", nBuckets, s"${table}_idf")
+    (p, i)
+  }
+
+  /** Probe a [[persistentIndex]]: the query batch's distinct (query, term)
+    * frame is written bucketed on the SAME `term` key, so BOTH scoring
+    * joins (probe↔idf, then ↔postings) run co-located with NO shuffle
+    * exchange on the Zipf-skewed term axis — asserted at runtime. This is
+    * the shape for huge query batches where broadcasting the probe side
+    * (the in-memory [[retrieveTopK]] path) stops being free. Arithmetic
+    * and output contract are identical to [[retrieveTopK]] (same oracle).
+    */
+  def retrieveAgainstPersistentIndex(
+      postings: DataFrame,
+      idf: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      probeTable: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      nBuckets: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    val stats = spark.read.parquet(s"target/bucketed/${table}_stats")
+    val qterms = queries
+      .select(col(idCol).as("query_id"),
+        explode(split(col(textCol), " ")).as("term")).distinct()
+    val probeDf = graft.sources.PartitionedSink
+      .writeBucketedTable(qterms, "term", nBuckets, probeTable)
+    val joined = probeDf.join(idf, Seq("term")).join(postings, Seq("term"))
+    require(graft.sources.PartitionedSink.isShuffleFree(joined),
+      "persistent BM25 probe join introduced a shuffle exchange — " +
+        "probe, idf, and postings must be co-bucketed on term")
+    val contrib = joined
+      .crossJoin(broadcast(stats)) // one scalar row
+      .withColumn("c", round(
+        col("idf") * ((col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))),
+        6))
+    scoreAndRank(contrib, k)
   }
 }

@@ -17,6 +17,24 @@ class Bm25Spec extends SparkTestBase {
     (100L, "apple banana")
   ).toDF("doc_id", "text")
 
+  test("persistent bucketed index: shuffle-free probe, output equals in-memory path") {
+    val suffix = "spec_" + System.nanoTime() // fresh tables per run
+    val (p, i) = Bm25.persistentIndex(corpus, "doc_id", "text",
+      s"graft_test_bm25_$suffix", queryPred = col("doc_id") === 100L,
+      maxDfFrac = 0.5)
+    val persistent = Bm25.retrieveAgainstPersistentIndex(p, i,
+        corpus.filter(col("doc_id") === 100L), "doc_id", "text",
+        s"graft_test_bm25_$suffix", s"graft_test_bm25_probe_$suffix", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._4)
+    val inMemory = run()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._4)
+    assert(persistent.toSeq == inMemory.toSeq,
+      "persistent-index retrieval diverged from the in-memory path")
+    assert(persistent.nonEmpty)
+  }
+
   private def run(k: Int = 10, maxDfFrac: Double = 0.5) =
     Bm25.retrieveTopK(corpus, "doc_id", "text",
       queryPred = col("doc_id") === 100L, k = k, maxDfFrac = maxDfFrac)
