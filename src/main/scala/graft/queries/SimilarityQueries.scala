@@ -36,6 +36,41 @@ object SimilarityQueries extends QueryPack {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding", K)
     }),
+    // hybrid retrieval: BM25 lexical top-10 (over the sparse text corpus,
+    // queries = residue-5 doc ids) fused with dense cosine top-10 (over
+    // the same ids' embeddings) by reciprocal-rank fusion — the standard
+    // two-channel retrieval baseline; RRF needs no score normalization,
+    // and ids present in only one channel still rank (coalesce to 0)
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(
+        Tables.cached(s, dir, "documents").select("doc_id"))
+      val lex = graft.text.Bm25.retrieveTopK(sparse, "doc_id", "text",
+          queryPred = col("doc_id") % 20 === 5, k = 10, maxDfFrac = 0.1)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val e = emb(s, dir)
+      val dense = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 20 === 5), e, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.similarity.Rrf.fuse(Seq("lex" -> lex, "dense" -> dense),
+        kRrf = 60, topK = 10)
+    }),
+    // Matryoshka funnel: prefix-16 cosine shortlist (coarse MRL prefix),
+    // exact full-dim refine on the top-REFINE survivors only
+    "q_ann_mrl" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mrlTopK(
+        e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
+        K, MRL_DIMS, REFINE)
+    }),
+    // recall@k of the SRP-bucketed head against exact brute force — the
+    // evaluation operator every production ANN deployment tracks
+    "q_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQUERIES)
+      Similarity.recallAtK(
+        Similarity.srpTopK(q, e, "vec_id", "embedding", K, PLANES, DIM),
+        Similarity.bruteForceTopK(q, e, "vec_id", "embedding", K), K)
+    }),
     // contrastive-training hard negatives: top-k most-similar vectors with
     // a DIFFERENT label per query
     "q_hard_negatives" -> ((s, dir) => {
@@ -103,6 +138,11 @@ object SimilarityQueries extends QueryPack {
       // clusters, active at sf0.1's ~625 — the oracle replays the formula)
       Similarity.semDedup(emb(s, dir), "vec_id", "embedding",
         NEARDUP_THR, NLISTS, DIM, KM_ITERS, maxClusterSize = Some(SEM_CAP))),
+    // cluster-balanced sampling: learned-topic strata capped at the
+    // uniform share — dominant clusters downsample, niche ones survive
+    "q_cluster_balance" -> ((s, dir) =>
+      Similarity.clusterBalance(emb(s, dir), "vec_id", "embedding",
+        NLISTS, DIM, KM_ITERS)),
     "q_ann_sq" -> ((s, dir) => {
       // SQ8 scalar quantization: per-dim affine int8 codes (train = one
       // dim-bounded min/max aggregate, no codebook iterations), ADC scan
@@ -143,6 +183,7 @@ object SimilarityQueries extends QueryPack {
   )
 
   private val KM_ITERS = 2
+  private val MRL_DIMS = 16
   private val M = 4
   private val KSUB = 8
   private val PQ_ITERS = 2
@@ -150,6 +191,8 @@ object SimilarityQueries extends QueryPack {
   private val DSUB = DIM / M
 
   private val dv = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val dvPrefix =
+    s"list_transform(list_slice(embedding, 1, $MRL_DIMS), x -> CAST(x AS DOUBLE))"
   private def cosSql(a: String, b: String) =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
@@ -303,6 +346,32 @@ object SimilarityQueries extends QueryPack {
          |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_cluster_balance" ->
+      // same Lloyd replay as the IVF/semdedup family; rate arithmetic is
+      // fixed-order IEEE division of exact integers, acceptance replays
+      // hash60 verbatim
+      s"""WITH cents0(c, cent) AS (VALUES $centroidValues),
+         |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+         |${kmeansIterCtes(KM_ITERS)}
+         |scored AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s FROM v CROSS JOIN cents$KM_ITERS),
+         |asg AS (SELECT vec_id, c AS cluster FROM (
+         |          SELECT vec_id, c, row_number() OVER
+         |            (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rn
+         |          FROM scored) WHERE rn = 1),
+         |cnt AS (SELECT cluster, count(*) AS n_docs FROM asg GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM asg),
+         |rt AS (SELECT cluster, n_docs,
+         |         least(CAST(1 AS DOUBLE), CAST(total AS DOUBLE) / $NLISTS / n_docs) AS rate_raw
+         |       FROM cnt CROSS JOIN tot),
+         |kp AS (SELECT a.cluster, count(*) AS n_kept
+         |       FROM asg a JOIN rt USING (cluster)
+         |       WHERE CAST(CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 1000000
+         |             < CAST(floor(rate_raw * 1000000) AS BIGINT)
+         |       GROUP BY 1)
+         |SELECT rt.cluster AS cluster, CAST(rt.n_docs AS BIGINT) AS n_docs,
+         |       round(rate_raw, 6) AS rate, CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM rt LEFT JOIN kp USING (cluster)
+         |""".stripMargin,
     "q_pca_covariance" ->
       s"""WITH $pcaCovCtes
          |SELECT i, j, cov FROM cd0
@@ -360,6 +429,85 @@ object SimilarityQueries extends QueryPack {
          |       CAST(row_number() OVER (PARTITION BY query_id
          |         ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |FROM rs QUALIFY rnk <= $K
+         |""".stripMargin,
+    "q_hybrid_rrf" ->
+      // lexical chain shared verbatim with q_bm25_topk (terminal CTE r);
+      // dense chain is the knn oracle re-predicated to residue-5 queries;
+      // the RRF terms are 1/(60+rank) of exact INTEGER ranks — the doubles
+      // are bit-identical in both engines, and the two-term sum is written
+      // in fixed order, so no rounding hazard exists before the 6-dp pin
+      s"""WITH ${TextQueries.bm25Ctes},
+         |dq AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id % 20 = 5),
+         |dc AS (SELECT vec_id AS neighbor_id, $dv AS cv FROM embeddings),
+         |ds AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |       FROM dc CROSS JOIN dq WHERE query_id <> neighbor_id),
+         |dr AS (SELECT query_id, neighbor_id AS doc_id,
+         |              CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |       FROM ds),
+         |u AS (SELECT query_id, doc_id, rnk, 'lex' AS src FROM r WHERE rnk <= 10
+         |      UNION ALL
+         |      SELECT query_id, doc_id, rnk, 'dense' AS src FROM dr WHERE rnk <= 10),
+         |pv AS (SELECT query_id, doc_id,
+         |         max(CASE WHEN src = 'lex' THEN rnk END) AS rnk_lex,
+         |         max(CASE WHEN src = 'dense' THEN rnk END) AS rnk_dense
+         |       FROM u GROUP BY 1, 2),
+         |f AS (SELECT query_id, doc_id, rnk_lex, rnk_dense,
+         |        round(coalesce(CAST(1 AS DOUBLE) / (60 + rnk_lex), CAST(0 AS DOUBLE))
+         |            + coalesce(CAST(1 AS DOUBLE) / (60 + rnk_dense), CAST(0 AS DOUBLE)), 6) AS rrf
+         |      FROM pv)
+         |SELECT query_id, doc_id, rnk_lex, rnk_dense, rrf,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+         |FROM f QUALIFY rnk <= 10
+         |""".stripMargin,
+    "q_ann_mrl" ->
+      // stage 1 ranks by the 6-dp-pinned prefix cosine with neighbor_id
+      // tie-break (deterministic shortlist boundary), stage 2 re-ranks the
+      // shortlist by exact full-dim cosine — both replayed verbatim
+      s"""WITH mq AS (SELECT vec_id AS query_id, $dvPrefix AS qp, $dv AS qv
+         |            FROM embeddings WHERE vec_id < $NQUERIES),
+         |mc AS (SELECT vec_id AS neighbor_id, $dvPrefix AS cp, $dv AS cv FROM embeddings),
+         |m1 AS (SELECT query_id, neighbor_id, ${cosSql("qp", "cp")} AS psim
+         |       FROM mc CROSS JOIN mq WHERE query_id <> neighbor_id),
+         |msh AS (SELECT query_id, neighbor_id FROM
+         |          (SELECT query_id, neighbor_id, row_number() OVER
+         |             (PARTITION BY query_id ORDER BY psim DESC, neighbor_id) AS prnk
+         |           FROM m1)
+         |        WHERE prnk <= $REFINE),
+         |m2 AS (SELECT msh.query_id, msh.neighbor_id, ${cosSql("mqd.qv", "mcd.cv")} AS sim
+         |       FROM msh JOIN mc mcd ON mcd.neighbor_id = msh.neighbor_id
+         |                JOIN mq mqd ON mqd.query_id = msh.query_id)
+         |SELECT query_id, neighbor_id, sim,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |FROM m2 QUALIFY rnk <= $K
+         |""".stripMargin,
+    "q_ann_recall" ->
+      // exact chain = the q_knn_bruteforce oracle, approx chain = the
+      // q_ann_srp oracle; recall joins the two k-lists per query
+      s"""WITH bq AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),
+         |bc AS (SELECT vec_id AS neighbor_id, $dv AS cv FROM embeddings),
+         |bs AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |       FROM bc CROSS JOIN bq WHERE query_id <> neighbor_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |       FROM bs),
+         |aq AS (SELECT vec_id AS query_id, qv, ${bucketSql("qv")} AS bucket
+         |       FROM (SELECT vec_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES)),
+         |ac AS (SELECT vec_id AS neighbor_id, cv, ${bucketSql("cv")} AS bucket
+         |       FROM (SELECT vec_id, $dv AS cv FROM embeddings)),
+         |asv AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |        FROM ac JOIN aq ON ac.bucket = aq.bucket WHERE query_id <> neighbor_id),
+         |ar AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |       FROM asv),
+         |ex AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= $K),
+         |ap AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS hit FROM ar WHERE rnk <= $K),
+         |g AS (SELECT ex.query_id, count(*) AS n_true, sum(coalesce(ap.hit, 0)) AS n_hit
+         |      FROM ex LEFT JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+         |SELECT query_id, CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
+         |       round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+         |FROM g
          |""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS ql, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),

@@ -165,6 +165,38 @@ object TextQueries extends QueryPack {
       graft.text.LmScore.nllPerDoc(docs(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bigrams"),
           round(col("nll"), 6).as("nll"))),
+    // Moore–Lewis cross-entropy-difference selection (Moore & Lewis 2010):
+    // in-domain LM = the English subset, general LM = the whole corpus,
+    // both via the same salted add-one bigram machinery; ml = nll_gen −
+    // nll_in (positive = reads more like the in-domain corpus), selection
+    // thresholded on the ROUNDED score so the boolean can never flip
+    // without the ml column itself hash-failing first
+    "q_moore_lewis" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gen = graft.text.LmScore.nllPerDoc(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("nll").as("g"))
+      val ind = graft.text.LmScore.nllPerDocCross(
+          d.filter(col("lang") === "en"), d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("nll").as("i"))
+      gen.join(ind, Seq("doc_id"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("i"), 6).as("nll_in"),
+          round(col("g"), 6).as("nll_gen"),
+          round(col("g") - col("i"), 6).as("ml"))
+        .withColumn("selected", col("ml") > 0)
+    }),
+    // one DoReMi exponentiated-gradient step over the source axis: domains
+    // whose mean corpus-LM nll exceeds the corpus baseline get upweighted,
+    // smoothed with 1% uniform mass so no domain starves
+    "q_doremi_step" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nll = graft.text.LmScore.nllPerDoc(d, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("nll"))
+      graft.ops.Mixture.doremiStep(
+        nll.join(d.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source", "nll")
+    }),
     // Kneser-Ney upgrade of the corpus LM (the KenLM smoothing CCNet
     // actually filters with): interpolated absolute discounting, D=0.75
     "q_lm_kneser_ney" -> ((s, dir) =>
@@ -360,6 +392,22 @@ object TextQueries extends QueryPack {
       graft.text.Bm25.retrieveTopK(sparse, "doc_id", "text",
         queryPred = col("doc_id") % 20 === 5, k = 10, maxDfFrac = 0.1)
     }),
+    // the SERVING shape of BM25: postings + idf live on disk as tables
+    // bucketed on term (built once); the query batch's term frame writes
+    // into the same bucket layout and both scoring joins run with zero
+    // shuffle exchange on the Zipf-skewed term key (runtime-asserted
+    // inside retrieveAgainstPersistentIndex); same semantics + oracle as
+    // q_bm25_topk
+    "q_bm25_persistent" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      val suffix = math.abs(dir.hashCode)
+      val (p, i) = graft.text.Bm25.persistentIndex(sparse, "doc_id", "text",
+        s"graft_bm25_index_$suffix", queryPred = col("doc_id") % 20 === 5,
+        maxDfFrac = 0.1)
+      graft.text.Bm25.retrieveAgainstPersistentIndex(p, i,
+        sparse.filter(col("doc_id") % 20 === 5), "doc_id", "text",
+        s"graft_bm25_index_$suffix", s"graft_bm25_probe_$suffix", k = 10)
+    }),
     // cross-source 8-gram overlap matrix: the inter-source dedup decision
     // card (which source pairs share boilerplate, and how much)
     "q_source_overlap" -> ((s, dir) =>
@@ -515,6 +563,41 @@ object TextQueries extends QueryPack {
        |      FROM bg JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
        |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
        |      FROM s GROUP BY doc_id)""".stripMargin
+
+  /** Shared BM25 oracle chain (used by `q_bm25_topk` here and the hybrid
+    * RRF gate in [[SimilarityQueries]]): same sparse-corpus CTEs as
+    * q_dedup_clusters_sparse; every double literal is CAST(.. AS DOUBLE)
+    * so DuckDB's decimal-literal default cannot diverge from Scala's IEEE
+    * literals, and the per-term contributions are 6-dp-pinned then summed
+    * EXACTLY as DECIMAL(28,6) so reduction order cannot move the score.
+    * Terminal CTE: `r(query_id, doc_id, score, rnk)`.
+    */
+  private[queries] def bm25Ctes: String =
+    s"""${graft.dedup.SparseCorpus.oracleCtes()},
+       |corpus AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparsedocs
+       |           WHERE NOT coalesce(doc_id % 20 = 5, FALSE)),
+       |qry AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t FROM sparsedocs
+       |        WHERE coalesce(doc_id % 20 = 5, FALSE)),
+       |p AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM corpus),
+       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+       |stats AS (SELECT count(*) AS n, CAST(sum(len(t)) AS DOUBLE)/count(*) AS avgdl FROM corpus),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |idf AS (SELECT term, ln(1 + (n - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
+       |        FROM dft CROSS JOIN stats WHERE df <= CAST(0.1 AS DOUBLE) * n),
+       |qt AS (SELECT DISTINCT query_id, term
+       |       FROM (SELECT query_id, unnest(t) AS term FROM qry)),
+       |qi AS (SELECT query_id, term, idf FROM qt JOIN idf USING (term)),
+       |co AS (SELECT qi.query_id, tf.doc_id,
+       |         round(qi.idf * ((tf.tf * (CAST(1.2 AS DOUBLE) + 1)) /
+       |           (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE))
+       |              + CAST(0.75 AS DOUBLE) * (tf.dl / stats.avgdl)))), 6) AS c
+       |       FROM qi JOIN tf USING (term) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc_id, CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS sx
+       |       FROM co GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, round(sx, 6) AS score,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY round(sx, 6) DESC, doc_id) AS INT) AS rnk
+       |      FROM sc)""".stripMargin
 
   private val packCte =
     s"""WITH t AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
@@ -986,6 +1069,50 @@ object TextQueries extends QueryPack {
          |       round(a.nll, 6) AS nll
          |FROM documents d LEFT JOIN a USING (doc_id)
          |""".stripMargin,
+    "q_moore_lewis" ->
+      // in-domain counts re-derived over the English subset; unseen
+      // bigrams/histories fall back to add-one's c = 0 via LEFT joins
+      s"""WITH $lmCtes,
+         |bci AS (SELECT w1, w2, count(*) AS c12i FROM bg
+         |        JOIN documents dd USING (doc_id) WHERE dd.lang = 'en'
+         |        GROUP BY 1, 2),
+         |unii AS (SELECT w1, count(*) AS c1i FROM
+         |           (SELECT unnest($toks) AS w1 FROM documents WHERE lang = 'en') t4
+         |         GROUP BY 1),
+         |vi AS (SELECT count(DISTINCT w1) AS v FROM
+         |         (SELECT unnest($toks) AS w1 FROM documents WHERE lang = 'en') t5),
+         |si AS (SELECT bg.doc_id,
+         |         -ln(CAST(coalesce(bci.c12i, 0) + 1 AS DOUBLE) /
+         |             (coalesce(unii.c1i, 0) + vi.v)) AS nlp
+         |       FROM bg LEFT JOIN bci USING (w1, w2)
+         |               LEFT JOIN unii USING (w1) CROSS JOIN vi),
+         |ai AS (SELECT doc_id, avg(nlp) AS nll_in FROM si GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |       round(ai.nll_in, 6) AS nll_in, round(a.nll, 6) AS nll_gen,
+         |       round(a.nll - ai.nll_in, 6) AS ml,
+         |       round(a.nll - ai.nll_in, 6) > 0 AS selected
+         |FROM documents d LEFT JOIN a USING (doc_id) LEFT JOIN ai USING (doc_id)
+         |""".stripMargin,
+    "q_doremi_step" ->
+      // means pinned to 6 dp before subtraction/exp; exp outputs pinned to
+      // 9 dp and normalized by an exact DECIMAL(28,9) sum — the only FP ops
+      // on unpinned values are divisions of identical doubles
+      s"""WITH $lmCtes,
+         |dm AS (SELECT d.source AS domain, count(*) AS n_docs,
+         |              round(avg(a.nll), 6) AS mean_nll
+         |       FROM documents d JOIN a USING (doc_id) GROUP BY 1),
+         |ov AS (SELECT round(avg(nll), 6) AS mean_all FROM a),
+         |ex AS (SELECT domain, n_docs, mean_nll,
+         |         round(greatest(mean_nll - mean_all, CAST(0 AS DOUBLE)), 6) AS excess
+         |       FROM dm CROSS JOIN ov),
+         |wr AS (SELECT *, round(exp(excess), 9) AS w_raw FROM ex),
+         |tz AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(28,9))) AS DOUBLE) AS z,
+         |              count(*) AS n_domains FROM wr)
+         |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, mean_nll, excess,
+         |       round((1 - CAST(0.01 AS DOUBLE)) * (w_raw / z)
+         |             + CAST(0.01 AS DOUBLE) / n_domains, 6) AS weight
+         |FROM wr CROSS JOIN tz
+         |""".stripMargin,
     "q_lm_kneser_ney" ->
       // same bigram CTEs as the add-one gate; the KN probability is written
       // in the engine's exact operation order (D=0.75 is binary-exact, so
@@ -1146,36 +1273,13 @@ object TextQueries extends QueryPack {
          |""".stripMargin
     },
     "q_bm25_topk" ->
-      // same sparse-corpus CTEs as q_dedup_clusters_sparse; every double
-      // literal is CAST(.. AS DOUBLE) so DuckDB's decimal-literal default
-      // cannot diverge from Scala's IEEE literals, and the per-term
-      // contributions are 6-dp-pinned then summed EXACTLY as DECIMAL(28,6)
-      // so reduction order cannot move the score
-      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
-         |corpus AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparsedocs
-         |           WHERE NOT coalesce(doc_id % 20 = 5, FALSE)),
-         |qry AS (SELECT doc_id AS query_id, string_split(text, ' ') AS t FROM sparsedocs
-         |        WHERE coalesce(doc_id % 20 = 5, FALSE)),
-         |p AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM corpus),
-         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3),
-         |stats AS (SELECT count(*) AS n, CAST(sum(len(t)) AS DOUBLE)/count(*) AS avgdl FROM corpus),
-         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |idf AS (SELECT term, ln(1 + (n - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
-         |        FROM dft CROSS JOIN stats WHERE df <= CAST(0.1 AS DOUBLE) * n),
-         |qt AS (SELECT DISTINCT query_id, term
-         |       FROM (SELECT query_id, unnest(t) AS term FROM qry)),
-         |qi AS (SELECT query_id, term, idf FROM qt JOIN idf USING (term)),
-         |co AS (SELECT qi.query_id, tf.doc_id,
-         |         round(qi.idf * ((tf.tf * (CAST(1.2 AS DOUBLE) + 1)) /
-         |           (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE))
-         |              + CAST(0.75 AS DOUBLE) * (tf.dl / stats.avgdl)))), 6) AS c
-         |       FROM qi JOIN tf USING (term) CROSS JOIN stats),
-         |sc AS (SELECT query_id, doc_id, CAST(sum(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS sx
-         |       FROM co GROUP BY 1, 2),
-         |r AS (SELECT query_id, doc_id, round(sx, 6) AS score,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |                                ORDER BY round(sx, 6) DESC, doc_id) AS INT) AS rnk
-         |      FROM sc)
+      s"""WITH $bm25Ctes
+         |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+         |""".stripMargin,
+    // identical semantics and oracle — only the PHYSICAL layout differs
+    // (on-disk term-bucketed postings/idf + co-located zero-shuffle probe)
+    "q_bm25_persistent" ->
+      s"""WITH $bm25Ctes
          |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
          |""".stripMargin,
     "q_source_overlap" ->
