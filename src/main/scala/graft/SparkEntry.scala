@@ -29,6 +29,7 @@ object SparkEntry {
     WorkflowQueries,
     WebQueries,
     SketchQueries,
+    StatQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

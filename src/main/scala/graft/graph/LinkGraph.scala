@@ -181,4 +181,50 @@ object LinkGraph {
     auths.join(hubs, "node")
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan, Albert &
+    * Kumara 2007) over the UNDIRECTED link graph — the community axis the
+    * centrality triad can't see: interlinked domain pockets (mirror
+    * networks, link farms, forum rings) get one label, and curation rules
+    * can then cap or screen per COMMUNITY instead of per domain.
+    *
+    * Deterministic variant of the classically-randomized algorithm, pinned
+    * by spec + oracle: a fixed round count of SYNCHRONOUS updates (no
+    * sequential node order to pick), every node starts labeled with
+    * itself, and each round a node adopts its neighbors' most frequent
+    * label, ties broken to the lexicographically GREATEST label. The
+    * argmax is one decomposable max(struct(cnt, label)) per node (the
+    * canonical-selection pattern — never a window). All state is
+    * integer/string: no floats, no pinning discipline needed at all.
+    *
+    * Per round: one join (labels onto the symmetrized edge frame's
+    * neighbor side) + two aggregates, labels localCheckpoint'ed (the
+    * PageRank discipline). Self-loops drop (a node voting for itself
+    * would freeze every round); nodes with no non-self edges are absent.
+    */
+  def lpaCommunities(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    val dir0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val sym = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes.groupBy("node")
+        .agg(max(struct(col("cnt"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), "label")
+      .select(col("node"), col("label"), col("community_size"))
+  }
 }

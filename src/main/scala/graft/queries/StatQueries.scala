@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.EntropyExpressions
+import graft.ops.{Quantiles, WeightedSample}
+import graft.sources.Tables
+import graft.text.TextFunctions
+
+/** Corpus-statistics gates: exact distributed quantiles by histogram
+  * refinement ([[graft.ops.Quantiles]]), quantile-threshold filtering,
+  * weighted sampling without replacement ([[graft.ops.WeightedSample]]),
+  * and the character-entropy quality signal
+  * ([[graft.functions.StringEntropy]]). Every rank, threshold, sampling
+  * key, and entropy term is replayed exactly by the DuckDB oracle.
+  */
+object StatQueries extends QueryPack {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.cached(spark, dir, "documents")
+
+  private val QS_TOK = Seq(0.25, 0.5, 0.9, 0.99)
+  private val QS_PRICE = Seq(0.5, 0.95, 0.999)
+
+  /** Exact per-language (plus ALL) quantiles of BPE token counts — the
+    * single-round regime of the refinement (token range ≪ one bucket pass).
+    */
+  private def tokenQuantilesQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tok = TextFunctions.bpeTokenCount(col("text")).cast("long")
+    val base = d.select(col("lang").as("g"), tok.as("v"))
+      .unionByName(d.select(lit("ALL").as("g"), tok.as("v")))
+    Quantiles.exactQuantiles(base, col("g"), col("v"), QS_TOK)
+  }
+
+  /** Exact per-returnflag quantiles of lineitem price cents — the
+    * multi-round regime: a ~10^7-wide integer range forces three
+    * narrow-and-rescan rounds at 1024 buckets, exercising the exact-integer
+    * interval arithmetic the way a 100 TB value domain would.
+    */
+  private def priceQuantilesQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.cached(spark, dir, "lineitem")
+    Quantiles.exactQuantiles(li, col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long"), QS_PRICE)
+  }
+
+  /** Quantile-threshold filter: drop each source's shortest quartile
+    * (token count < per-source p25), then account survivors — the
+    * aggregate-only threshold feeding a literal-CASE scan; no join, window,
+    * or sort touches data rows.
+    */
+  private def quantileFilterQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("v"))
+    Quantiles.filterAboveQuantile(d, col("source"), col("v"), 0.25)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("v").as("tok_kept"))
+      .orderBy("source")
+  }
+
+  /** Token-mass-proportional document sample without replacement
+    * (Efraimidis–Spirakis keys on the shared 60-bit hash), k = 100.
+    */
+  private def weightedSampleQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      TextFunctions.bpeTokenCount(col("text")).cast("long").as("weight"))
+    WeightedSample.sampleByWeight(d, col("doc_id"), col("weight"), 100, "ws")
+  }
+
+  /** Per-document character entropy (bits) — one codegen pass per row. */
+  private def charEntropyQ(spark: SparkSession, dir: String): DataFrame = {
+    EntropyExpressions.register(spark)
+    docs(spark, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_cp"),
+        round(EntropyExpressions.stringEntropy(col("text")), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Flesch / FK readability per document. The synthetic corpus carries no
+    * punctuation, so sentence breaks are PLANTED deterministically first —
+    * a period after every (doc_id % 7 + 3)-th token — and the operator
+    * then parses them back out of the text like it would in production;
+    * the oracle rebuilds the same punctuated text via ordered string_agg.
+    */
+  private def readabilityQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Readability
+    val L = col("doc_id") % 7 + 3
+    val punct = concat_ws(" ",
+      transform(split(col("text"), " "),
+        (x, i) => when((i + 1) % L === 0, concat(x, lit("."))).otherwise(x)))
+    val d = docs(spark, dir).select(col("doc_id"), punct.as("s"))
+      .select(col("doc_id"),
+        Readability.wordCount(col("s")).as("n_words"),
+        Readability.sentenceCount(col("s")).as("n_sentences"),
+        Readability.syllableCount(col("s")).as("n_syllables"))
+    d.select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        round(Readability.fleschReadingEase(
+          col("n_words"), col("n_sentences"), col("n_syllables")), 6).as("flesch"),
+        round(Readability.fkGrade(
+          col("n_words"), col("n_sentences"), col("n_syllables")), 6).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> (readabilityQ _),
+    "q_exact_quantile" -> (tokenQuantilesQ _),
+    "q_quantile_price" -> (priceQuantilesQ _),
+    "q_quantile_filter" -> (quantileFilterQ _),
+    "q_weighted_sample" -> (weightedSampleQ _),
+    "q_char_entropy" -> (charEntropyQ _),
+  )
+
+  private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  private def tokCount(c: String) =
+    s"CAST(len(regexp_extract_all($c, '$BPE')) AS BIGINT)"
+
+  /** hash60 of 'salt#' || x — the shared md5-prefix numeric hash. */
+  private def h60(x: String, salt: String): String =
+    s"CAST(CAST(('0x' || substr(md5('$salt#' || $x), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  /** Rank-r quantile replay: r = max(1, ceil(q·n)) with q FORCED to DOUBLE —
+    * DuckDB parses 0.9 as DECIMAL and would ceil the exact product where
+    * the engine (and the JVM driver) ceil the IEEE one (0.9·500 =
+    * 450.000…06 → 451, not 450).
+    */
+  private def quantileOracle(tkCte: String, qs: Seq[Double]): String = {
+    val qVals = qs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")
+    s"""WITH tk AS ($tkCte),
+       |n AS (SELECT grp, count(*) AS n FROM tk GROUP BY 1),
+       |qs AS (SELECT * FROM (VALUES $qVals) q(q)),
+       |tgt AS (SELECT grp, q, greatest(1, CAST(ceil(q * n) AS BIGINT)) AS rank,
+       |        CAST(n AS BIGINT) AS n FROM n CROSS JOIN qs),
+       |r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+       |      FROM tk)
+       |SELECT t.grp, t.q, t.rank, t.n, r.v AS value
+       |FROM tgt t JOIN r ON r.grp = t.grp AND r.rn = t.rank
+       |ORDER BY 1, 2
+       |""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    // planted-period text rebuilt via ordered string_agg; word/sentence/
+    // vowel-group counts replayed on the Java∩RE2 regex subset; scores are
+    // ratio arithmetic only (no transcendentals) → 6-dp identical
+    "q_readability" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |             doc_id % 7 + 3 AS L FROM documents),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 700) r(x)),
+         |ex AS (SELECT doc_id, L, i, t[i + 1] AS w FROM tk JOIN pos ON i < len(t)),
+         |tx AS (SELECT doc_id,
+         |         string_agg(CASE WHEN (i + 1) % L = 0 THEN w || '.' ELSE w END,
+         |                    ' ' ORDER BY i) AS s
+         |       FROM ex GROUP BY doc_id, L),
+         |c AS (SELECT doc_id,
+         |        CAST(len(string_split(s, ' ')) AS INT) AS n_words,
+         |        CAST(greatest(len(regexp_extract_all(s, '[.!?]+')), 1) AS INT) AS n_sentences,
+         |        CAST(list_aggregate(list_transform(string_split(lower(s), ' '),
+         |          w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)), 'sum') AS INT) AS n_syllables
+         |      FROM tx)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+         |        + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
+         |FROM c ORDER BY doc_id
+         |""".stripMargin,
+    "q_exact_quantile" -> quantileOracle(
+      s"""SELECT lang AS grp, ${tokCount("text")} AS v FROM documents
+         |  UNION ALL SELECT 'ALL' AS grp, ${tokCount("text")} AS v FROM documents""".stripMargin,
+      QS_TOK),
+    "q_quantile_price" -> quantileOracle(
+      "SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem",
+      QS_PRICE),
+    // per-source p25 threshold re-derived via the same rank rule, then the
+    // keep-set accounted
+    "q_quantile_filter" ->
+      s"""WITH tk AS (SELECT source, ${tokCount("text")} AS v FROM documents),
+         |n AS (SELECT source, count(*) AS n FROM tk GROUP BY 1),
+         |t AS (SELECT source, greatest(1, CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT)) AS rank FROM n),
+         |r AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM tk),
+         |thr AS (SELECT t.source, r.v AS thr FROM t JOIN r ON r.source = t.source AND r.rn = t.rank)
+         |SELECT tk.source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(tk.v) AS BIGINT) AS tok_kept
+         |FROM tk JOIN thr ON tk.source = thr.source
+         |WHERE tk.v >= thr.thr
+         |GROUP BY 1 ORDER BY 1
+         |""".stripMargin,
+    // A-ES key ln((h+1)/2^60)/w replayed term for term; selection on the
+    // full-precision key, 6-dp pin only on the emitted column
+    "q_weighted_sample" ->
+      s"""WITH tk AS (SELECT doc_id, source, ${tokCount("text")} AS weight FROM documents),
+         |k AS (SELECT doc_id, source, weight,
+         |        ln((${h60("CAST(doc_id AS VARCHAR)", "ws")} + 1) / 1152921504606846976.0)
+         |          / CAST(weight AS DOUBLE) AS key
+         |      FROM tk)
+         |SELECT doc_id, source, weight, round(key, 6) AS es_key
+         |FROM k ORDER BY key DESC, doc_id LIMIT 100
+         |""".stripMargin,
+    // per-doc code-point histogram; H = log2(n) − Σ c·log2(c)/n with log2
+    // expressed as ln(x)/LN2 against the JVM's exact LN2 double so both
+    // engines share the one transcendental (ln) the LM gates already pin
+    "q_char_entropy" ->
+      s"""WITH pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 700) r(x)),
+         |ch AS (SELECT doc_id, substr(text, i + 1, 1) AS c
+         |       FROM documents JOIN pos ON i < len(text)),
+         |cnt AS (SELECT doc_id, c, count(*) AS cn FROM ch GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_cp FROM documents),
+         |s AS (SELECT doc_id, sum(cn * (ln(cn) / ${math.log(2.0)})) AS acc,
+         |        CAST(sum(cn) AS BIGINT) AS n
+         |      FROM cnt GROUP BY 1)
+         |SELECT n.doc_id, n.n_cp,
+         |  round(CASE WHEN s.n IS NULL OR s.n <= 1 THEN 0.0
+         |        ELSE (ln(s.n) / ${math.log(2.0)}) - s.acc / s.n END, 6) AS entropy
+         |FROM n LEFT JOIN s USING (doc_id) ORDER BY doc_id
+         |""".stripMargin,
+  )
+}

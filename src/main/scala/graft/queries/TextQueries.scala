@@ -382,6 +382,15 @@ object TextQueries extends QueryPack {
         graft.text.UnigramLm.viterbiSegment(words, probs, maxPieceLen = 4))
         .orderBy(col("piece"))
     }),
+    // WordPiece greedy longest-match encoding over the unigram seed vocab —
+    // the third tokenizer family (greedy commits differ from Viterbi,
+    // spec-pinned); distinct-word axis, usage card output
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val words = graft.text.UnigramLm.wordHistogram(docs(s, dir), col("text"))
+      val vocab = graft.text.UnigramLm.seedPieces(words, maxPieceLen = 4, topV = 200)
+      graft.text.WordPiece.usageStats(
+        graft.text.WordPiece.greedySegment(words, vocab, maxPieceLen = 4), k = 50)
+    }),
     // BM25 lexical retrieval: top-10 corpus docs per benchmark query
     // (residue-5 docs) over the crawl-like sparse corpus — the harness
     // documents table's 31-word vocabulary would make the stop-term cap
@@ -1180,6 +1189,30 @@ object TextQueries extends QueryPack {
          |  FROM probes p LEFT JOIN cells USING (r, c) GROUP BY 1),
          |ex AS (SELECT token, count(*) AS "exact" FROM tok JOIN q USING (token) GROUP BY 1)
          |SELECT token, est, "exact" FROM est JOIN ex USING (token) ORDER BY token
+         |""".stripMargin,
+    // greedy longest-match walk: ml = longest kept piece per (word, start);
+    // the recursion advances the cursor by ml (or 1 as [UNK]); usage card
+    // aggregates per-use rows exactly like the engine's explode
+    "q_wordpiece_encode" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |ml AS (
+         |  SELECT s.word, s.j, CAST(max(s.l) AS INT) AS ml
+         |  FROM (SELECT word, j, l, substr(word, j + 1, l) AS piece
+         |        FROM spl WHERE j + l <= length(word)) s
+         |  JOIN kept k USING (piece) GROUP BY 1, 2),
+         |g AS (
+         |  SELECT word, freq, CAST(0 AS INT) AS pos, CAST(NULL AS VARCHAR) AS piece FROM w
+         |  UNION ALL
+         |  SELECT g.word, g.freq,
+         |         g.pos + CAST(coalesce(ml.ml, 1) AS INT),
+         |         CASE WHEN ml.ml IS NULL THEN '[UNK]'
+         |              ELSE substr(g.word, g.pos + 1, ml.ml) END
+         |  FROM g LEFT JOIN ml ON ml.word = g.word AND ml.j = g.pos
+         |  WHERE g.pos < length(g.word))
+         |SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+         |       CAST(sum(freq) AS BIGINT) AS uses
+         |FROM g WHERE piece IS NOT NULL
+         |GROUP BY 1 ORDER BY uses DESC, piece LIMIT 50
          |""".stripMargin,
     "q_unigram_step" ->
       s"""WITH RECURSIVE $unigramCtes

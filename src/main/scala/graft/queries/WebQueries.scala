@@ -163,6 +163,34 @@ object WebQueries extends QueryPack {
     * edges (both REALLY parsed/extracted), distinct, five pinned
     * iterations — the Common Crawl-style domain centrality prior.
     */
+  /** LPA communities over a PLANTED community graph (the sparse-dedup
+    * fixture discipline — the extracted WARC graph is a dense near-clique
+    * where any community algorithm vacuously floods to one label): 24
+    * domains in 4 blocks of 6, dense deterministic pseudo-random
+    * within-block edges, a handful of cross-block bridges. The gate pins
+    * every round's argmax AND the planted structure is real evidence:
+    * within-block labels collapse, bridges lose the vote, 4 communities
+    * survive.
+    */
+  private def lpaQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.cached(spark, dir, "documents")
+    // independent mixed-radix digits of doc_id — block ⟂ i ⟂ j, so each
+    // block is a dense pseudo-random intra-graph, not a degenerate cycle
+    val block = col("doc_id") % 4
+    val i = expr("doc_id div 4") % 6
+    val j = expr("doc_id div 24") % 6
+    val node = (b: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =>
+      concat(lit("c"), lpad((b * 6 + k).cast("string"), 2, "0"))
+    val intra = d.where(i =!= j)
+      .select(node(block, i).as("src"), node(block, j).as("dst"))
+    val bridges = d.where(col("doc_id") % 25 === 7)
+      .select(node(block, lit(0)).as("src"),
+        node((block + 1) % 4, lit(0)).as("dst"))
+    graft.graph.LinkGraph.lpaCommunities(
+        intra.unionByName(bridges), "src", "dst", rounds = 4)
+      .orderBy(col("node"))
+  }
+
   private def pagerankQ(spark: SparkSession, dir: String): DataFrame = {
     HtmlExtract.register(spark)
     val rows = WarcSource.readWarc(spark, warcFixture(spark, dir))
@@ -455,6 +483,7 @@ object WebQueries extends QueryPack {
     "q_html_extract" -> ((s, dir) => htmlExtractQ(s, dir)),
     "q_stream_warc" -> (streamWarcQ _),
     "q_domain_pagerank" -> (pagerankQ _),
+    "q_lpa_communities" -> (lpaQ _),
     "q_trustrank" -> (trustRankQ _),
     "q_hits" -> (hitsQ _),
     "q_latest_capture" -> (latestCaptureQ _),
@@ -699,6 +728,37 @@ object WebQueries extends QueryPack {
     // makes the batch oracle exact for the stream
     "q_stream_warc" -> htmlExtractOracle,
     "q_domain_pagerank" -> pagerankOracle,
+    // 4 unrolled synchronous LPA rounds: per round, neighbor-label vote
+    // counts then max(struct(cnt, label)) argmax (greatest label on ties);
+    // all integer/string — no float pinning anywhere
+    "q_lpa_communities" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""c$i AS (SELECT s.a AS node, l.label, count(*) AS cnt
+           |  FROM sym s JOIN l${i - 1} l ON l.node = s.b GROUP BY 1, 2),
+           |m$i AS (SELECT node, max(struct_pack(cnt := cnt, label := label)) AS m
+           |  FROM c$i GROUP BY 1),
+           |l$i AS (SELECT node, m.label AS label FROM m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed0 AS (
+         |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 4) % 6 AS VARCHAR), 2, '0') AS src,
+         |         'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 24) % 6 AS VARCHAR), 2, '0') AS dst
+         |  FROM documents WHERE (doc_id // 4) % 6 <> (doc_id // 24) % 6
+         |  UNION ALL
+         |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 AS VARCHAR), 2, '0'),
+         |         'c' || lpad(CAST(((doc_id % 4 + 1) % 4) * 6 AS VARCHAR), 2, '0')
+         |  FROM documents WHERE doc_id % 25 = 7),
+         |sym AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM ed0 WHERE src <> dst
+         |  UNION ALL
+         |  SELECT dst AS a, src AS b FROM ed0 WHERE src <> dst)),
+         |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+         |$rounds,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l4 GROUP BY 1)
+         |SELECT l4.node, l4.label, sz.community_size
+         |FROM l4 JOIN sz USING (label) ORDER BY node
+         |""".stripMargin
+    },
     "q_trustrank" -> trustRankOracle,
     "q_hits" -> hitsOracle,
     // freshest capture per URL, ties to highest id — the struct-max

@@ -132,4 +132,47 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
       .isEmpty)
     assert(HtmlExtract.extractLinks("no links").isEmpty)
   }
+
+  private def lpa(edges: Seq[(String, String)], rounds: Int = 4): Map[String, String] = {
+    import spark.implicits._
+    LinkGraph.lpaCommunities(edges.toDF("s", "d"), "s", "d", rounds)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("lpa: two 6-cliques joined by one bridge keep distinct labels") {
+    // round 1 is all-ties (every label distinct), so the bridge endpoint
+    // briefly adopts a foreign label; round 2's COUNT dominance (4 of its
+    // 5 in-clique neighbors share the clique max) pulls it back — the
+    // count-beats-lexicographic property, exercised not asserted.
+    def clique(ns: Seq[String]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val A = Seq("a1", "a2", "a3", "a4", "a5", "a6")
+    val B = Seq("b1", "b2", "b3", "b4", "b5", "b6")
+    val labels = lpa(clique(A) ++ clique(B) :+ ("a1", "b1"))
+    assert(A.map(labels).distinct == Seq("a6"))
+    assert(B.map(labels).distinct == Seq("b6"))
+  }
+
+  test("lpa: round-1 all-distinct votes tie to the greatest label") {
+    val labels = lpa(Seq(("x", "a"), ("x", "b"), ("x", "c")), rounds = 1)
+    assert(labels("x") == "c")
+  }
+
+  test("lpa: self-loops are ignored; a 2-path oscillates with period 2") {
+    // sym graph is just a-b: r1 swaps labels, r2 swaps back — pinned
+    // deterministic behavior of the synchronous variant.
+    assert(lpa(Seq(("a", "a"), ("a", "b")), rounds = 1) ==
+      Map("a" -> "b", "b" -> "a"))
+    assert(lpa(Seq(("a", "a"), ("a", "b")), rounds = 2) ==
+      Map("a" -> "a", "b" -> "b"))
+  }
+
+  test("lpa: community_size column counts final label members") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+    val out = LinkGraph.lpaCommunities(e.toDF("s", "d"), "s", "d", 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.forall(_._3 == 3L)) // triangle converges to one community
+    assert(out.map(_._2).distinct.length == 1)
+  }
 }
