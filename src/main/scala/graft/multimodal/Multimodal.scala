@@ -591,6 +591,119 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** EXIF metadata from a JPEG's APP1 segment (real TIFF/IFD walk, the
+    * same plain-header-read class as [[parseMp4]]/[[parseFlac]]):
+    * (orientation, dateTime, make, byteOrder). Orientation drives the
+    * rotate-before-embed step every image pipeline needs; DateTime/Make
+    * feed capture-time dedup and per-device quality priors. Handles both
+    * byte orders ("II" little / "MM" big), SHORT values inline in the
+    * 4-byte value field, and ASCII values inline (count ≤ 4) or via
+    * offset. Malformed input raises (the corrupt-box rule — the caller's
+    * quarantine wraps parse failures, the parser never limps).
+    */
+  def parseExif(bytes: Array[Byte]): (Int, String, String, String) = {
+    def u(i: Int): Int = java.lang.Byte.toUnsignedInt(bytes(i))
+    require(bytes.length >= 4 && u(0) == 0xFF && u(1) == 0xD8, "not a JPEG: missing SOI")
+    // walk segments to APP1/Exif
+    var p = 2
+    var tiff = -1
+    while (tiff < 0) {
+      require(p + 4 <= bytes.length, "no Exif APP1 segment before end of data")
+      require(u(p) == 0xFF, s"bad JPEG marker at offset $p")
+      val marker = u(p + 1)
+      require(marker != 0xD9 && marker != 0xDA, "no Exif APP1 segment before SOS/EOI")
+      val len = (u(p + 2) << 8) | u(p + 3)
+      require(len >= 2 && p + 2 + len <= bytes.length, s"truncated segment at offset $p")
+      if (marker == 0xE1 && len >= 8 &&
+          new String(bytes, p + 4, 6, "ISO-8859-1") == "Exif  ")
+        tiff = p + 10
+      else p += 2 + len
+    }
+    val bo = new String(bytes, tiff, 2, "ISO-8859-1")
+    require(bo == "II" || bo == "MM", s"bad TIFF byte order '$bo'")
+    val le = bo == "II"
+    def u16(i: Int): Int =
+      if (le) u(i) | (u(i + 1) << 8) else (u(i) << 8) | u(i + 1)
+    def u32(i: Int): Long =
+      if (le) u(i).toLong | (u(i + 1).toLong << 8) | (u(i + 2).toLong << 16) | (u(i + 3).toLong << 24)
+      else (u(i).toLong << 24) | (u(i + 1).toLong << 16) | (u(i + 2).toLong << 8) | u(i + 3).toLong
+    require(u16(tiff + 2) == 42, "bad TIFF magic")
+    val ifd = tiff + u32(tiff + 4).toInt
+    require(ifd + 2 <= bytes.length, "IFD0 offset past end of data")
+    val nEntries = u16(ifd)
+    var orientation = -1
+    var dateTime = ""
+    var make = ""
+    def ascii(countField: Int, valueField: Int): String = {
+      val n = u32(countField).toInt
+      require(n >= 1, "empty ASCII EXIF value")
+      val start = if (n <= 4) valueField else tiff + u32(valueField).toInt
+      require(start + n <= bytes.length, "ASCII EXIF value past end of data")
+      new String(bytes, start, n - 1, "ISO-8859-1") // strip trailing NUL
+    }
+    var e = 0
+    while (e < nEntries) {
+      val off = ifd + 2 + 12 * e
+      require(off + 12 <= bytes.length, "truncated IFD entry")
+      u16(off) match {
+        case 0x0112 => orientation = u16(off + 8) // SHORT, inline
+        case 0x0132 => dateTime = ascii(off + 4, off + 8)
+        case 0x010F => make = ascii(off + 4, off + 8)
+        case _ => ()
+      }
+      e += 1
+    }
+    require(orientation >= 1 && orientation <= 8, s"missing/bad orientation $orientation")
+    (orientation, dateTime, make, bo)
+  }
+
+  /** Minimal JPEG carrying exactly the EXIF fields [[parseExif]] reads —
+    * SOI, APP1 (TIFF header + IFD0 with Make/Orientation/DateTime in
+    * ascending-tag order), a token SOF0, EOI. `littleEndian` picks the
+    * TIFF byte order so BOTH decode paths get exercised; ASCII values go
+    * inline when they fit TIFF's 4-byte value field and via offset
+    * otherwise, exactly per spec.
+    */
+  def syntheticJpegExif(orientation: Int, dateTime: String, make: String,
+      littleEndian: Boolean): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"bad orientation $orientation")
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def w16be(v: Int): Unit = { b(v >> 8); b(v) }
+    // TIFF-endian writers into a local buffer
+    val t = new java.io.ByteArrayOutputStream()
+    def tb(v: Int): Unit = t.write(v & 0xFF)
+    def t16(v: Int): Unit =
+      if (littleEndian) { tb(v); tb(v >> 8) } else { tb(v >> 8); tb(v) }
+    def t32(v: Long): Unit =
+      if (littleEndian) { tb(v.toInt); tb((v >> 8).toInt); tb((v >> 16).toInt); tb((v >> 24).toInt) }
+      else { tb((v >> 24).toInt); tb((v >> 16).toInt); tb((v >> 8).toInt); tb(v.toInt) }
+    t.write((if (littleEndian) "II" else "MM").getBytes("ISO-8859-1"))
+    t16(42); t32(8L)
+    val mkBytes = make.getBytes("ISO-8859-1") :+ 0.toByte
+    val dtBytes = dateTime.getBytes("ISO-8859-1") :+ 0.toByte
+    val dataStart = 8 + 2 + 3 * 12 + 4 // IFD0 end
+    val mkOff = dataStart
+    val dtOff = dataStart + (if (mkBytes.length <= 4) 0 else mkBytes.length)
+    t16(3) // entry count; ascending tag order: Make < Orientation < DateTime
+    t16(0x010F); t16(2); t32(mkBytes.length.toLong)
+    if (mkBytes.length <= 4) { mkBytes.foreach(x => tb(x.toInt)); (mkBytes.length until 4).foreach(_ => tb(0)) }
+    else t32(mkOff.toLong)
+    t16(0x0112); t16(3); t32(1L); t16(orientation); t16(0)
+    t16(0x0132); t16(2); t32(dtBytes.length.toLong); t32(dtOff.toLong)
+    t32(0L) // next IFD
+    if (mkBytes.length > 4) t.write(mkBytes)
+    t.write(dtBytes)
+    val tiff = t.toByteArray
+    b(0xFF); b(0xD8) // SOI
+    b(0xFF); b(0xE1); w16be(2 + 6 + tiff.length)
+    out.write("Exif  ".getBytes("ISO-8859-1")); out.write(tiff)
+    // token SOF0 (8x8, 1 component) so the container is a plausible JPEG
+    b(0xFF); b(0xC0); w16be(11); b(8); w16be(8); w16be(8); b(1); b(1); b(0x11); b(0)
+    b(0xFF); b(0xD9) // EOI
+    out.toByteArray
+  }
+
   /** Deterministic frame sampling plan for a video payload: byte offsets of
     * every k-th "frame" (stub: fixed frame stride derived from payload size).
     */

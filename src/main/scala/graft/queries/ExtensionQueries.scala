@@ -362,7 +362,28 @@ object ExtensionQueries extends QueryPack {
       .orderBy(col("tile"))
   }
 
+  /** EXIF walk over synthetic JPEGs in BOTH TIFF byte orders: the real
+    * APP1/IFD parser reads back orientation / capture time / device make
+    * the construction planted; the oracle recomputes the formulas.
+    */
+  private def exifQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .map { id =>
+        val dt = f"2024:${1 + id % 12}%02d:${1 + id % 28}%02d " +
+          f"${id % 24}%02d:${id % 60}%02d:${id % 60}%02d"
+        val bytes = Multimodal.syntheticJpegExif(
+          orientation = 1 + (id % 8).toInt, dateTime = dt,
+          make = s"cam${id % 5}", littleEndian = id % 2 == 0)
+        val (o, d, m, bo) = Multimodal.parseExif(bytes)
+        (id, o, d, m, bo)
+      }
+      .toDF("id", "orientation", "date_time", "make", "byte_order")
+      .orderBy("id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_exif_meta" -> (exifQ _),
     "q_multimodal_decode" -> (decodeQ _),
     "q_zorder_layout" -> (zorderQ _),
     "q_multimodal_features" -> (featuresQ _),
@@ -454,6 +475,20 @@ object ExtensionQueries extends QueryPack {
          |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
          |FROM z GROUP BY 1 ORDER BY tile
          |""".stripMargin,
+    // the Spark side walks real APP1/TIFF IFDs in both byte orders; the
+    // oracle recomputes the planted construction formulas
+    "q_exif_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |  '2024:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || ' ' ||
+        |  lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+        |  lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS date_time,
+        |  'cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+        |FROM documents ORDER BY 1
+        |""".stripMargin,
     "q_multimodal_decode" ->
       // the Spark side DECODES real PNGs and parses real MP4 box trees,
       // FLAC STREAMINFO blocks, MP3 frame chains, and WebM EBML trees; the

@@ -110,6 +110,9 @@ object StatQueries extends QueryPack {
     "q_quantile_price" -> (priceQuantilesQ _),
     "q_quantile_filter" -> (quantileFilterQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
+    "q_stream_weighted_sample" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamWeightedSample(s, dir, 100, "ws",
+        queryName = s"stream_wsample_${math.abs(dir.hashCode)}")),
     "q_char_entropy" -> (charEntropyQ _),
   )
 
@@ -140,6 +143,16 @@ object StatQueries extends QueryPack {
        |ORDER BY 1, 2
        |""".stripMargin
   }
+
+  private lazy val weightedSampleOracle: String =
+    s"""WITH tk AS (SELECT doc_id, source, ${tokCount("text")} AS weight FROM documents),
+       |k AS (SELECT doc_id, source, weight,
+       |        ln((${h60("CAST(doc_id AS VARCHAR)", "ws")} + 1) / 1152921504606846976.0)
+       |          / CAST(weight AS DOUBLE) AS key
+       |      FROM tk)
+       |SELECT doc_id, source, weight, round(key, 6) AS es_key
+       |FROM k ORDER BY key DESC, doc_id LIMIT 100
+       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // planted-period text rebuilt via ordered string_agg; word/sentence/
@@ -189,15 +202,11 @@ object StatQueries extends QueryPack {
          |""".stripMargin,
     // A-ES key ln((h+1)/2^60)/w replayed term for term; selection on the
     // full-precision key, 6-dp pin only on the emitted column
-    "q_weighted_sample" ->
-      s"""WITH tk AS (SELECT doc_id, source, ${tokCount("text")} AS weight FROM documents),
-         |k AS (SELECT doc_id, source, weight,
-         |        ln((${h60("CAST(doc_id AS VARCHAR)", "ws")} + 1) / 1152921504606846976.0)
-         |          / CAST(weight AS DOUBLE) AS key
-         |      FROM tk)
-         |SELECT doc_id, source, weight, round(key, 6) AS es_key
-         |FROM k ORDER BY key DESC, doc_id LIMIT 100
-         |""".stripMargin,
+    "q_weighted_sample" -> weightedSampleOracle,
+    // the streamed reservoir ≡ one-shot batch sample (selection is a pure
+    // function of row identity; per-batch local top-k can't lose a global
+    // winner) — the batch oracle verbatim
+    "q_stream_weighted_sample" -> weightedSampleOracle,
     // per-doc code-point histogram; H = log2(n) − Σ c·log2(c)/n with log2
     // expressed as ln(x)/LN2 against the JVM's exact LN2 double so both
     // engines share the one transcendental (ln) the LM gates already pin

@@ -845,6 +845,59 @@ object StreamingOps {
       .orderBy(col("grp"))
   }
 
+  /** STREAMING weighted sample: the A-ES reservoir maintained on ingest.
+    * Because each row's selection key ln(u)/w is a pure function of row
+    * identity ([[graft.ops.WeightedSample.esKey]]), a weight-proportional
+    * without-replacement sample of a growing corpus reduces to "keep the k
+    * largest keys seen so far": each micro-batch writes its own local
+    * top-k candidate set (batchId-keyed idempotent store — any global
+    * winner is by definition inside its batch's top-k), and the close
+    * takes the top-k of the candidate union. Per-batch state is ≤ k rows;
+    * nothing ever rescans history; streamed result ≡ the one-shot batch
+    * sample row for row under any trigger chunking.
+    */
+  def streamWeightedSample(
+      spark: SparkSession,
+      dir: String,
+      k: Int,
+      seed: String,
+      nChunks: Int = 5,
+      queryName: String = "stream_wsample"): DataFrame = {
+    import graft.ops.WeightedSample
+    import graft.text.TextFunctions
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("weight"))
+    val root = s"target/stream_wsample_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val staging = s"$root/staging"
+    docs.repartition(nChunks, pmod(col("doc_id"), lit(nChunks)))
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("es_key",
+            WeightedSample.esKey(col("doc_id"), col("weight"), seed))
+          .orderBy(col("es_key").desc, col("doc_id").asc)
+          .limit(k)
+          .write.mode("overwrite").parquet(s"$root/cand/b$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$root/cand/*")
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("weight"),
+        round(col("es_key"), 6).as("es_key"))
+  }
+
   def streamScd2(
       spark: SparkSession,
       dir: String,

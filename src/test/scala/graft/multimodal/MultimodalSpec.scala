@@ -250,4 +250,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.length == 8)
     out.foreach(d => assert(d.width == 16 + d.id.toInt && d.channels == (if (d.id % 2 == 0) 1 else 3)))
   }
+
+  test("EXIF roundtrip in both TIFF byte orders") {
+    for (le <- Seq(true, false)) {
+      val jpeg = Multimodal.syntheticJpegExif(6, "2024:03:15 10:20:30", "camX", le)
+      val (o, dt, mk, bo) = Multimodal.parseExif(jpeg)
+      assert(o == 6 && dt == "2024:03:15 10:20:30" && mk == "camX")
+      assert(bo == (if (le) "II" else "MM"))
+    }
+  }
+
+  test("EXIF short ASCII values go inline (TIFF 4-byte value field) and read back") {
+    // "abc" + NUL = 4 bytes: must be inline, not offset
+    val jpeg = Multimodal.syntheticJpegExif(1, "2024:01:01 00:00:00", "abc", littleEndian = true)
+    val (_, _, mk, _) = Multimodal.parseExif(jpeg)
+    assert(mk == "abc")
+  }
+
+  test("corrupt EXIF raises: bad SOI, absent APP1, bad byte order, truncation") {
+    val good = Multimodal.syntheticJpegExif(3, "2024:01:01 00:00:00", "cam0", littleEndian = false)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif(Array[Byte](0, 1, 2, 3))
+    }
+    intercept[IllegalArgumentException] { // SOI + EOI only: no APP1
+      Multimodal.parseExif(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte))
+    }
+    val badBo = good.clone()
+    badBo(12) = 'X'.toByte // "II"/"MM" tag inside the TIFF header
+    intercept[IllegalArgumentException] { Multimodal.parseExif(badBo) }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif(good.take(good.length / 2))
+    }
+  }
 }

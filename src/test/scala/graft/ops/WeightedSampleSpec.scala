@@ -64,6 +64,21 @@ class WeightedSampleSpec extends SparkTestBase {
       .count() == 2)
   }
 
+  test("streamed reservoir equals the one-shot batch sample row for row") {
+    import graft.text.TextFunctions
+    val dir = "/root/testdata/sf0.001"
+    val batch = WeightedSample.sampleByWeight(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("source"),
+            TextFunctions.bpeTokenCount(col("text")).cast("long").as("weight")),
+        col("doc_id"), col("weight"), 25, "spec")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    val streamed = graft.streaming.StreamingOps
+      .streamWeightedSample(spark, dir, 25, "spec", queryName = "spec_wsample")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("non-positive or null weight fails loudly with the offending id") {
     val df = Seq((1L, 2L), (2L, 0L)).toDF("id", "w")
     val e = intercept[Exception] {
