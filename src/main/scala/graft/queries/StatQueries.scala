@@ -69,6 +69,40 @@ object StatQueries extends QueryPack {
     WeightedSample.sampleByWeight(d, col("doc_id"), col("weight"), 100, "ws")
   }
 
+  /** Per-SOURCE weighted sample: the A-ES key through the custom
+    * bounded-heap TopKPerKey physical operator — each input partition
+    * forwards ≤ k rows per source to the shuffle (never a Window over data
+    * rows; plan asserted at runtime), so a per-group sample costs the same
+    * scan at any corpus size.
+    */
+  private def weightedSampleGroupedQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      TextFunctions.bpeTokenCount(col("text")).cast("long").as("weight"))
+    val keyed = d.withColumn("ek",
+      WeightedSample.esKey(col("doc_id"), col("weight"), "wsg"))
+    val out = graft.plans.TopKPerKey(keyed, Seq("source"),
+        Seq(("ek", false), ("doc_id", true)), k = 20)
+      .select(col("doc_id"), col("source"), col("weight"),
+        round(col("ek"), 6).as("es_key"))
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("TopKPerKey") && !plan.contains("Window"),
+      s"grouped sample did not plan the bounded-heap operator:\n$plan")
+    out.orderBy("source", "doc_id")
+  }
+
+  /** Size-targeted release sharding manifest: 25 kB shards over the
+    * hash-shuffled document order; the oracle replays the assignment as a
+    * global running sum (fine at oracle scale — the engine's windows are
+    * bucket-partitioned).
+    */
+  private def shardAssignQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ShardAssign
+    val assigned = ShardAssign.assignShards(
+      docs(spark, dir).select(col("doc_id"), col("n_chars")),
+      "doc_id", col("n_chars"), targetBytes = 25000L)
+    ShardAssign.shardManifest(assigned, col("n_chars"))
+  }
+
   /** Per-document character entropy (bits) — one codegen pass per row. */
   private def charEntropyQ(spark: SparkSession, dir: String): DataFrame = {
     EntropyExpressions.register(spark)
@@ -110,6 +144,8 @@ object StatQueries extends QueryPack {
     "q_quantile_price" -> (priceQuantilesQ _),
     "q_quantile_filter" -> (quantileFilterQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
+    "q_weighted_sample_grouped" -> (weightedSampleGroupedQ _),
+    "q_shard_assign" -> (shardAssignQ _),
     "q_stream_weighted_sample" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamWeightedSample(s, dir, 100, "ws",
         queryName = s"stream_wsample_${math.abs(dir.hashCode)}")),
@@ -207,6 +243,36 @@ object StatQueries extends QueryPack {
     // function of row identity; per-batch local top-k can't lose a global
     // winner) — the batch oracle verbatim
     "q_stream_weighted_sample" -> weightedSampleOracle,
+    // per-source top-20 by the seeded key: window-rank replay (fine at
+    // oracle scale; the engine plans the bounded-heap operator instead)
+    "q_weighted_sample_grouped" ->
+      s"""WITH tk AS (SELECT doc_id, source, ${tokCount("text")} AS weight FROM documents),
+         |k AS (SELECT doc_id, source, weight,
+         |        ln((${h60("CAST(doc_id AS VARCHAR)", "wsg")} + 1) / 1152921504606846976.0)
+         |          / CAST(weight AS DOUBLE) AS key
+         |      FROM tk),
+         |r AS (SELECT doc_id, source, weight, key,
+         |        row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+         |      FROM k)
+         |SELECT doc_id, source, weight, round(key, 6) AS es_key
+         |FROM r WHERE rn <= 20 ORDER BY source, doc_id
+         |""".stripMargin,
+    // the whole assignment replayed as one global running byte sum over
+    // the (bucket, hash, id) order; shard = before // target, exact ints
+    "q_shard_assign" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    ${h60("CAST(doc_id AS VARCHAR)", "0")} AS hh
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_chars, hh, CAST(hh % 1024 AS INT) AS bucket FROM h),
+         |r AS (SELECT doc_id, n_chars,
+         |        sum(n_chars) OVER (ORDER BY bucket, hh, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS bef
+         |      FROM b)
+         |SELECT CAST(bef // 25000 AS BIGINT) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS bytes
+         |FROM r GROUP BY 1 ORDER BY 1
+         |""".stripMargin,
     // per-doc code-point histogram; H = log2(n) − Σ c·log2(c)/n with log2
     // expressed as ln(x)/LN2 against the JVM's exact LN2 double so both
     // engines share the one transcendental (ln) the LM gates already pin
