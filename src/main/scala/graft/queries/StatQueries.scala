@@ -103,6 +103,29 @@ object StatQueries extends QueryPack {
     ShardAssign.shardManifest(assigned, col("n_chars"))
   }
 
+  /** Zipf power-law fit over the sparse corpus's word-frequency head —
+    * the corpus-diagnostics card (a natural corpus fits ln f ≈ a + s·ln r
+    * with s ≈ −1; machine-generated/templated text bends the line): OLS on
+    * the top-100 (ln rank, ln freq) points in EXACT decimal arithmetic —
+    * terms pinned at 6 dp, every sum/product shaped to stay inside
+    * DECIMAL(38) with zero rounding, and ONE IEEE division per
+    * coefficient at the end (the PageRank/BM25 reduction-order-proof
+    * discipline, applied to closed-form regression).
+    */
+  private def zipfFitQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = graft.dedup.SparseCorpus.generate(
+      docs(spark, dir).select("doc_id"))
+    val words = graft.text.UnigramLm.wordHistogram(sparse, col("text"))
+    // bounded head: TakeOrdered to 100 rows; the rank window runs above
+    // that bounded frame, never over the corpus axis
+    val top = words.orderBy(col("freq").desc, col("word")).limit(100)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("word"))))
+    graft.ops.DecimalOls.fit(ranked,
+      log(col("rank").cast("double")), log(col("freq").cast("double")))
+  }
+
   /** Per-document character entropy (bits) — one codegen pass per row. */
   private def charEntropyQ(spark: SparkSession, dir: String): DataFrame = {
     EntropyExpressions.register(spark)
@@ -146,6 +169,7 @@ object StatQueries extends QueryPack {
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_weighted_sample_grouped" -> (weightedSampleGroupedQ _),
     "q_shard_assign" -> (shardAssignQ _),
+    "q_zipf_fit" -> (zipfFitQ _),
     "q_stream_weighted_sample" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamWeightedSample(s, dir, 100, "ws",
         queryName = s"stream_wsample_${math.abs(dir.hashCode)}")),
@@ -256,6 +280,29 @@ object StatQueries extends QueryPack {
          |      FROM k)
          |SELECT doc_id, source, weight, round(key, 6) AS es_key
          |FROM r WHERE rn <= 20 ORDER BY source, doc_id
+         |""".stripMargin,
+    // exact-decimal OLS over the top-100 (ln rank, ln freq) points of the
+    // regenerated sparse corpus; zero intermediate rounding, one IEEE
+    // division per coefficient
+    "q_zipf_fit" ->
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |w AS (SELECT word, count(*) AS freq
+         |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM sparsedocs)
+         |      WHERE length(word) > 0 GROUP BY 1),
+         |top AS (SELECT word, freq FROM w ORDER BY freq DESC, word LIMIT 100),
+         |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank FROM top),
+         |p AS (SELECT CAST(round(ln(rank), 6) AS DECIMAL(9,6)) AS x,
+         |             CAST(round(ln(freq), 6) AS DECIMAL(9,6)) AS y FROM rk),
+         |a AS (SELECT CAST(count(*) AS DECIMAL(3,0)) AS n,
+         |             CAST(sum(x) AS DECIMAL(13,6)) AS sx,
+         |             CAST(sum(y) AS DECIMAL(13,6)) AS sy,
+         |             CAST(sum(x*y) AS DECIMAL(22,12)) AS sxy,
+         |             CAST(sum(x*x) AS DECIMAL(22,12)) AS sxx
+         |      FROM p)
+         |SELECT CAST(n AS BIGINT) AS n_points,
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+         |  round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept
+         |FROM a
          |""".stripMargin,
     // the whole assignment replayed as one global running byte sum over
     // the (bucket, hash, id) order; shard = before // target, exact ints
