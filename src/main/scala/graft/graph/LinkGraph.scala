@@ -182,6 +182,60 @@ object LinkGraph {
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
   }
 
+  /** k-core decomposition by iterative peeling (Seidman 1983): repeatedly
+    * drop nodes with undirected degree < k until fixpoint; what survives is
+    * the maximal subgraph where everyone keeps ≥ k neighbors — the density
+    * signal behind link-farm detection (spam farms are engineered to be
+    * high-PageRank but thin: big stars, low coreness) and crawl-frontier
+    * prioritization.
+    *
+    * Each round is one self-semi-join of the symmetrized edge frame
+    * against the survivor set + one degree aggregate, survivors
+    * localCheckpoint'ed (the CC/PageRank discipline); the driver compares
+    * two bounded scalars (survivor counts) per round for the fixpoint
+    * test. Rounds are data-dependent but ≤ the longest peel cascade;
+    * `maxRounds` bounds the loop loudly (an oracle unrolling R rounds
+    * stays exact because the engine ASSERTS convergence within R).
+    * Integer-only state — no pinning discipline needed.
+    *
+    * @return (node, core_degree): the k-core members with their degree
+    *         inside the core.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val dir0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val sym = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var survivors = sym.select(col("a").as("node")).distinct().localCheckpoint()
+    var n = survivors.count()
+    var round = 0
+    var fixed = false
+    while (!fixed) {
+      round += 1
+      require(round <= maxRounds, s"k-core failed to converge in $maxRounds rounds")
+      val deg = sym
+        .join(survivors.withColumnRenamed("node", "a"), "a")
+        .join(survivors.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+      val next = deg.where(col("core_degree") >= k).localCheckpoint()
+      val n2 = next.count()
+      if (n2 == n) {
+        fixed = true
+        survivors = next // carry the degree column of the stable round
+      } else {
+        n = n2
+        survivors = next.select("node")
+      }
+    }
+    survivors.select(col("node"), col("core_degree"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan, Albert &
     * Kumara 2007) over the UNDIRECTED link graph — the community axis the
     * centrality triad can't see: interlinked domain pockets (mirror

@@ -191,6 +191,37 @@ object WebQueries extends QueryPack {
       .orderBy(col("node"))
   }
 
+  /** k-core over the planted graph PLUS pendant two-hop chains hanging off
+    * each block hub: the chains peel over two cascading rounds (t*a is
+    * degree-1, t*b becomes degree-1 only after t*a drops), the dense
+    * blocks survive k = 4 intact — peeling mechanics AND a planted
+    * expected core, both pinned. The engine caps rounds at 8 so the
+    * oracle's 8-round unroll is exact by construction (peeling is
+    * idempotent at fixpoint — extra unrolled rounds are no-ops).
+    */
+  private def kcoreQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.cached(spark, dir, "documents")
+    val block = col("doc_id") % 4
+    val i = expr("doc_id div 4") % 6
+    val j = expr("doc_id div 24") % 6
+    val node = (b: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =>
+      concat(lit("c"), lpad((b * 6 + k).cast("string"), 2, "0"))
+    val intra = d.where(i =!= j)
+      .select(node(block, i).as("src"), node(block, j).as("dst"))
+    val bridges = d.where(col("doc_id") % 25 === 7)
+      .select(node(block, lit(0)).as("src"),
+        node((block + 1) % 4, lit(0)).as("dst"))
+    val chainA = d.where(col("doc_id") % 20 === 3)
+      .select(concat(lit("t"), block, lit("a")).as("src"),
+        concat(lit("t"), block, lit("b")).as("dst"))
+    val chainB = d.where(col("doc_id") % 20 === 3)
+      .select(concat(lit("t"), block, lit("b")).as("src"),
+        node(block, lit(0)).as("dst"))
+    val edges = intra.unionByName(bridges).unionByName(chainA).unionByName(chainB)
+    graft.graph.LinkGraph.kCore(edges, "src", "dst", k = 4, maxRounds = 8)
+      .orderBy(col("node"))
+  }
+
   private def pagerankQ(spark: SparkSession, dir: String): DataFrame = {
     HtmlExtract.register(spark)
     val rows = WarcSource.readWarc(spark, warcFixture(spark, dir))
@@ -484,6 +515,7 @@ object WebQueries extends QueryPack {
     "q_stream_warc" -> (streamWarcQ _),
     "q_domain_pagerank" -> (pagerankQ _),
     "q_lpa_communities" -> (lpaQ _),
+    "q_kcore" -> (kcoreQ _),
     "q_trustrank" -> (trustRankQ _),
     "q_hits" -> (hitsQ _),
     "q_latest_capture" -> (latestCaptureQ _),
@@ -728,6 +760,41 @@ object WebQueries extends QueryPack {
     // makes the batch oracle exact for the stream
     "q_stream_warc" -> htmlExtractOracle,
     "q_domain_pagerank" -> pagerankOracle,
+    // 8 unrolled peel rounds (idempotent past the fixpoint the engine
+    // asserts); survivors = nodes whose within-survivor degree stays >= 4
+    "q_kcore" -> {
+      val peels = (1 to 8).map { r =>
+        s"""d$r AS (SELECT s.a AS node, count(*) AS c FROM symk s
+           |  JOIN s${r - 1} x ON s.a = x.node JOIN s${r - 1} y ON s.b = y.node
+           |  GROUP BY 1),
+           |s$r AS (SELECT node FROM d$r WHERE c >= 4)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ek0 AS (
+         |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 4) % 6 AS VARCHAR), 2, '0') AS src,
+         |         'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 24) % 6 AS VARCHAR), 2, '0') AS dst
+         |  FROM documents WHERE (doc_id // 4) % 6 <> (doc_id // 24) % 6
+         |  UNION ALL
+         |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 AS VARCHAR), 2, '0'),
+         |         'c' || lpad(CAST(((doc_id % 4 + 1) % 4) * 6 AS VARCHAR), 2, '0')
+         |  FROM documents WHERE doc_id % 25 = 7
+         |  UNION ALL
+         |  SELECT 't' || CAST(doc_id % 4 AS VARCHAR) || 'a',
+         |         't' || CAST(doc_id % 4 AS VARCHAR) || 'b'
+         |  FROM documents WHERE doc_id % 20 = 3
+         |  UNION ALL
+         |  SELECT 't' || CAST(doc_id % 4 AS VARCHAR) || 'b',
+         |         'c' || lpad(CAST((doc_id % 4) * 6 AS VARCHAR), 2, '0')
+         |  FROM documents WHERE doc_id % 20 = 3),
+         |symk AS (SELECT DISTINCT a, b FROM (
+         |  SELECT src AS a, dst AS b FROM ek0 WHERE src <> dst
+         |  UNION ALL
+         |  SELECT dst AS a, src AS b FROM ek0 WHERE src <> dst)),
+         |s0 AS (SELECT DISTINCT a AS node FROM symk),
+         |$peels
+         |SELECT node, CAST(c AS BIGINT) AS core_degree
+         |FROM d8 WHERE c >= 4 ORDER BY node
+         |""".stripMargin
+    },
     // 4 unrolled synchronous LPA rounds: per round, neighbor-label vote
     // counts then max(struct(cnt, label)) argmax (greatest label on ties);
     // all integer/string — no float pinning anywhere

@@ -167,6 +167,34 @@ class LinkGraphSpec extends AnyFunSuite with SparkTestBase {
       Map("a" -> "a", "b" -> "b"))
   }
 
+  private def core(edges: Seq[(String, String)], k: Int, maxRounds: Int = 30): Map[String, Long] = {
+    import spark.implicits._
+    LinkGraph.kCore(edges.toDF("s", "d"), "s", "d", k, maxRounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore: pendant tail peels, triangle survives k=2 with its degrees") {
+    val got = core(Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")), k = 2)
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kcore: peeling cascades one hop per round") {
+    // p1-p2-p3-triangle: p1 is degree 1; p2 drops only after p1 does
+    val e = Seq(("p1", "p2"), ("p2", "x"), ("x", "y"), ("y", "z"), ("z", "x"))
+    assert(core(e, k = 2).keySet == Set("x", "y", "z"))
+    // a path peels from both ends one hop per round; too-small maxRounds raises
+    val path = Seq(("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5"),
+      ("n5", "n6"), ("n6", "n7"))
+    intercept[IllegalArgumentException] { core(path, k = 2, maxRounds = 2) }
+    assert(core(path, k = 2).isEmpty) // a path has no 2-core at all
+  }
+
+  test("kcore: k=1 keeps every non-isolated node; huge k empties") {
+    val e = Seq(("a", "b"), ("b", "c"))
+    assert(core(e, k = 1).keySet == Set("a", "b", "c"))
+    assert(core(e, k = 5).isEmpty)
+  }
+
   test("lpa: community_size column counts final label members") {
     import spark.implicits._
     val e = Seq(("a", "b"), ("b", "c"), ("a", "c"))

@@ -97,6 +97,27 @@ class QuantilesSpec extends SparkTestBase {
       && !plan.toLowerCase.contains("join"), plan)
   }
 
+  test("percentile_approx is the documented production swap: rank error within bound") {
+    // The exact operator is for when the answer must be exact (thresholds
+    // feeding bit-reproducible gates); Spark's built-in percentile_approx
+    // (GK sketch, mergeable, one pass) is the swap when an ε-rank answer
+    // is enough. Contract checked here: at accuracy A, the returned value's
+    // RANK is within n/A + 1 of the target rank.
+    val rnd = new scala.util.Random(99)
+    val vs = (1 to 20000).map(_ => rnd.nextInt(1000000).toLong)
+    val df = vs.map(("a", _)).toDF("g", "v")
+    val acc = 1000
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val approx = df.agg(percentile_approx(col("v"), lit(q), lit(acc)))
+        .head().getLong(0)
+      val sorted = vs.sorted
+      val targetRank = math.max(1L, math.ceil(q * vs.size).toLong)
+      val approxRank = sorted.count(_ <= approx)
+      assert(math.abs(approxRank - targetRank) <= vs.size / acc + 1,
+        s"q=$q approx=$approx rank=$approxRank target=$targetRank")
+    }
+  }
+
   test("invalid fractions and bucket counts fail loudly") {
     val df = Seq(("a", 1L)).toDF("g", "v")
     intercept[IllegalArgumentException] {
