@@ -126,6 +126,40 @@ object StatQueries extends QueryPack {
       log(col("rank").cast("double")), log(col("freq").cast("double")))
   }
 
+  /** Per-source quality card composing the session's signals in ONE plan:
+    * median token count (exact-quantile refinement), mean character
+    * entropy and mean FK grade (per-doc values 6-dp-pinned then summed as
+    * EXACT decimals — one IEEE division per mean, so the card is
+    * reduction-order-proof like every other float aggregate in the tree).
+    */
+  private def qualityCardQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.Readability
+    EntropyExpressions.register(spark)
+    val L = col("doc_id") % 7 + 3
+    val punct = concat_ws(" ",
+      transform(split(col("text"), " "),
+        (x, i) => when((i + 1) % L === 0, concat(x, lit("."))).otherwise(x)))
+    val per = docs(spark, dir).select(col("source"), col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).cast("long").as("tok"),
+      round(EntropyExpressions.stringEntropy(col("text")), 6)
+        .cast("decimal(12,6)").as("ent"),
+      punct.as("s"))
+    val withFk = per.withColumn("fk",
+      round(Readability.fkGrade(
+        Readability.wordCount(col("s")), Readability.sentenceCount(col("s")),
+        Readability.syllableCount(col("s"))), 6).cast("decimal(12,6)"))
+    val agg = withFk.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("ent")).as("se"), sum(col("fk")).as("sf"))
+    val med = Quantiles.exactQuantiles(per, col("source"), col("tok"), Seq(0.5))
+      .select(col("grp").as("source"), col("value").as("median_tok"))
+    agg.join(broadcast(med), "source")
+      .select(col("source"), col("n_docs"), col("median_tok"),
+        round(col("se").cast("double") / col("n_docs"), 6).as("mean_entropy"),
+        round(col("sf").cast("double") / col("n_docs"), 6).as("mean_fk"))
+      .orderBy("source")
+  }
+
   /** Per-document character entropy (bits) — one codegen pass per row. */
   private def charEntropyQ(spark: SparkSession, dir: String): DataFrame = {
     EntropyExpressions.register(spark)
@@ -170,6 +204,10 @@ object StatQueries extends QueryPack {
     "q_weighted_sample_grouped" -> (weightedSampleGroupedQ _),
     "q_shard_assign" -> (shardAssignQ _),
     "q_zipf_fit" -> (zipfFitQ _),
+    "q_quality_card" -> (qualityCardQ _),
+    "q_stream_quantile" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamExactQuantiles(s, dir, QS_TOK,
+        queryName = s"stream_quantile_${math.abs(dir.hashCode)}")),
     "q_stream_weighted_sample" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamWeightedSample(s, dir, 100, "ws",
         queryName = s"stream_wsample_${math.abs(dir.hashCode)}")),
@@ -203,6 +241,11 @@ object StatQueries extends QueryPack {
        |ORDER BY 1, 2
        |""".stripMargin
   }
+
+  private lazy val tokenQuantileOracle: String = quantileOracle(
+    s"""SELECT lang AS grp, ${tokCount("text")} AS v FROM documents
+       |  UNION ALL SELECT 'ALL' AS grp, ${tokCount("text")} AS v FROM documents""".stripMargin,
+    QS_TOK)
 
   private lazy val weightedSampleOracle: String =
     s"""WITH tk AS (SELECT doc_id, source, ${tokCount("text")} AS weight FROM documents),
@@ -240,10 +283,11 @@ object StatQueries extends QueryPack {
          |        + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
          |FROM c ORDER BY doc_id
          |""".stripMargin,
-    "q_exact_quantile" -> quantileOracle(
-      s"""SELECT lang AS grp, ${tokCount("text")} AS v FROM documents
-         |  UNION ALL SELECT 'ALL' AS grp, ${tokCount("text")} AS v FROM documents""".stripMargin,
-      QS_TOK),
+    "q_exact_quantile" -> tokenQuantileOracle,
+    // streamed histogram maintenance ≡ one-shot batch quantile (merge is
+    // associative-commutative; rank rule a pure function of the merged
+    // histogram) — the batch oracle verbatim
+    "q_stream_quantile" -> tokenQuantileOracle,
     "q_quantile_price" -> quantileOracle(
       "SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem",
       QS_PRICE),
@@ -319,6 +363,53 @@ object StatQueries extends QueryPack {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS bytes
          |FROM r GROUP BY 1 ORDER BY 1
+         |""".stripMargin,
+    // the card composes the proven fragments: per-doc entropy and FK both
+    // 6-dp-pinned then summed as exact DECIMAL(28,6); median via the rank
+    // rule; one IEEE division per mean
+    "q_quality_card" ->
+      s"""WITH pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 700) r(x)),
+         |ch AS (SELECT doc_id, substr(text, i + 1, 1) AS c
+         |       FROM documents JOIN pos ON i < len(text)),
+         |ecnt AS (SELECT doc_id, c, count(*) AS cn FROM ch GROUP BY 1, 2),
+         |eacc AS (SELECT doc_id, sum(cn * (ln(cn) / ${math.log(2.0)})) AS acc,
+         |          CAST(sum(cn) AS BIGINT) AS n FROM ecnt GROUP BY 1),
+         |ent AS (SELECT d.doc_id, d.source,
+         |          CAST(round(CASE WHEN e.n IS NULL OR e.n <= 1 THEN 0.0
+         |            ELSE (ln(e.n) / ${math.log(2.0)}) - e.acc / e.n END, 6)
+         |            AS DECIMAL(12,6)) AS ent
+         |        FROM documents d LEFT JOIN eacc e USING (doc_id)),
+         |rtk AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+         |          doc_id % 7 + 3 AS L FROM documents),
+         |rex AS (SELECT doc_id, source, L, i, t[i + 1] AS w
+         |        FROM rtk JOIN pos ON i < len(t)),
+         |rtx AS (SELECT doc_id, source,
+         |          string_agg(CASE WHEN (i + 1) % L = 0 THEN w || '.' ELSE w END,
+         |                     ' ' ORDER BY i) AS s
+         |        FROM rex GROUP BY doc_id, source, L),
+         |rc AS (SELECT doc_id, source,
+         |         CAST(len(string_split(s, ' ')) AS INT) AS w,
+         |         CAST(greatest(len(regexp_extract_all(s, '[.!?]+')), 1) AS INT) AS sn,
+         |         CAST(list_aggregate(list_transform(string_split(lower(s), ' '),
+         |           x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)), 'sum') AS INT) AS y
+         |       FROM rtx),
+         |fkd AS (SELECT doc_id, source,
+         |          CAST(round(0.39 * (CAST(w AS DOUBLE) / sn)
+         |            + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 6) AS DECIMAL(12,6)) AS fk
+         |        FROM rc),
+         |tok AS (SELECT doc_id, source, ${tokCount("text")} AS tok FROM documents),
+         |nn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |mr AS (SELECT source, tok, row_number() OVER (PARTITION BY source ORDER BY tok) AS rn FROM tok),
+         |mt AS (SELECT nn.source, greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n_docs) AS BIGINT)) AS rank FROM nn),
+         |med AS (SELECT mt.source, mr.tok AS median_tok
+         |        FROM mt JOIN mr ON mr.source = mt.source AND mr.rn = mt.rank),
+         |se AS (SELECT source, CAST(sum(ent) AS DECIMAL(28,6)) AS se FROM ent GROUP BY 1),
+         |sf AS (SELECT source, CAST(sum(fk) AS DECIMAL(28,6)) AS sf FROM fkd GROUP BY 1)
+         |SELECT nn.source, CAST(nn.n_docs AS BIGINT) AS n_docs, med.median_tok,
+         |  round(CAST(se.se AS DOUBLE) / nn.n_docs, 6) AS mean_entropy,
+         |  round(CAST(sf.sf AS DOUBLE) / nn.n_docs, 6) AS mean_fk
+         |FROM nn JOIN med USING (source) JOIN se USING (source) JOIN sf USING (source)
+         |ORDER BY source
          |""".stripMargin,
     // per-doc code-point histogram; H = log2(n) − Σ c·log2(c)/n with log2
     // expressed as ln(x)/LN2 against the JVM's exact LN2 double so both

@@ -898,6 +898,81 @@ object StreamingOps {
         round(col("es_key"), 6).as("es_key"))
   }
 
+  /** STREAMING exact quantiles over a bounded-integer domain: the value
+    * histogram is a decomposable aggregate, so each micro-batch writes its
+    * own (grp, v, cnt) cells (batchId-keyed idempotent store) and the
+    * close merges by sum and walks ranks exactly like the batch operator.
+    * Contract: the DISTINCT-VALUE axis must be bounded (token counts,
+    * score buckets — here ≤ a few hundred cells per group); for wide
+    * domains run [[graft.ops.Quantiles.exactQuantiles]]' refinement at
+    * close instead. Streamed ≡ one-shot batch because histogram merge is
+    * associative-commutative and the rank rule is a pure function of the
+    * merged histogram.
+    */
+  def streamExactQuantiles(
+      spark: SparkSession,
+      dir: String,
+      qs: Seq[Double],
+      nChunks: Int = 5,
+      queryName: String = "stream_quantile"): DataFrame = {
+    import graft.text.TextFunctions
+    import org.apache.spark.sql.types._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val root = s"target/stream_quantile_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val staging = s"$root/staging"
+    docs.repartition(nChunks, pmod(col("doc_id"), lit(nChunks)))
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    def cells(df: DataFrame): DataFrame = {
+      val tok = TextFunctions.bpeTokenCount(col("text")).cast("long")
+      df.select(col("lang").as("grp"), tok.as("v"))
+        .unionByName(df.select(lit("ALL").as("grp"), tok.as("v")))
+        .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    }
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cells(batch).write.mode("overwrite").parquet(s"$root/hist/b$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    val merged = spark.read.parquet(s"$root/hist/*")
+      .groupBy("grp", "v").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // close: walk the bounded histogram exactly like the batch rank rule
+    val rows = merged.toSeq.sortBy(_._1).flatMap { case (grp, cs) =>
+      val hist = cs.map(c => (c._2, c._3)).sortBy(_._1)
+      val n = hist.map(_._2).sum
+      qs.sorted.map { q =>
+        val rank = math.max(1L, math.ceil(q * n).toLong)
+        var rem = rank
+        var value = hist.last._1
+        val it = hist.iterator
+        var found = false
+        while (!found && it.hasNext) {
+          val (v, c) = it.next()
+          if (rem <= c) { value = v; found = true } else rem -= c
+        }
+        org.apache.spark.sql.Row(grp, q, rank, n, value)
+      }
+    }
+    val outSchema = StructType(Seq(
+      StructField("grp", StringType, nullable = false),
+      StructField("q", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("value", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
+      .orderBy("grp", "q")
+  }
+
   def streamScd2(
       spark: SparkSession,
       dir: String,
