@@ -76,6 +76,63 @@ object LinkGraph {
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("out_degree"), col("rank"))
   }
 
+  /** Weighted PageRank — [[pagerank]] with edge weights instead of the
+    * distinct-edge collapse: a domain linked 50× from a page set carries
+    * 50× the endorsement of a single stray anchor (anchor multiplicity is
+    * the natural weight; any positive integer signal works). Per source
+    * the rank splits proportionally, contribution = rank·w/Σw — with
+    * uniform weights this is BITWISE [[pagerank]] (spec-asserted), since
+    * w/Σw computes the identical IEEE chain as rank/deg.
+    *
+    * Same scale shape and reproducibility discipline: duplicate (src, dst)
+    * rows collapse by weight-SUM in one map-side-combined aggregate;
+    * per-round one ranks⋈edges join + one decomposable by-dst aggregate;
+    * contributions pinned 9 dp, summed as exact DECIMAL(28,9), ranks
+    * re-pinned and localCheckpoint'ed per round; non-positive weights
+    * raise with the offending edge. Returns (node, out_weight, rank).
+    */
+  def weightedPagerank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        when(col(weightCol).isNull || col(weightCol) <= 0,
+          raise_error(concat(lit("weightedPagerank: non-positive weight on edge "),
+            col(srcCol).cast("string"), lit("->"), col(dstCol).cast("string"))))
+          .otherwise(col(weightCol).cast("long")).as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count() // bounded axis: the domain universe
+    require(n > 0, "weightedPagerank: empty graph")
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    val base = round(lit(1.0 - damping) / lit(n.toDouble), 9)
+    var ranks = nodes.select(col("node"), round(lit(1.0) / lit(n.toDouble), 9).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = ranks
+        .join(wdeg, ranks("node") === wdeg("src"))
+        .join(e, "src")
+        .select(col("dst"),
+          round(col("rank") * col("w").cast("double") / col("wsum").cast("double"), 9)
+            .as("c"))
+      val sums = contrib.groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(28,9)")).as("s"))
+      ranks = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          round(base + lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9)
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.join(wdeg, ranks("node") === wdeg("src"), "left")
+      .select(col("node"), coalesce(col("wsum"), lit(0L)).as("out_weight"), col("rank"))
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004): PageRank with the
     * uniform teleport replaced by a SEED vector — trust flows out of a
     * hand-picked set of known-good domains and decays through the link

@@ -180,9 +180,22 @@ object SimilarityQueries extends QueryPack {
         e.filter(col("vec_id") < NQUERIES), e, "vec_id", "embedding",
         K, NLISTS, DIM, KM_ITERS, M, KSUB, PQ_ITERS, REFINE)
     }),
+    // margin-based mutual-kNN pair mining (Artetxe & Schwenk 2019): the
+    // bitext/cross-dump alignment operator — even ids (bounded side A)
+    // paired into the full odd side by ratio margin over mutual top-k
+    "q_margin_mine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.similarity.MarginMine.mineMutual(
+        e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2 * MM_NA),
+        e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", K, MM_THR)
+    }),
   )
 
   private val KM_ITERS = 2
+  /** Margin mining: |side A| and the ratio-margin keep threshold. */
+  private val MM_NA = 20
+  private val MM_THR = 1.2
   private val MRL_DIMS = 16
   private val M = 4
   private val KSUB = 8
@@ -686,6 +699,41 @@ object SimilarityQueries extends QueryPack {
          |                                     ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |      FROM re)
          |SELECT query_id, neighbor_id, sim, rnk FROM r WHERE rnk <= $K
+         |""".stripMargin,
+    "q_margin_mine" ->
+      // forward/backward brute-force lists, exact-decimal list sums, one
+      // IEEE division per margin — the engine's chain replayed stage for
+      // stage; backward rank ties break to the smaller side-A id exactly
+      // like topKPerQuery's (sim DESC, neighbor_id) ordering
+      s"""WITH qa AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings
+         |            WHERE vec_id % 2 = 0 AND vec_id < ${2 * MM_NA}),
+         |cb AS (SELECT vec_id AS neighbor_id, $dv AS cv FROM embeddings WHERE vec_id % 2 = 1),
+         |fs AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim FROM cb CROSS JOIN qa),
+         |fr AS (SELECT query_id, neighbor_id, sim,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |       FROM fs),
+         |fwd AS (SELECT query_id, neighbor_id, sim FROM fr WHERE rn <= $K),
+         |sa AS (SELECT query_id, sum(CAST(sim AS DECIMAL(28,6))) AS suma FROM fwd GROUP BY 1),
+         |cand AS (SELECT DISTINCT neighbor_id FROM fwd),
+         |bs AS (SELECT cb.neighbor_id AS b_id, qa.query_id AS a_id,
+         |              ${cosSql("cb.cv", "qa.qv")} AS sim
+         |       FROM cb JOIN cand USING (neighbor_id) CROSS JOIN qa),
+         |br AS (SELECT b_id, a_id, sim,
+         |              row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rn
+         |       FROM bs),
+         |bwd AS (SELECT b_id, a_id, sim FROM br WHERE rn <= $K),
+         |sb AS (SELECT b_id, sum(CAST(sim AS DECIMAL(28,6))) AS sumb FROM bwd GROUP BY 1),
+         |mu AS (SELECT f.query_id, f.neighbor_id, f.sim,
+         |              round(CAST(CAST(f.sim AS DECIMAL(28,6)) * ${2 * K} AS DOUBLE)
+         |                    / CAST(sa.suma + sb.sumb AS DOUBLE), 6) AS margin
+         |       FROM fwd f
+         |       JOIN bwd ON bwd.b_id = f.neighbor_id AND bwd.a_id = f.query_id
+         |       JOIN sa ON sa.query_id = f.query_id
+         |       JOIN sb ON sb.b_id = f.neighbor_id),
+         |mr AS (SELECT query_id, neighbor_id, sim, margin,
+         |              row_number() OVER (PARTITION BY query_id ORDER BY margin DESC, neighbor_id) AS rn
+         |       FROM mu WHERE margin >= $MM_THR)
+         |SELECT query_id, neighbor_id, sim, margin FROM mr WHERE rn = 1
          |""".stripMargin,
   )
 }

@@ -212,6 +212,11 @@ object StatQueries extends QueryPack {
       graft.streaming.StreamingOps.streamWeightedSample(s, dir, 100, "ws",
         queryName = s"stream_wsample_${math.abs(dir.hashCode)}")),
     "q_char_entropy" -> (charEntropyQ _),
+    // ε-DP published counts: per-(source, lang) document histogram under
+    // seeded Laplace(1/ε) — the data-card numbers a release actually ships
+    "q_dp_release" -> ((s, dir) =>
+      graft.ops.DpRelease.laplaceCounts(
+        docs(s, dir), Seq("source", "lang"), eps = 0.5, seed = "graftdp")),
   )
 
   private val BPE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -428,5 +433,20 @@ object StatQueries extends QueryPack {
          |        ELSE (ln(s.n) / ${math.log(2.0)}) - s.acc / s.n END, 6) AS entropy
          |FROM n LEFT JOIN s USING (doc_id) ORDER BY doc_id
          |""".stripMargin,
+    // Laplace(1/ε) as ln(u1) − ln(u2) over the shared md5 uniforms; the
+    // noise term is 6-dp-pinned straight after the transcendental
+    "q_dp_release" -> {
+      def u(tag: String) =
+        s"CAST(${h60("source || '|' || lang", s"graftdp#$tag")} + 1 AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE)"
+      s"""WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+         |z AS (SELECT source, lang, n,
+         |        round((ln(${u("1")}) - ln(${u("2")})) / CAST(0.5 AS DOUBLE), 6) AS noise
+         |      FROM c),
+         |y AS (SELECT source, lang, n, round(n + noise, 6) AS noisy_n FROM z)
+         |SELECT source, lang, n, noisy_n,
+         |       greatest(0, CAST(round(noisy_n, 0) AS BIGINT)) AS released_n
+         |FROM y
+         |""".stripMargin
+    },
   )
 }

@@ -417,6 +417,27 @@ object TextQueries extends QueryPack {
         sparse.filter(col("doc_id") % 20 === 5), "doc_id", "text",
         s"graft_bm25_index_$suffix", s"graft_bm25_probe_$suffix", k = 10)
     }),
+    // exact positional phrase search: each residue-3-of-97 doc's leading
+    // 4-gram as the phrase — every query hits its own doc at anchor 0, and
+    // unmutated cluster siblings surface as the cross-doc verbatim hits a
+    // contamination confirm pass is after; anchor-vote counting, never a
+    // postings self-join
+    "q_phrase_search" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      val phrases = sparse.filter(col("doc_id") % 97 === 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("phrase"))
+      graft.text.PhraseSearch.search(sparse, "doc_id", "text", phrases)
+    }),
+    // per-source snapshot drift: even-id docs as the baseline snapshot,
+    // odd-id docs as the fresh one — exact TV + pinned KL(new‖old) over
+    // add-1-smoothed unigram distributions on the union vocabulary
+    "q_drift_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.DriftCard.tokenDrift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "source", "text")
+    }),
     // cross-source 8-gram overlap matrix: the inter-source dedup decision
     // card (which source pairs share boilerplate, and how much)
     "q_source_overlap" -> ((s, dir) =>
@@ -1314,6 +1335,57 @@ object TextQueries extends QueryPack {
     "q_bm25_persistent" ->
       s"""WITH $bm25Ctes
          |SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 10
+         |""".stripMargin,
+    "q_phrase_search" ->
+      // anchor-vote replay: a (posting, phrase-term) row votes for anchor
+      // pos − i; an anchor with 4 votes is a verbatim 4-gram match
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |tk AS (SELECT doc_id, generate_subscripts($toks, 1) - 1 AS pos,
+         |              unnest($toks) AS term
+         |       FROM sparsedocs),
+         |q AS (SELECT doc_id AS query_id, list_slice($toks, 1, 4) AS qt
+         |      FROM sparsedocs WHERE doc_id % 97 = 3),
+         |qe AS (SELECT query_id, generate_subscripts(qt, 1) - 1 AS qi,
+         |              unnest(qt) AS term
+         |       FROM q),
+         |v AS (SELECT qe.query_id, tk.doc_id, tk.pos - qe.qi AS anchor
+         |      FROM tk JOIN qe USING (term) WHERE tk.pos - qe.qi >= 0),
+         |an AS (SELECT query_id, doc_id, anchor, count(*) AS nv FROM v GROUP BY 1, 2, 3),
+         |m AS (SELECT query_id, doc_id, anchor FROM an WHERE nv = 4)
+         |SELECT query_id, doc_id, count(*) AS n_hits, min(anchor) AS first_pos
+         |FROM m GROUP BY 1, 2
+         |""".stripMargin,
+    "q_drift_card" ->
+      // exact cross-products a = (cp+1)(nq+V), b = (cq+1)(np+V) over the
+      // common denominator; TV entirely in decimals + one division, KL
+      // terms pinned at 9 dp and summed as DECIMAL(38,9)
+      s"""WITH o AS (SELECT source AS grp, unnest($toks) AS word FROM documents WHERE doc_id % 2 = 0),
+         |nn AS (SELECT source AS grp, unnest($toks) AS word FROM documents WHERE doc_id % 2 = 1),
+         |co AS (SELECT grp, word, count(*) AS cq FROM o GROUP BY 1, 2),
+         |cn AS (SELECT grp, word, count(*) AS cp FROM nn GROUP BY 1, 2),
+         |j AS (SELECT coalesce(co.grp, cn.grp) AS grp, coalesce(co.word, cn.word) AS word,
+         |             coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+         |      FROM co FULL OUTER JOIN cn ON co.grp = cn.grp AND co.word = cn.word),
+         |tt AS (SELECT grp, sum(cq) AS nq, sum(cp) AS np, count(*) AS v FROM j GROUP BY 1),
+         |t AS (SELECT j.grp, cp, cq, tt.nq, tt.np, tt.v,
+         |             tt.np + tt.v AS dp, tt.nq + tt.v AS dq
+         |      FROM j JOIN tt USING (grp)),
+         |w AS (SELECT grp, v, nq, np, dp, dq,
+         |        CAST(cp + 1 AS DECIMAL(19,0)) * CAST(dq AS DECIMAL(19,0)) AS a,
+         |        CAST(cq + 1 AS DECIMAL(19,0)) * CAST(dp AS DECIMAL(19,0)) AS b,
+         |        CAST(cp + 1 AS DOUBLE) / CAST(dp AS DOUBLE) AS pw
+         |      FROM t),
+         |x AS (SELECT grp, v, nq, np, dp, dq, abs(a - b) AS tvnum,
+         |        CAST(round(pw * ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)), 9) AS DECIMAL(38,9)) AS klterm
+         |      FROM w),
+         |g AS (SELECT grp AS source, max(v) AS v, max(nq) AS n_old, max(np) AS n_new,
+         |        max(dp) AS dpv, max(dq) AS dqv, sum(tvnum) AS tvsum, sum(klterm) AS klsum
+         |      FROM x GROUP BY 1)
+         |SELECT source, v, n_old, n_new,
+         |  round(CAST(tvsum AS DOUBLE)
+         |        / CAST(CAST(dpv AS DECIMAL(19,0)) * CAST(dqv AS DECIMAL(19,0)) AS DOUBLE) / 2, 6) AS tv,
+         |  round(CAST(klsum AS DOUBLE), 6) AS kl
+         |FROM g
          |""".stripMargin,
     "q_source_overlap" ->
       // the oracle self-joins on the gram key (fine at oracle scale); the

@@ -236,6 +236,26 @@ object WebQueries extends QueryPack {
       .orderBy(col("node"))
   }
 
+  /** Weighted PageRank over the SAME extracted graph with anchor
+    * MULTIPLICITY as the edge weight — the low-index sources emit the same
+    * dst from several anchors per page (j-offsets collide mod k+1), so the
+    * weighted prior genuinely diverges from the distinct-edge one.
+    */
+  private def pagerankWeightedQ(spark: SparkSession, dir: String): DataFrame = {
+    HtmlExtract.register(spark)
+    val rows = WarcSource.readWarc(spark, warcFixture(spark, dir))
+    val hostOf = (c: org.apache.spark.sql.Column) =>
+      regexp_extract(c, "^http://([^/]+)/", 1)
+    val hrefs = rows.filter(col("warc_type") === "response")
+      .select(hostOf(col("target_uri")).as("src"),
+        explode(HtmlExtract.htmlLinks(WarcSource.decodedBody(col("body"), col("http_content_type")))).as("href"))
+      .select(col("src"), hostOf(col("href")).as("dst"))
+    val weighted = hrefs.groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.graph.LinkGraph.weightedPagerank(weighted, "src", "dst", "w", iterations = 5)
+      .select(col("node"), col("out_weight"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
   /** URL canonicalization + eTLD+1: four messy URL shapes per doc (mixed
     * case, default and non-default ports, tracking params, unsorted query,
     * fragment; hosts across four suffix regimes incl. a wildcard-style
@@ -514,6 +534,7 @@ object WebQueries extends QueryPack {
     "q_html_extract" -> ((s, dir) => htmlExtractQ(s, dir)),
     "q_stream_warc" -> (streamWarcQ _),
     "q_domain_pagerank" -> (pagerankQ _),
+    "q_pagerank_weighted" -> (pagerankWeightedQ _),
     "q_lpa_communities" -> (lpaQ _),
     "q_kcore" -> (kcoreQ _),
     "q_trustrank" -> (trustRankQ _),
@@ -649,6 +670,33 @@ object WebQueries extends QueryPack {
        |ORDER BY nd.node
        |""".stripMargin
 
+  /** Weighted rank round: contribution = round(rank·w/Σw, 9) — the same
+    * left-associated IEEE chain the engine computes.
+    */
+  private def wRankIter(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nd.node,
+       |         round(round(0.15 / (SELECT n FROM nn), 9) + 0.85 * CAST(coalesce(s.s, 0) AS DOUBLE), 9) AS rank
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst AS node, sum(CAST(round(r.rank * e.w / d.wsum, 9) AS DECIMAL(28,9))) AS s
+       |    FROM $prev r JOIN wdeg d ON d.src = r.node JOIN wedges e ON e.src = r.node
+       |    GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+
+  private lazy val pagerankWeightedOracle: String = {
+    val iters = (1 to 5).map(i => wRankIter(s"w${i - 1}", s"w$i")).mkString(",\n")
+    s"""WITH $graphCtes,
+       |wedges AS (SELECT src, dst, count(*) AS w FROM hrefs GROUP BY 1, 2),
+       |wdeg AS (SELECT src, sum(w) AS wsum FROM wedges GROUP BY 1),
+       |w0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank FROM nodes),
+       |$iters
+       |SELECT nd.node, coalesce(d.wsum, 0) AS out_weight, round(r.rank, 6) AS rank
+       |FROM nodes nd
+       |JOIN w5 r ON r.node = nd.node
+       |LEFT JOIN wdeg d ON d.src = nd.node
+       |ORDER BY nd.node
+       |""".stripMargin
+  }
+
   private val TRUST_SEEDS = Seq("src0.example.com", "src1.example.com")
 
   /** Five unrolled HITS rounds with the same exact-DECIMAL sums +
@@ -760,6 +808,7 @@ object WebQueries extends QueryPack {
     // makes the batch oracle exact for the stream
     "q_stream_warc" -> htmlExtractOracle,
     "q_domain_pagerank" -> pagerankOracle,
+    "q_pagerank_weighted" -> pagerankWeightedOracle,
     // 8 unrolled peel rounds (idempotent past the fixpoint the engine
     // asserts); survivors = nodes whose within-survivor degree stays >= 4
     "q_kcore" -> {

@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  /** Train on `train` (labeled) and classify `test`: returns
-    * (id, pred, nb_score) where pred is the argmax label and nb_score its
-    * joint log-likelihood rounded to 6 (ties broken by smallest label).
+  /** The full scored frame: one row per (test id, label) with the joint
+    * log-likelihood — [[classify]]'s argmax input, exposed for consumers
+    * that need the whole posterior surface (e.g. the confident-learning
+    * screen in [[LabelNoise]]).
     */
-  def classify(train: DataFrame, test: DataFrame, idCol: String,
+  def scores(train: DataFrame, test: DataFrame, idCol: String,
       labelCol: String, textCol: String): DataFrame = {
     val tr = train.select(col(labelCol).as("label"), split(col(textCol), " ").as("t"))
     val trTok = tr.select(col("label"), explode(col("t")).as("tok"))
@@ -51,11 +52,21 @@ object NaiveBayes {
     val sparseSums = te.select(col("id"), explode(col("t")).as("tok"))
       .join(model, Seq("tok"))
       .groupBy(col("id"), col("label")).agg(sum(col("lw")).as("s"))
-    val scored = te.select(col("id"), size(col("t")).as("n_toks"))
+    te.select(col("id"), size(col("t")).as("n_toks"))
       .crossJoin(broadcast(labels))
       .join(sparseSums, Seq("id", "label"), "left")
       .withColumn("score",
         col("prior") + coalesce(col("s"), lit(0.0)) - col("n_toks") * col("denom"))
+      .select(col("id"), col("label"), col("score"))
+  }
+
+  /** Train on `train` (labeled) and classify `test`: returns
+    * (id, pred, nb_score) where pred is the argmax label and nb_score its
+    * joint log-likelihood rounded to 6 (ties broken by smallest label).
+    */
+  def classify(train: DataFrame, test: DataFrame, idCol: String,
+      labelCol: String, textCol: String): DataFrame = {
+    val scored = scores(train, test, idCol, labelCol, textCol)
     val w = Window.partitionBy(col("id"))
       .orderBy(round(col("score"), 6).desc, col("label"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
