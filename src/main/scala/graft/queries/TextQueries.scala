@@ -159,6 +159,23 @@ object TextQueries extends QueryPack {
         .withColumnRenamed("id", "doc_id")
         .withColumnRenamed("pred", "pred_lang")
     }),
+    // confident-learning label-noise screen over the NB posterior surface:
+    // observed labels carry planted rotation noise (doc_id % 23 == 7 →
+    // next language in the cycle); the screen should re-surface exactly
+    // the docs whose content disagrees with their observed label
+    "q_label_noise" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rot = when(col("lang") === "en", "de").when(col("lang") === "de", "es")
+        .when(col("lang") === "es", "fr").when(col("lang") === "fr", "zh")
+        .otherwise("en")
+      val dObs = d.select(col("doc_id"),
+        when(col("doc_id") % 23 === 7, rot).otherwise(col("lang")).as("obs"),
+        col("text"))
+      val sc = graft.text.NaiveBayes.scores(dObs, dObs, "doc_id", "obs", "text")
+      graft.text.LabelNoise.screen(sc,
+        dObs.select(col("doc_id").as("id"), col("obs").as("y")))
+        .withColumnRenamed("id", "doc_id")
+    }),
     // CCNet-style corpus-LM quality signal: per-doc mean negative
     // log-probability under the corpus's own add-one bigram LM
     "q_lm_score" -> ((s, dir) =>
@@ -1092,6 +1109,52 @@ object TextQueries extends QueryPack {
          |      FROM sc)
          |SELECT doc_id, lang AS pred_lang, round(score, 6) AS nb_score
          |FROM r WHERE rn = 1
+         |""".stripMargin,
+    "q_label_noise" ->
+      // NB scoring replayed with the noisy observed labels as the class
+      // axis, then the softmax → per-class threshold → argmax chain;
+      // max(struct(p, label)) ties replay as (p DESC, label DESC)
+      s"""WITH obs AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 23 = 7 THEN
+         |          CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+         |                    WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'en' END
+         |        ELSE lang END AS obs, $toks AS t
+         |      FROM documents),
+         |trtok AS (SELECT obs AS label, unnest(t) AS tok FROM obs),
+         |model AS (SELECT label, tok, ln(CAST(count(*) AS DOUBLE) + 1) AS lw
+         |          FROM trtok GROUP BY 1, 2),
+         |lbl AS (SELECT obs AS label, count(*) AS nl FROM obs GROUP BY 1),
+         |tl AS (SELECT label, count(*) AS tot FROM trtok GROUP BY 1),
+         |nn2 AS (SELECT count(*) AS n FROM obs),
+         |vv AS (SELECT count(DISTINCT tok) AS v FROM trtok),
+         |lab AS (SELECT lbl.label, ln(CAST(nl AS DOUBLE) / nn2.n) AS prior,
+         |               ln(CAST(tot + vv.v AS DOUBLE)) AS denom
+         |        FROM lbl JOIN tl USING (label) CROSS JOIN nn2 CROSS JOIN vv),
+         |tetok AS (SELECT doc_id, unnest(t) AS tok FROM obs),
+         |ss AS (SELECT doc_id, label, sum(lw) AS s FROM tetok JOIN model USING (tok)
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT o.doc_id, lab.label,
+         |              lab.prior + coalesce(ss.s, 0) - len(o.t) * lab.denom AS score
+         |       FROM obs o CROSS JOIN lab
+         |       LEFT JOIN ss ON ss.doc_id = o.doc_id AND ss.label = lab.label),
+         |mx AS (SELECT doc_id, max(score) AS mxs FROM sc GROUP BY 1),
+         |pr AS (SELECT sc.doc_id, sc.label, round(exp(sc.score - mx.mxs), 9) AS praw
+         |       FROM sc JOIN mx USING (doc_id)),
+         |zz AS (SELECT doc_id, sum(CAST(praw AS DECIMAL(28,9))) AS z FROM pr GROUP BY 1),
+         |pp AS (SELECT pr.doc_id, pr.label, round(pr.praw / CAST(zz.z AS DOUBLE), 6) AS p
+         |       FROM pr JOIN zz USING (doc_id)),
+         |th AS (SELECT pp.label,
+         |              round(CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS t
+         |       FROM pp JOIN obs ON obs.doc_id = pp.doc_id AND obs.obs = pp.label
+         |       GROUP BY 1),
+         |ca AS (SELECT pp.doc_id, pp.label, pp.p FROM pp JOIN th USING (label)
+         |       WHERE pp.p >= th.t),
+         |bst AS (SELECT doc_id, label AS sugg, p AS p_sugg, row_number() OVER
+         |          (PARTITION BY doc_id ORDER BY p DESC, label DESC) AS rn FROM ca)
+         |SELECT o.doc_id, o.obs AS observed,
+         |       coalesce(b.sugg, o.obs) AS suggested, b.p_sugg,
+         |       coalesce(b.sugg, o.obs) <> o.obs AS flagged
+         |FROM obs o LEFT JOIN (SELECT * FROM bst WHERE rn = 1) b USING (doc_id)
          |""".stripMargin,
     "q_lm_score" ->
       s"""WITH $lmCtes
