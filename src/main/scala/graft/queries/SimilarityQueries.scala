@@ -190,9 +190,32 @@ object SimilarityQueries extends QueryPack {
         e.filter(col("vec_id") % 2 === 1),
         "vec_id", "embedding", K, MM_THR)
     }),
+    // cluster-quality diagnostic: per-cluster simplified silhouette over
+    // the SAME deterministic k-means SemDeDup / clusterBalance act on
+    "q_silhouette" -> ((s, dir) =>
+      graft.similarity.Silhouette.simplifiedSilhouette(
+        emb(s, dir), "vec_id", "embedding", NLISTS, DIM, KM_ITERS)),
+    // centroid-distance outlier screen: flag embeddings > Z_THR population
+    // stddevs from their cluster mean distance — garbage-vector pruning
+    // before the ANN index ingests them
+    "q_embed_outliers" -> ((s, dir) =>
+      graft.similarity.Silhouette.outlierScreen(
+        emb(s, dir), "vec_id", "embedding", NLISTS, DIM, KM_ITERS, Z_THR)),
+    // order-sensitive ANN evaluation: nDCG@k + MRR of the SRP head against
+    // exact brute force — completes the recall@k triad every production
+    // retrieval deployment tracks
+    "q_rank_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQUERIES)
+      graft.similarity.RankEval.rankEval(
+        Similarity.srpTopK(q, e, "vec_id", "embedding", K, PLANES, DIM),
+        Similarity.bruteForceTopK(q, e, "vec_id", "embedding", K), K)
+    }),
   )
 
   private val KM_ITERS = 2
+  /** Outlier screen: flag beyond this many population stddevs. */
+  private val Z_THR = 2.0
   /** Margin mining: |side A| and the ratio-margin keep threshold. */
   private val MM_NA = 20
   private val MM_THR = 1.2
@@ -281,6 +304,31 @@ object SimilarityQueries extends QueryPack {
          |    FROM pf$sub) x JOIN pc${sub}_$PQ_ITERS cc ON cc.c = x.c WHERE x.rn = 1),""".stripMargin
     head + "\n" + iters + "\n" + fin
   }
+
+  /** Shared silhouette CTE chain: k-means replay → per-(vec, centroid)
+    * squared L2 via x·x − 2·x·c + c·c → max-dot assignment → per-point
+    * a (own-centroid distance) and b (nearest-other distance).
+    */
+  private def silhouetteCtes: String =
+    s"""cents0(c, cent) AS (VALUES $centroidValues),
+       |v AS (SELECT vec_id, $dv AS dv FROM embeddings),
+       |${kmeansIterCtes(KM_ITERS)}
+       |sd AS (SELECT vec_id, c, list_dot_product(dv, cent) AS s,
+       |         list_dot_product(dv, dv) - 2.0 * list_dot_product(dv, cent)
+       |           + list_dot_product(cent, cent) AS d2
+       |       FROM v CROSS JOIN cents$KM_ITERS),
+       |assign AS (SELECT vec_id, (array_agg(c ORDER BY s DESC, c ASC))[1] AS cluster
+       |           FROM sd GROUP BY vec_id),
+       |ab AS (SELECT sd.vec_id, a.cluster,
+       |         sqrt(greatest(max(CASE WHEN sd.c = a.cluster THEN sd.d2 END), 0.0)) AS aa,
+       |         sqrt(greatest(min(CASE WHEN sd.c <> a.cluster THEN sd.d2 END), 0.0)) AS bb
+       |       FROM sd JOIN assign a ON a.vec_id = sd.vec_id
+       |       GROUP BY sd.vec_id, a.cluster)""".stripMargin
+
+  /** nDCG gain CASE over 1-based ranks 1..K, literal driver doubles. */
+  private def gainCaseSql(rank: String): String =
+    (1 to K).map(i => s"WHEN $i THEN ${graft.similarity.RankEval.gain(i)}")
+      .mkString(s"CASE $rank ", " ", " ELSE 0.0 END")
 
   private def bucketSql(v: String): String =
     (0 until PLANES).map { j =>
@@ -522,6 +570,40 @@ object SimilarityQueries extends QueryPack {
          |       round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
          |FROM g
          |""".stripMargin,
+    "q_rank_eval" ->
+      // same exact/approx rank chains as q_ann_recall; the per-position
+      // gain table 1/log2(i+1) is interpolated as driver-computed literal
+      // doubles so neither engine's log2 enters the comparison
+      s"""WITH bq AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),
+         |bc AS (SELECT vec_id AS neighbor_id, $dv AS cv FROM embeddings),
+         |bs AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |       FROM bc CROSS JOIN bq WHERE query_id <> neighbor_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |       FROM bs),
+         |aq AS (SELECT vec_id AS query_id, qv, ${bucketSql("qv")} AS bucket
+         |       FROM (SELECT vec_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES)),
+         |ac AS (SELECT vec_id AS neighbor_id, cv, ${bucketSql("cv")} AS bucket
+         |       FROM (SELECT vec_id, $dv AS cv FROM embeddings)),
+         |asv AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |        FROM ac JOIN aq ON ac.bucket = aq.bucket WHERE query_id <> neighbor_id),
+         |ar AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |       FROM asv),
+         |ex AS (SELECT query_id, neighbor_id, rnk AS e_rnk FROM br WHERE rnk <= $K),
+         |ap AS (SELECT query_id, neighbor_id, rnk AS a_rnk FROM ar WHERE rnk <= $K),
+         |j AS (SELECT ex.query_id, ex.e_rnk, ap.a_rnk
+         |      FROM ex LEFT JOIN ap USING (query_id, neighbor_id)),
+         |g AS (SELECT query_id, count(*) AS n_true,
+         |        sum(CASE WHEN a_rnk IS NOT NULL THEN ${gainCaseSql("a_rnk")} ELSE 0.0 END) AS dcg,
+         |        sum(${gainCaseSql("e_rnk")}) AS idcg,
+         |        max(CASE WHEN e_rnk = 1 AND a_rnk IS NOT NULL
+         |                 THEN 1.0 / CAST(a_rnk AS DOUBLE) ELSE 0.0 END) AS rr
+         |      FROM j GROUP BY 1)
+         |SELECT query_id, CAST(n_true AS BIGINT) AS n_true,
+         |       round(dcg / idcg, 6) AS ndcg, round(rr, 6) AS mrr
+         |FROM g
+         |""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, label AS ql, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),
          |c AS (SELECT vec_id AS neighbor_id, label AS cl, $dv AS cv FROM embeddings),
@@ -593,6 +675,33 @@ object SimilarityQueries extends QueryPack {
          |       coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
          |       CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS keep
          |FROM w LEFT JOIN d ON w.vec_id = d.vec_id
+         |""".stripMargin,
+    "q_silhouette" ->
+      s"""WITH $silhouetteCtes,
+         |sil AS (SELECT vec_id, cluster,
+         |          CASE WHEN greatest(aa, bb) = 0.0 THEN 0.0
+         |               ELSE round((bb - aa) / greatest(aa, bb), 6) END AS sil
+         |        FROM ab)
+         |SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       round(avg(sil), 6) AS mean_sil
+         |FROM sil GROUP BY cluster
+         |""".stripMargin,
+    "q_embed_outliers" ->
+      // explicit-moments variance (Σd²/n − mean², clamped at 0) written
+      // identically to the engine — never each side's own streaming stddev
+      s"""WITH $silhouetteCtes,
+         |pts AS (SELECT vec_id, cluster, round(aa, 6) AS dist FROM ab),
+         |st AS (SELECT cluster, count(*) AS n, sum(dist) AS s, sum(dist * dist) AS s2
+         |       FROM pts GROUP BY cluster),
+         |stats AS (SELECT cluster, s / n AS mean,
+         |            sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS sd_
+         |          FROM st),
+         |z AS (SELECT p.vec_id, p.cluster, p.dist,
+         |        CASE WHEN stats.sd_ = 0.0 THEN 0.0
+         |             ELSE round((p.dist - stats.mean) / stats.sd_, 6) END AS z
+         |      FROM pts p JOIN stats ON stats.cluster = p.cluster)
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster, dist, z, z > $Z_THR AS flagged
+         |FROM z
          |""".stripMargin,
     "q_cosine_neardup" ->
       s"""WITH v AS (SELECT vec_id, dv, ${bucketSql("dv")} AS block
