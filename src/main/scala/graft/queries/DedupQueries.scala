@@ -66,6 +66,30 @@ object DedupQueries extends QueryPack {
       Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", "source", N, THR)),
+    // prefix-filter exact similarity join (AllPairs/PPJoin): EVERY corpus
+    // pair at Jaccard >= CLUSTER_THR, no blocking key, no LSH recall loss —
+    // the oracle is the exhaustive all-pairs computation, so a green hash
+    // IS the losslessness proof. Gated on the SPARSE fixture — the regime
+    // prefix filtering is built for (median J ≈ 0.04: rare-first prefixes
+    // prune nearly every candidate); on the pathological 31-word harness
+    // corpus every exact head is output-bound by construction and the
+    // uncapped-LSH gate already serves as that upper-bound benchmark.
+    "q_prefix_join" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      graft.dedup.PrefixJoin.jaccardPrefixJoin(sparse, "doc_id", "text",
+        N, CLUSTER_THR)
+    }),
+    // dedup-head quality measured IN-ENGINE: precision/recall/F1 of the
+    // capped MinHash-LSH head against the prefix join's EXACT truth — the
+    // per-corpus head-tuning loop as one composed plan, in the same sparse
+    // regime the production rule targets
+    "q_dedup_eval" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      graft.dedup.DedupEval.pairSetEval(
+        Dedup.minhashLshPairs(sparse, "doc_id", "text", N, K, BANDS, CLUSTER_THR,
+          maxBucketSize = Some(BUCKET_CAP)),
+        graft.dedup.PrefixJoin.jaccardPrefixJoin(sparse, "doc_id", "text", N, CLUSTER_THR))
+    }),
     "q_dedup_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir).filter(col("doc_id") < 50), "doc_id", "text", N, K)),
     "q_dedup_minhash_lsh" -> ((s, dir) =>
@@ -362,6 +386,39 @@ object DedupQueries extends QueryPack {
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardRaw AS sim
          |          FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= $THR
+         |""".stripMargin,
+    "q_prefix_join" ->
+      // deliberately the EXHAUSTIVE all-pairs form — the engine's prefix
+      // filter must reproduce it row-for-row to hash green
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |t AS (SELECT doc_id, $sh AS sh FROM sparsedocs),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardRaw AS sim
+         |          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= $CLUSTER_THR
+         |""".stripMargin,
+    "q_dedup_eval" ->
+      // candidate side = the capped-LSH chain (ver), truth side = the
+      // exhaustive pair set over the same t(doc_id, sh) frame
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |${lshEdgesCtes(CLUSTER_THR, Some(BUCKET_CAP), src = "sparsedocs")},
+         |candp AS (SELECT DISTINCT id_a, id_b FROM ver WHERE sim >= $CLUSTER_THR),
+         |truthp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |           WHERE $jaccardRaw >= $CLUSTER_THR),
+         |agg AS (SELECT
+         |  (SELECT count(*) FROM truthp) AS n_truth,
+         |  (SELECT count(*) FROM candp) AS n_cand,
+         |  (SELECT count(*) FROM truthp JOIN candp USING (id_a, id_b)) AS n_hit),
+         |pr AS (SELECT n_truth, n_cand, n_hit,
+         |         CASE WHEN n_cand = 0 THEN 0.0 ELSE CAST(n_hit AS DOUBLE) / n_cand END AS p,
+         |         CASE WHEN n_truth = 0 THEN 0.0 ELSE CAST(n_hit AS DOUBLE) / n_truth END AS r
+         |       FROM agg)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       round(p, 6) AS "precision", round(r, 6) AS recall,
+         |       round(CASE WHEN p + r = 0.0 THEN 0.0
+         |                  ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+         |FROM pr
          |""".stripMargin,
     "q_containment" ->
       // same quote planting, same df<=5 informative-gram cap, same
