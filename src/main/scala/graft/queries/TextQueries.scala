@@ -17,6 +17,12 @@ object TextQueries extends QueryPack {
     Tables.cached(spark, dir, "documents")
 
   private val stop = Seq("the", "a")
+  /** Min-K% probe: score the 20% highest-NLL bigrams per doc. */
+  private val MINK_PCT = 20
+  /** Wilson interval z for 95% coverage. */
+  private val WILSON_Z = 1.96
+  /** Out-of-fold label-noise screen: hash-fold count. */
+  private val NOISE_FOLDS = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> ((s, dir) => docs(s, dir).select(
@@ -89,6 +95,42 @@ object TextQueries extends QueryPack {
     // curation report: per-source survival under the same filter
     "q_filter_survival" -> ((s, dir) =>
       graft.text.Heuristics.survival(docs(s, dir), "text", "source")),
+    // survival with Wilson 95% intervals — the small-source significance
+    // guard a curation dashboard reads next to the raw keep rate
+    "q_survival_ci" -> ((s, dir) =>
+      graft.text.Heuristics.survivalWilson(docs(s, dir), "text", "source",
+        z = WILSON_Z)),
+    // Min-K% membership probe (Shi et al. 2023): mean of the 20% highest
+    // per-bigram NLLs — low scores flag memorization/benchmark-member risk
+    // the plain mean NLL dilutes away
+    "q_min_k_prob" -> ((s, dir) =>
+      graft.text.LmScore.minKProb(docs(s, dir), "doc_id", "text", kPct = MINK_PCT)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("n_scored"),
+          col("min_k_nll"))),
+    // SFT conversation lint over synthetic chats built from documents —
+    // 8-token turns alternating user/assistant, four planted defect
+    // classes by doc_id % 7 (1: dangling final user turn, 2: empty turn,
+    // 3: consecutive same-role, 4: mid-dialogue system leak)
+    "q_sft_lint" -> ((s, dir) => {
+      val t = split(col("text"), " ")
+      val m = col("doc_id") % 7
+      val nT = ceil(size(t) / lit(8.0)).cast("int")
+      val nT2 = when(m === 1, greatest(lit(1), nT - 1)).otherwise(nT)
+      def mkRole(j: org.apache.spark.sql.Column) =
+        when(m === 3 && j === 1, lit("user"))
+          .otherwise(when(j % 2 === 0, lit("user")).otherwise(lit("assistant")))
+      def mkContent(j: org.apache.spark.sql.Column) =
+        when(m === 2 && j === 1, lit(""))
+          .otherwise(concat_ws(" ", slice(t, j * 8 + 1, lit(8))))
+      val base = transform(sequence(lit(0), nT2 - 1), j =>
+        struct(mkRole(j).as("role"), mkContent(j).as("content")))
+      val conv = when(m === 4, concat(base,
+          array(struct(lit("system").as("role"), lit("audit note").as("content")))))
+        .otherwise(base)
+      graft.text.SftLint.lint(
+        docs(s, dir).select(col("doc_id"), conv.as("conv")),
+        "doc_id", "conv", minTurns = 2)
+    }),
     // GPT-style sequence packing: per-doc placement in fixed-budget packs,
     // shard-parallel running offsets (text/Packing)
     "q_pack_sequences" -> ((s, dir) =>
@@ -172,6 +214,23 @@ object TextQueries extends QueryPack {
         when(col("doc_id") % 23 === 7, rot).otherwise(col("lang")).as("obs"),
         col("text"))
       val sc = graft.text.NaiveBayes.scores(dObs, dObs, "doc_id", "obs", "text")
+      graft.text.LabelNoise.screen(sc,
+        dObs.select(col("doc_id").as("id"), col("obs").as("y")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+    // the paper-faithful variant: OUT-OF-FOLD posteriors (3 hash folds,
+    // each scored by a model trained on its complement) feed the same
+    // confident-learning screen — closes the in-sample caveat
+    "q_label_noise_oof" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val rot = when(col("lang") === "en", "de").when(col("lang") === "de", "es")
+        .when(col("lang") === "es", "fr").when(col("lang") === "fr", "zh")
+        .otherwise("en")
+      val dObs = d.select(col("doc_id"),
+        when(col("doc_id") % 23 === 7, rot).otherwise(col("lang")).as("obs"),
+        col("text"))
+      val sc = graft.text.LabelNoise.oofScores(dObs, "doc_id", "obs", "text",
+        nFolds = NOISE_FOLDS)
       graft.text.LabelNoise.screen(sc,
         dObs.select(col("doc_id").as("id"), col("obs").as("y")))
         .withColumnRenamed("id", "doc_id")
@@ -596,6 +655,30 @@ object TextQueries extends QueryPack {
        |a AS (SELECT doc_id, count(*) AS n_bigrams, avg(nlp) AS nll
        |      FROM s GROUP BY doc_id)""".stripMargin
 
+  /** Per-fold NB scoring chain for the OOF label-noise oracle: CTEs
+    * suffixed by fold index, model/marginals derived on the fold's
+    * complement of `obsf(doc_id, obs, t, fold)`, terminal `sc<f>` =
+    * that fold's posterior log-scores.
+    */
+  private def nbFoldCtes(f: Int): String =
+    s"""trtok$f AS (SELECT obs AS label, unnest(t) AS tok FROM obsf WHERE fold <> $f),
+       |model$f AS (SELECT label, tok, ln(CAST(count(*) AS DOUBLE) + 1) AS lw
+       |            FROM trtok$f GROUP BY 1, 2),
+       |lbl$f AS (SELECT obs AS label, count(*) AS nl FROM obsf WHERE fold <> $f GROUP BY 1),
+       |tl$f AS (SELECT label, count(*) AS tot FROM trtok$f GROUP BY 1),
+       |nn$f AS (SELECT count(*) AS n FROM obsf WHERE fold <> $f),
+       |vv$f AS (SELECT count(DISTINCT tok) AS v FROM trtok$f),
+       |lab$f AS (SELECT lbl$f.label, ln(CAST(nl AS DOUBLE) / nn$f.n) AS prior,
+       |                 ln(CAST(tot + vv$f.v AS DOUBLE)) AS denom
+       |          FROM lbl$f JOIN tl$f USING (label) CROSS JOIN nn$f CROSS JOIN vv$f),
+       |tetok$f AS (SELECT doc_id, unnest(t) AS tok FROM obsf WHERE fold = $f),
+       |ss$f AS (SELECT doc_id, label, sum(lw) AS s FROM tetok$f JOIN model$f USING (tok)
+       |         GROUP BY 1, 2),
+       |sc$f AS (SELECT o.doc_id, lab$f.label,
+       |                lab$f.prior + coalesce(ss$f.s, 0) - len(o.t) * lab$f.denom AS score
+       |         FROM (SELECT * FROM obsf WHERE fold = $f) o CROSS JOIN lab$f
+       |         LEFT JOIN ss$f ON ss$f.doc_id = o.doc_id AND ss$f.label = lab$f.label)""".stripMargin
+
   private[queries] def lmCtes: String =
     s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
        |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
@@ -677,6 +760,30 @@ object TextQueries extends QueryPack {
          |       round(CAST(sum(f_len * f_ttr * f_meanlen * f_stop * f_blocklist) AS DOUBLE)
          |             / count(*), 6) AS keep_rate
          |FROM f GROUP BY source
+         |""".stripMargin,
+    "q_survival_ci" ->
+      // Wilson arithmetic token-for-token with Heuristics.survivalWilson;
+      // z² is the one driver double both engines share
+      s"""WITH f AS (SELECT source,
+         |  ${c4Rules.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")}
+         |FROM documents),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(f_len * f_ttr * f_meanlen * f_stop * f_blocklist) AS BIGINT) AS n_kept,
+         |        round(CAST(sum(f_len * f_ttr * f_meanlen * f_stop * f_blocklist) AS DOUBLE)
+         |              / count(*), 6) AS keep_rate
+         |      FROM f GROUP BY source),
+         |w AS (SELECT source, n_docs, n_kept, keep_rate,
+         |        CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+         |        CAST(n_docs AS DOUBLE) AS n
+         |      FROM g)
+         |SELECT source, n_docs, n_kept, keep_rate,
+         |  round(greatest(0.0, (p + ${WILSON_Z * WILSON_Z} / (2.0 * n)) / (1.0 + ${WILSON_Z * WILSON_Z} / n)
+         |    - ($WILSON_Z * sqrt(p * (1.0 - p) / n + ${WILSON_Z * WILSON_Z} / (4.0 * n * n)))
+         |      / (1.0 + ${WILSON_Z * WILSON_Z} / n)), 6) AS ci_lo,
+         |  round(least(1.0, (p + ${WILSON_Z * WILSON_Z} / (2.0 * n)) / (1.0 + ${WILSON_Z * WILSON_Z} / n)
+         |    + ($WILSON_Z * sqrt(p * (1.0 - p) / n + ${WILSON_Z * WILSON_Z} / (4.0 * n * n)))
+         |      / (1.0 + ${WILSON_Z * WILSON_Z} / n)), 6) AS ci_hi
+         |FROM w
          |""".stripMargin,
     "q_pack_sequences" ->
       s"""$packCte
@@ -1156,11 +1263,103 @@ object TextQueries extends QueryPack {
          |       coalesce(b.sugg, o.obs) <> o.obs AS flagged
          |FROM obs o LEFT JOIN (SELECT * FROM bst WHERE rn = 1) b USING (doc_id)
          |""".stripMargin,
+    "q_label_noise_oof" ->
+      // the in-sample chain with the NB model re-derived per hash fold on
+      // its complement; the softmax → threshold → argmax tail runs over
+      // the UNION of per-fold posterior surfaces
+      s"""WITH obsf AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 23 = 7 THEN
+         |          CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+         |                    WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' ELSE 'en' END
+         |        ELSE lang END AS obs, $toks AS t,
+         |        CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+         |          % $NOISE_FOLDS AS fold
+         |      FROM documents),
+         |${(0 until NOISE_FOLDS).map(nbFoldCtes).mkString(",\n")},
+         |scu AS (${(0 until NOISE_FOLDS).map(f => s"SELECT * FROM sc$f").mkString(" UNION ALL ")}),
+         |mx AS (SELECT doc_id, max(score) AS mxs FROM scu GROUP BY 1),
+         |pr AS (SELECT scu.doc_id, scu.label, round(exp(scu.score - mx.mxs), 9) AS praw
+         |       FROM scu JOIN mx USING (doc_id)),
+         |zz AS (SELECT doc_id, sum(CAST(praw AS DECIMAL(28,9))) AS z FROM pr GROUP BY 1),
+         |pp AS (SELECT pr.doc_id, pr.label, round(pr.praw / CAST(zz.z AS DOUBLE), 6) AS p
+         |       FROM pr JOIN zz USING (doc_id)),
+         |th AS (SELECT pp.label,
+         |              round(CAST(sum(CAST(p AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS t
+         |       FROM pp JOIN obsf ON obsf.doc_id = pp.doc_id AND obsf.obs = pp.label
+         |       GROUP BY 1),
+         |ca AS (SELECT pp.doc_id, pp.label, pp.p FROM pp JOIN th USING (label)
+         |       WHERE pp.p >= th.t),
+         |bst AS (SELECT doc_id, label AS sugg, p AS p_sugg, row_number() OVER
+         |          (PARTITION BY doc_id ORDER BY p DESC, label DESC) AS rn FROM ca)
+         |SELECT o.doc_id, o.obs AS observed,
+         |       coalesce(b.sugg, o.obs) AS suggested, b.p_sugg,
+         |       coalesce(b.sugg, o.obs) <> o.obs AS flagged
+         |FROM obsf o LEFT JOIN (SELECT * FROM bst WHERE rn = 1) b USING (doc_id)
+         |""".stripMargin,
     "q_lm_score" ->
       s"""WITH $lmCtes
          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
          |       round(a.nll, 6) AS nll
          |FROM documents d LEFT JOIN a USING (doc_id)
+         |""".stripMargin,
+    "q_sft_lint" ->
+      // conversation construction replayed turn-for-turn (DuckDB range is
+      // exclusive-stop = Spark's sequence(0, n-1); list slicing t[a:b] is
+      // inclusive = Spark's slice(t, a, 8)); checks are integer/string
+      // only — nothing to pin
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t, doc_id % 7 AS m FROM documents),
+         |c0 AS (SELECT doc_id, m, t, CAST(ceil(len(t) / 8.0) AS INT) AS nt FROM tk),
+         |c1 AS (SELECT doc_id, m, t,
+         |         CASE WHEN m = 1 THEN greatest(1, nt - 1) ELSE nt END AS nt2 FROM c0),
+         |built AS (SELECT doc_id, m,
+         |  list_transform(range(0, nt2), j -> {
+         |    'role': CASE WHEN m = 3 AND j = 1 THEN 'user'
+         |                 WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END,
+         |    'content': CASE WHEN m = 2 AND j = 1 THEN ''
+         |                    ELSE array_to_string(t[j*8+1 : j*8+8], ' ') END
+         |  }) AS base FROM c1),
+         |cv AS (SELECT doc_id,
+         |  CASE WHEN m = 4 THEN base || [{'role': 'system', 'content': 'audit note'}]
+         |       ELSE base END AS conv FROM built),
+         |f AS (SELECT doc_id, CAST(len(conv) AS INT) AS n_turns,
+         |  CASE WHEN len(conv) >= 1 AND conv[1].role = 'user' THEN 1 ELSE 0 END AS starts_user,
+         |  CASE WHEN len(conv) >= 1 AND conv[len(conv)].role = 'assistant' THEN 1 ELSE 0 END AS ends_assistant,
+         |  CASE WHEN len(conv) >= 2 THEN
+         |    CASE WHEN len(list_filter(range(1, len(conv)), i -> conv[i].role = conv[i+1].role)) = 0
+         |         THEN 1 ELSE 0 END
+         |  ELSE 1 END AS alternating,
+         |  CASE WHEN len(list_filter(conv, s -> s.content = '')) = 0 THEN 1 ELSE 0 END AS no_empty,
+         |  CASE WHEN len(conv) >= 2 THEN
+         |    CASE WHEN len(list_filter(range(2, len(conv) + 1), i -> conv[i].role = 'system')) = 0
+         |         THEN 1 ELSE 0 END
+         |  ELSE 1 END AS no_system_mid,
+         |  CASE WHEN len(conv) >= 2 THEN 1 ELSE 0 END AS enough_turns
+         |FROM cv)
+         |SELECT doc_id, n_turns, starts_user, ends_assistant, alternating, no_empty,
+         |       no_system_mid, enough_turns,
+         |       starts_user * ends_assistant * alternating * no_empty
+         |         * no_system_mid * enough_turns AS valid
+         |FROM f
+         |""".stripMargin,
+    "q_min_k_prob" ->
+      // row_number ties among equal NLLs pick an arbitrary row but the
+      // SAME value multiset, so the 6-dp decimal sum cannot move
+      s"""WITH $lmCtes,
+         |r AS (SELECT doc_id, nlp,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY nlp DESC) AS rn
+         |      FROM s),
+         |km AS (SELECT doc_id, count(*) AS n_bigrams,
+         |         greatest(CAST(1 AS BIGINT),
+         |                  CAST(floor((count(*) * $MINK_PCT) / 100.0) AS BIGINT)) AS n_scored
+         |       FROM s GROUP BY doc_id),
+         |sel AS (SELECT r.doc_id, r.nlp FROM r JOIN km USING (doc_id)
+         |        WHERE r.rn <= km.n_scored),
+         |gg AS (SELECT doc_id, sum(CAST(round(nlp, 6) AS DECIMAL(28,6))) AS sx
+         |       FROM sel GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(km.n_bigrams, 0) AS n_bigrams,
+         |       coalesce(km.n_scored, 0) AS n_scored,
+         |       round(CAST(gg.sx AS DOUBLE) / km.n_scored, 6) AS min_k_nll
+         |FROM documents d LEFT JOIN km USING (doc_id) LEFT JOIN gg USING (doc_id)
          |""".stripMargin,
     "q_moore_lewis" ->
       // in-domain counts re-derived over the English subset; unseen

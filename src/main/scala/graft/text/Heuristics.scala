@@ -99,4 +99,39 @@ object Heuristics {
         sum(keep).as("n_kept"),
         round(sum(keep) / count(lit(1)), 6).as("keep_rate"))
   }
+
+  /** [[survival]] with a Wilson score interval on each group's keep rate —
+    * the CI a curation dashboard needs before judging a small source's
+    * survival differs from the fleet's (a 60%-keep source with 20 docs is
+    * NOT evidence against a 70% target; with 20k docs it is). Wilson beats
+    * the normal approximation at extreme rates and small n, and never
+    * leaves [0, 1].
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n),
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+    *
+    * z² is a driver-computed literal so both engines share one double; the
+    * rest is fixed-order IEEE arithmetic from the exact integer counts,
+    * replayed token-for-token by the oracle. Same |groups|-axis aggregate
+    * as [[survival]] — scale-free.
+    */
+  def survivalWilson(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      stopwords: Seq[String] = Seq("the", "a"),
+      b: Bounds = Bounds(),
+      z: Double = 1.96): DataFrame = {
+    val zz = z * z
+    val n = col("n_docs").cast("double")
+    val p = col("n_kept").cast("double") / n
+    val denom = lit(1.0) + lit(zz) / n
+    val center = (p + lit(zz) / (lit(2.0) * n)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(zz) / (lit(4.0) * n * n))) / denom
+    survival(df, textCol, groupCol, stopwords, b)
+      .select(col(groupCol), col("n_docs"), col("n_kept"), col("keep_rate"),
+        round(greatest(lit(0.0), center - half), 6).as("ci_lo"),
+        round(least(lit(1.0), center + half), 6).as("ci_hi"))
+  }
 }

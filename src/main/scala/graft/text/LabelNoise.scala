@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   *      observed label and is unflagged;
   *   4. flagged ⇔ assigned class ≠ observed label.
   *
-  * In-sample simplification, stated: the paper computes out-of-sample
-  * predicted probabilities (cross-val); this operator screens with the
-  * scores the caller provides — feed it per-fold out-of-fold scores from
-  * [[graft.cv.CrossVal]] for the faithful variant.
+  * [[screen]] scores whatever the caller provides; the paper computes
+  * out-of-sample predicted probabilities (cross-val). [[oofScores]] IS
+  * that faithful variant — hash-fold CV over the NB posterior surface —
+  * and `q_label_noise_oof` gates it; the in-sample `q_label_noise` gate
+  * stays as the cheap single-model screen.
   *
   * Scale shape: two grouped aggregates on the example axis (max, sum),
   * one |classes|-sized threshold frame broadcast back, one argmax
@@ -41,6 +42,27 @@ object LabelNoise {
   /** `scores`: (id, label, score) — one row per example × class;
     * `observed`: (id, y).
     */
+  /** Out-of-fold NB posterior surface — the paper-faithful input to
+    * [[screen]]: fold membership is a pure function of the row id
+    * (hash60 mod nFolds — RNG-free, layout-independent, the same
+    * discipline every sampler here uses), each fold is scored by a model
+    * trained on its complement, and the union covers every row exactly
+    * once. Cost is nFolds model builds (nFolds corpus scans) — the
+    * standard CV price; each per-fold chain keeps [[NaiveBayes.scores]]'s
+    * scale shape (sparse (label, token) model never collected).
+    */
+  def oofScores(df: DataFrame, idCol: String, labelCol: String,
+      textCol: String, nFolds: Int): DataFrame = {
+    require(nFolds >= 2, s"nFolds >= 2: $nFolds")
+    val withFold = df.withColumn("__fold",
+      pmod(TextFunctions.hash60(col(idCol).cast("string")), lit(nFolds.toLong)))
+    (0 until nFolds).map { f =>
+      NaiveBayes.scores(
+        withFold.filter(col("__fold") =!= f),
+        withFold.filter(col("__fold") === f), idCol, labelCol, textCol)
+    }.reduce(_ unionByName _)
+  }
+
   def screen(scores: DataFrame, observed: DataFrame): DataFrame = {
     val mx = scores.groupBy("id").agg(max(col("score")).as("mxs"))
     val praw = scores.join(mx, "id")

@@ -72,6 +72,21 @@ object LmScore {
     */
   def nllPerDocCross(train: DataFrame, score: DataFrame, idCol: String,
       textCol: String, hotK: Int = 1024, saltN: Int = 16): DataFrame = {
+    val scored = bigramNlp(train, score, idCol, textCol, hotK, saltN)
+    score.select(col(idCol).as("id"))
+      .join(scored.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("nll")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"))
+  }
+
+  /** Per-bigram scored frame (id, nlp) under the add-one corpus LM — the
+    * salted scoring chain shared by [[nllPerDocCross]] and [[minKProb]].
+    */
+  private def bigramNlp(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, hotK: Int, saltN: Int): DataFrame = {
     val docBigrams = score
       .select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -118,13 +133,49 @@ object LmScore {
       .crossJoin(vocab) // one scalar row
       .withColumn("nlp", -log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
         (coalesce(col("c1"), lit(0L)) + col("v"))))
-    score.select(col(idCol).as("id"))
-      .join(scored.groupBy(col("id"))
-        .agg(count(lit(1)).as("n_bigrams"), avg(col("nlp")).as("nll")),
-        Seq("id"), "left")
+    scored.select(col("id"), col("nlp"))
+  }
+
+  /** Min-K% membership probe (Shi et al. 2023, "Detecting Pretraining Data
+    * from Large Language Models"): per-document mean of the k% HIGHEST
+    * per-bigram NLLs — a member document (text the LM's training corpus
+    * contains) has few surprising tokens even in its worst-scored tail, so
+    * a LOW Min-K% score signals membership/memorization risk where the
+    * plain mean NLL gets diluted by the easy majority of tokens.
+    *
+    * Selection: n_scored = max(1, ⌊n_bigrams·k/100⌋) highest-NLL bigrams,
+    * chosen by a ROW-LOCAL sort of the document's score array (documents
+    * are bounded-length; nothing here sorts a corpus axis). The selected
+    * scores are 6-dp-pinned and summed as DECIMAL(28,6) — the
+    * [[graft.text.Bm25]] discipline — so reduction order cannot move the
+    * mean. The per-bigram scores come from the same salted add-one chain
+    * as [[nllPerDoc]].
+    *
+    * Output: (id, n_bigrams, n_scored, min_k_nll) for every input row;
+    * docs with < 2 tokens score (0, 0, NULL).
+    */
+  def minKProb(df: DataFrame, idCol: String, textCol: String, kPct: Int,
+      hotK: Int = 1024, saltN: Int = 16): DataFrame = {
+    require(kPct >= 1 && kPct <= 100, s"kPct in [1,100]: $kPct")
+    val scored = bigramNlp(df, df, idCol, textCol, hotK, saltN)
+    val arr = scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("nlp")), asc = false).as("__v"))
+      .withColumn("n_scored",
+        greatest(lit(1.0),
+          floor((col("n_bigrams") * kPct).cast("double") / lit(100.0))).cast("long"))
+    val sums = arr
+      .select(col("id"), col("n_bigrams"), col("n_scored"),
+        explode(slice(col("__v"), lit(1), col("n_scored").cast("int"))).as("nlp"))
+      .groupBy(col("id"), col("n_bigrams"), col("n_scored"))
+      .agg(sum(round(col("nlp"), 6).cast("decimal(28,6)")).as("__s"))
+      .select(col("id"), col("n_bigrams"), col("n_scored"),
+        round(col("__s").cast("double") / col("n_scored"), 6).as("min_k_nll"))
+    df.select(col(idCol).as("id")).join(sums, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("nll"))
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        col("min_k_nll"))
   }
 
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &

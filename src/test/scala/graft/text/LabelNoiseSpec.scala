@@ -78,4 +78,38 @@ class LabelNoiseSpec extends SparkTestBase {
       .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
     assert(got == replay(scores, observed))
   }
+
+  test("oofScores: each row is scored exactly once, by its complement's model") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 24L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) "apple apple fruit" else "rock stone rock"))
+      .toDF("id", "y", "text")
+    val oof = LabelNoise.oofScores(docs, "id", "y", "text", nFolds = 3)
+    // coverage: every (id, label) cell exactly once, both labels per id
+    val cells = oof.groupBy("id").count().collect().map(r => r.getLong(1))
+    assert(cells.length == 24 && cells.forall(_ == 2L))
+    // equality with the manual per-fold construction
+    val fold = pmod(TextFunctions.hash60(col("id").cast("string")), lit(3L))
+    val manual = (0 until 3).map { f =>
+      NaiveBayes.scores(docs.withColumn("__f", fold).filter(col("__f") =!= f),
+        docs.withColumn("__f", fold).filter(col("__f") === f), "id", "y", "text")
+    }.reduce(_ unionByName _)
+    val a = oof.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted
+    val b = manual.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("the OOF screen still flags a planted flip on separable content") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 24L).map { i =>
+      val trueLang = if (i % 2 == 0) "a" else "b"
+      val obs = if (i == 6L) "b" else trueLang // planted flip on an 'a' doc
+      (i, obs, if (i % 2 == 0) "apple apple fruit pear" else "rock stone rock slate")
+    }.toDF("id", "y", "text")
+    val sc = LabelNoise.oofScores(docs, "id", "y", "text", nFolds = 3)
+    val out = LabelNoise.screen(sc, docs.select(col("id"), col("y")))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(6L), "the planted flip must be flagged out-of-fold")
+  }
 }
