@@ -99,6 +99,19 @@ object Metrics {
     val den = sqrt((a + b) * (a + c) * (d + b) * (d + c))
     when(den === 0, 0.0).otherwise(num / den)
   }
+  /** Cohen's κ (binary): chance-corrected agreement. The textbook
+    * (p_o − p_e)/(1 − p_e) reduces over the confusion counts to
+    * 2(tp·tn − fp·fn) / ((tp+fp)(fp+tn) + (tp+fn)(fn+tn)) — same
+    * single-pass conditional-sum shape as [[mcc]]. κ = 0 when the
+    * denominator vanishes (both raters constant — agreement is all
+    * chance).
+    */
+  private def cohenKappa(l: Column, p: Column) = {
+    val (a, b, c, d) = (tp(l, p), fp(l, p), fn(l, p), tn(l, p))
+    val num = lit(2.0) * (a * d - b * c)
+    val den = (a + b) * (b + d) + (a + c) * (c + d)
+    when(den === 0, 0.0).otherwise(num / den)
+  }
   /** Probabilistic metrics: `p` is a probability of the positive class. */
   private def logLoss(l: Column, p: Column) = {
     val eps = lit(1e-15)
@@ -270,6 +283,49 @@ object Metrics {
     * @param predsCol  array column of predicted labels per row
     * Output: (fold, precision, recall, f1, jaccard).
     */
+  /** Multiclass / weighted Cohen's κ (sklearn `cohen_kappa_score` with
+    * `weights=None|'linear'|'quadratic'`) over INTEGER ordinal classes:
+    *   κ_w = 1 − n·Σ w_ij·n_ij / Σ w_ij·r_i·c_j
+    * with w_ij = [i≠j] / |i−j| / (i−j)² — the normalizations in the
+    * textbook form cancel in the ratio. Everything lives on the bounded
+    * |classes|² contingency axis: one corpus aggregate to n_ij, marginals
+    * and the expected outer product on |classes|-sized frames. All weights
+    * and counts are INTEGERS summed as DECIMAL(38,0) — the ratio is one
+    * IEEE division of two exact integers, so both engines agree bit-for-
+    * bit (float products of marginals would lose exactness past 2⁵³ at
+    * corpus scale). κ = 0 when the expected-disagreement mass is 0 (both
+    * raters constant — agreement is all chance).
+    *
+    * Output: one row (weighting, kappa).
+    */
+  def cohenKappaMulticlass(
+      df: DataFrame,
+      labelCol: String,
+      predCol: String,
+      weighting: String = "none"): DataFrame = {
+    require(Set("none", "linear", "quadratic")(weighting),
+      s"weighting must be none|linear|quadratic: $weighting")
+    def w(i: Column, j: Column): Column = weighting match {
+      case "none"      => when(i === j, lit(0L)).otherwise(lit(1L))
+      case "linear"    => abs(i - j)
+      case "quadratic" => (i - j) * (i - j)
+    }
+    val cnt = df
+      .groupBy(col(labelCol).cast("long").as("i"), col(predCol).cast("long").as("j"))
+      .agg(count(lit(1)).as("nij"))
+    val o = cnt.agg(
+      sum((w(col("i"), col("j")) * col("nij")).cast("decimal(38,0)")).as("o"),
+      sum(col("nij")).as("n"))
+    val e = cnt.groupBy(col("i")).agg(sum(col("nij")).as("ri"))
+      .crossJoin(cnt.groupBy(col("j")).agg(sum(col("nij")).as("cj")))
+      .agg(sum(w(col("i"), col("j")).cast("decimal(38,0)") * col("ri") * col("cj")).as("e"))
+    o.crossJoin(e).select(
+      lit(weighting).as("weighting"),
+      round(when(col("e") === 0, 0.0)
+        .otherwise(lit(1.0) -
+          (col("n") * col("o")).cast("double") / col("e").cast("double")), 6).as("kappa"))
+  }
+
   def multilabelSamplesScores(
       preds: DataFrame,
       labelsCol: String,
@@ -659,6 +715,7 @@ object Metrics {
       MetricSpec("f1", greaterIsBetter = true, f1),
       MetricSpec("jaccard", greaterIsBetter = true, jaccard),
       MetricSpec("matthews_corrcoef", greaterIsBetter = true, mcc),
+      MetricSpec("cohen_kappa", greaterIsBetter = true, cohenKappa),
       MetricSpec("log_loss", greaterIsBetter = false, logLoss),
       MetricSpec("brier_score", greaterIsBetter = false, brier),
       MetricSpec("d2_brier_score", greaterIsBetter = true, d2Brier),
@@ -751,6 +808,12 @@ object Metrics {
         val (a, b, c, d) = (wtp(l, p, w), wfp(l, p, w), wfn(l, p, w), wtn(l, p, w))
         val num = a * d - b * c
         val den = sqrt((a + b) * (a + c) * (d + b) * (d + c))
+        when(den === 0, 0.0).otherwise(num / den)
+      }
+      case "cohen_kappa" => (l, p, w) => {
+        val (a, b, c, d) = (wtp(l, p, w), wfp(l, p, w), wfn(l, p, w), wtn(l, p, w))
+        val num = lit(2.0) * (a * d - b * c)
+        val den = (a + b) * (b + d) + (a + c) * (c + d)
         when(den === 0, 0.0).otherwise(num / den)
       }
       case "log_loss" => (l, p, w) => {

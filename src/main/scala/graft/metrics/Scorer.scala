@@ -144,7 +144,12 @@ object Scorers {
     */
   lazy val registry: Map[String, Scorer] = {
     val probResponse = Set("log_loss", "brier_score", "d2_brier_score", "d2_log_loss_score")
-    val base = Metrics.registry.map { case (name, spec) =>
+    // metric-only entries: sklearn's scorer-name set has no cohen_kappa
+    // (get_scorer_names()), so it stays out of the registry to preserve the
+    // 58-reference-names + documented-_approx-extras parity claim; callers
+    // wanting a κ scorer pass Metrics.registry("cohen_kappa") as a custom
+    val scorerless = Set("cohen_kappa")
+    val base = Metrics.registry.filterNot(kv => scorerless(kv._1)).map { case (name, spec) =>
       val response = if (probResponse(name)) "probability" else "prediction"
       if (spec.greaterIsBetter)
         name -> Scorer(name, name, 1.0, response)

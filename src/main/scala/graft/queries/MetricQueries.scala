@@ -42,7 +42,8 @@ object MetricQueries extends QueryPack {
 
   private val clfMetrics = Seq(
     "accuracy", "balanced_accuracy", "precision", "recall", "f1", "jaccard",
-    "matthews_corrcoef", "positive_likelihood_ratio", "negative_likelihood_ratio")
+    "matthews_corrcoef", "cohen_kappa",
+    "positive_likelihood_ratio", "negative_likelihood_ratio")
 
   private def classificationScores(spark: SparkSession, dir: String): DataFrame = {
     val df = events(spark, dir)
@@ -57,6 +58,41 @@ object MetricQueries extends QueryPack {
         .select(col("fold"), lit(m).as("metric"), round(col("score"), 6).as("score"))
     }.reduce(_ unionByName _)
   }
+
+  /** Multiclass/weighted Cohen's κ over an ordinal 4-class pair with
+    * planted distance-1 disagreements and a 3→0 wrap (distance 3) — the
+    * wrap is what separates linear from quadratic weighting.
+    */
+  private def kappaMulticlass(spark: SparkSession, dir: String): DataFrame = {
+    val d = events(spark, dir).select(
+      (col("event_id") % 4).as("y"),
+      ((col("event_id") % 4 +
+        when(col("event_id") % 7 === 0, 1L).otherwise(0L)) % 4).as("p"))
+    Seq("none", "linear", "quadratic")
+      .map(w => Metrics.cohenKappaMulticlass(d, "y", "p", w))
+      .reduce(_ unionByName _)
+  }
+
+  /** Per-fold reliability bins of the ThresholdClassifier's logistic
+    * probability response (10 uniform bins).
+    */
+  private def clfProbPreds(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+      .withColumn("label", (col("event_id") % 2).cast("double"))
+    val ps = panelSplit(df)
+    val est = new ThresholdClassifier().setFeatureCol("value").setLabelCol("label")
+    CrossVal.crossValFitPredict(est, df, ps, labelCol = "label")._1
+  }
+
+  private def calibrationBinsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.metrics.Calibration.calibrationBins(
+      clfProbPreds(spark, dir), "label", "probability", Seq("fold"), bins = 10)
+      .orderBy(col("fold"), col("bin"))
+
+  private def eceQ(spark: SparkSession, dir: String): DataFrame =
+    graft.metrics.Calibration.ece(
+      clfProbPreds(spark, dir), "label", "probability", Seq("fold"), bins = 10)
+      .orderBy(col("fold"))
 
   /** ROC-AUC of a deterministic score (value, scaled) against label =
     * event_id % 2, per fold over test rows — exercises the rank-statistic
@@ -141,7 +177,8 @@ object MetricQueries extends QueryPack {
     val est = new ThresholdClassifier().setFeatureCol("value").setLabelCol("label")
     val (preds, _) = CrossVal.crossValFitPredict(est, df, ps, labelCol = "label")
     val clfPreds = preds.withColumn("w", (col("event_id") % 5 + 1).cast("double")).cache()
-    val clf = Seq("accuracy", "precision", "recall", "f1", "matthews_corrcoef").map { m =>
+    val clf = Seq("accuracy", "precision", "recall", "f1", "matthews_corrcoef",
+        "cohen_kappa").map { m =>
       Metrics.perFoldScoresWeighted(clfPreds, m, "label", "prediction", "w")
         .select(col("fold"), lit(m).as("metric"), round(col("score"), 6).as("score"))
     }
@@ -177,6 +214,15 @@ object MetricQueries extends QueryPack {
     "q_metrics_d2" -> (d2Scores _),
     "q_metric_auc_multiclass" -> (multiclassAuc _),
     "q_metrics_weighted" -> (weightedScores _),
+    "q_metric_kappa" -> (kappaMulticlass _),
+    "q_calibration" -> (calibrationBinsQ _),
+    "q_metric_ece" -> (eceQ _),
+    // deployment-shape calibration monitoring: a published (constant-
+    // threshold) scorer's reliability bins maintained on ingest —
+    // decomposable (n, Σp, Σy) cells per micro-batch, merged at close
+    "q_stream_calibration" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamCalibration(s, dir, bins = 10,
+        queryName = s"stream_calib_${math.abs(dir.hashCode)}")),
     "q_metrics_multilabel" -> (multilabelScores _),
   )
 
@@ -255,6 +301,9 @@ object MetricQueries extends QueryPack {
          |  UNION ALL SELECT fold, 'matthews_corrcoef',
          |    CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN 0
          |         ELSE (tp*tn - fp*fn) / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END FROM cm
+         |  UNION ALL SELECT fold, 'cohen_kappa',
+         |    CASE WHEN (tp+fp)*(fp+tn) + (tp+fn)*(fn+tn) = 0 THEN 0
+         |         ELSE 2*(tp*tn - fp*fn) / ((tp+fp)*(fp+tn) + (tp+fn)*(fn+tn)) END FROM cm
          |  UNION ALL SELECT fold, 'positive_likelihood_ratio',
          |    CASE WHEN tp + fn = 0 OR fp + tn = 0 OR fp = 0 THEN 1.0
          |         ELSE (tp / (tp + fn)) / (fp / (fp + tn)) END FROM cm
@@ -390,8 +439,78 @@ object MetricQueries extends QueryPack {
          |    CASE WHEN 2*tp + fp + fn = 0 THEN 0 ELSE 2*tp / (2*tp + fp + fn) END FROM cm
          |  UNION ALL SELECT fold, 'matthews_corrcoef',
          |    CASE WHEN (tp+fp)*(tp+fn)*(tn+fp)*(tn+fn) = 0 THEN 0
-         |         ELSE (tp*tn - fp*fn) / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END FROM cm)
+         |         ELSE (tp*tn - fp*fn) / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) END FROM cm
+         |  UNION ALL SELECT fold, 'cohen_kappa',
+         |    CASE WHEN (tp+fp)*(fp+tn) + (tp+fn)*(fn+tn) = 0 THEN 0
+         |         ELSE 2*(tp*tn - fp*fn) / ((tp+fp)*(fp+tn) + (tp+fn)*(fn+tn)) END FROM cm)
          |""".stripMargin,
+    "q_metric_kappa" ->
+      // exact-integer contingency sums (DuckDB HUGEINT ≡ Spark
+      // DECIMAL(38,0)); one IEEE division per weighting
+      """WITH t AS (SELECT CAST(event_id % 4 AS BIGINT) AS i,
+        |  CAST((event_id % 4 + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) % 4 AS BIGINT) AS j
+        |FROM events),
+        |cnt AS (SELECT i, j, count(*) AS nij FROM t GROUP BY i, j),
+        |tot AS (SELECT sum(nij) AS n FROM cnt),
+        |r AS (SELECT i, sum(nij) AS ri FROM cnt GROUP BY i),
+        |c AS (SELECT j, sum(nij) AS cj FROM cnt GROUP BY j),
+        |x AS (SELECT r.i, c.j, r.ri, c.cj FROM r CROSS JOIN c),
+        |k AS (SELECT 'none' AS weighting,
+        |        (SELECT sum(CASE WHEN i = j THEN 0 ELSE 1 END * nij) FROM cnt) AS o,
+        |        (SELECT sum(CASE WHEN i = j THEN 0 ELSE 1 END * ri * cj) FROM x) AS e
+        |      UNION ALL SELECT 'linear',
+        |        (SELECT sum(abs(i - j) * nij) FROM cnt),
+        |        (SELECT sum(abs(i - j) * ri * cj) FROM x)
+        |      UNION ALL SELECT 'quadratic',
+        |        (SELECT sum((i - j) * (i - j) * nij) FROM cnt),
+        |        (SELECT sum((i - j) * (i - j) * ri * cj) FROM x))
+        |SELECT weighting,
+        |       round(CASE WHEN e = 0 THEN 0.0
+        |                  ELSE 1.0 - CAST((SELECT n FROM tot) * o AS DOUBLE)
+        |                             / CAST(e AS DOUBLE) END, 6) AS kappa
+        |FROM k
+        |""".stripMargin,
+    "q_calibration" ->
+      // unclamped logistic response (the classifier's probability column);
+      // bin = min(floor(p·10), 9) in identical arithmetic
+      s"""$prelude,
+         |train AS (SELECT b.split AS fold, avg(ev.value) AS thr
+         |          FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split),
+         |test AS (SELECT b.split AS fold, CAST(ev.event_id % 2 AS DOUBLE) AS y,
+         |                1.0 / (1.0 + exp(-(ev.value - tr.thr) / 10.0)) AS p
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |         JOIN train tr ON tr.fold = b.split)
+         |SELECT fold, CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         |       count(*) AS n_bin, round(avg(p), 6) AS conf, round(avg(y), 6) AS acc
+         |FROM test GROUP BY fold, bin
+         |""".stripMargin,
+    "q_metric_ece" ->
+      s"""$prelude,
+         |train AS (SELECT b.split AS fold, avg(ev.value) AS thr
+         |          FROM ev JOIN bounds b ON ev.pos < b.test_start GROUP BY b.split),
+         |test AS (SELECT b.split AS fold, CAST(ev.event_id % 2 AS DOUBLE) AS y,
+         |                1.0 / (1.0 + exp(-(ev.value - tr.thr) / 10.0)) AS p
+         |         FROM ev JOIN bounds b ON ev.pos = b.test_start
+         |         JOIN train tr ON tr.fold = b.split),
+         |b1 AS (SELECT fold, CAST(least(floor(p * 10), 9) AS INT) AS bin,
+         |         count(*) AS n_bin, round(avg(p), 6) AS conf, round(avg(y), 6) AS acc
+         |       FROM test GROUP BY fold, bin),
+         |w AS (SELECT fold, sum(n_bin) AS n,
+         |        round(sum(n_bin * abs(acc - conf)), 6) AS wsum
+         |      FROM b1 GROUP BY fold)
+         |SELECT fold, n, round(wsum / n, 6) AS ece FROM w
+         |""".stripMargin,
+    "q_stream_calibration" ->
+      // the scorer's threshold is the WHOLE-corpus mean (a deployment
+      // constant), so no fold prelude; bins/conf/acc identical arithmetic
+      """WITH thr AS (SELECT avg(value) AS thr FROM events),
+        |t AS (SELECT CAST(event_id % 2 AS DOUBLE) AS y,
+        |             1.0 / (1.0 + exp(-(value - thr.thr) / 10.0)) AS p
+        |      FROM events CROSS JOIN thr)
+        |SELECT CAST(least(floor(p * 10), 9) AS INT) AS bin, count(*) AS n_bin,
+        |       round(avg(p), 6) AS conf, round(avg(y), 6) AS acc
+        |FROM t GROUP BY 1
+        |""".stripMargin,
     "q_metric_roc_auc" ->
       s"""$prelude,
          |test AS (SELECT b.split AS fold, CAST(ev.event_id % 2 AS DOUBLE) AS y, ev.value AS s

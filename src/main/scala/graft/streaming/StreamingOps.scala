@@ -973,6 +973,64 @@ object StreamingOps {
       .orderBy("grp", "q")
   }
 
+  /** Streaming calibration monitor: reliability bins of a PUBLISHED scorer
+    * maintained on ingest. The bin statistics (n, Σp, Σy) are a
+    * decomposable aggregate, so the stream reduces to per-batch partial
+    * cells in a batchId-keyed idempotent store (retried batches overwrite
+    * their own directory) merged by sum at close — the
+    * [[streamExactQuantiles]] shape; streamed ≡ one-shot batch because
+    * the merge is associative-commutative and the conf/acc finalize is a
+    * pure function of the merged cells. The scorer's threshold is a
+    * deployment CONSTANT (here the corpus mean, computed once before the
+    * stream starts), which is what makes per-batch scoring stateless.
+    *
+    * Output: (bin, n_bin, conf, acc) — the batch
+    * [[graft.metrics.Calibration.calibrationBins]] arithmetic on the
+    * merged cells.
+    */
+  def streamCalibration(
+      spark: SparkSession,
+      dir: String,
+      bins: Int,
+      nChunks: Int = 5,
+      queryName: String = "stream_calibration"): DataFrame = {
+    val events = graft.sources.Tables.cached(spark, dir, "events")
+    val root = s"target/stream_calibration_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val staging = s"$root/staging"
+    events.repartition(nChunks, pmod(col("event_id"), lit(nChunks)))
+      .write.mode("overwrite").parquet(staging)
+    val thr = events.agg(avg(col("value"))).collect().head.getDouble(0)
+    val schema = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    def cells(df: DataFrame): DataFrame = {
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("value") - lit(thr)) / lit(10.0)))
+      val y = (col("event_id") % 2).cast("double")
+      df.select(least(floor(p * bins), lit(bins - 1)).cast("int").as("bin"),
+          p.as("p"), y.as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("sy"))
+    }
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cells(batch).write.mode("overwrite").parquet(s"$root/cells/b$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(s"$root/cells/*")
+      .groupBy("bin")
+      .agg(sum("n").as("n_bin"), sum("sp").as("__sp"), sum("sy").as("__sy"))
+      .select(col("bin"), col("n_bin"),
+        round(col("__sp") / col("n_bin"), 6).as("conf"),
+        round(col("__sy") / col("n_bin"), 6).as("acc"))
+      .orderBy("bin")
+  }
+
   def streamScd2(
       spark: SparkSession,
       dir: String,

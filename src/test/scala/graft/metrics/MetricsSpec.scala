@@ -34,6 +34,45 @@ class MetricsSpec extends SparkTestBase {
     assert(math.abs(score("mean_gamma_deviance", gPairs) - gamma) < 1e-12)
   }
 
+  test("cohen_kappa matches the textbook (po - pe) / (1 - pe)") {
+    // confusion: tp=3, fp=1, fn=2, tn=4, n=10
+    val pairs = Seq.fill(3)((1.0, 1.0)) ++ Seq.fill(1)((0.0, 1.0)) ++
+      Seq.fill(2)((1.0, 0.0)) ++ Seq.fill(4)((0.0, 0.0))
+    val po = 7.0 / 10
+    val pe = (4.0 * 5 + 6.0 * 5) / 100 // pred-pos·true-pos + pred-neg·true-neg
+    val want = (po - pe) / (1 - pe)
+    assert(math.abs(score("cohen_kappa", pairs) - want) < 1e-12)
+  }
+
+  test("cohen_kappa is 0 when a rater is constant (all agreement is chance)") {
+    val pairs = Seq((1.0, 1.0), (0.0, 1.0), (1.0, 1.0), (0.0, 1.0))
+    assert(score("cohen_kappa", pairs) == 0.0)
+  }
+
+  test("multiclass kappa: weighted variants order by how far the wrap hurts") {
+    // 3 classes; disagreements: one (0→1) distance 1, one (2→0) distance 2
+    val d = (Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 0L), (1L, 1L)) ++
+      Seq((0L, 1L), (2L, 0L))).toDF("y", "p")
+    def k(w: String) =
+      Metrics.cohenKappaMulticlass(d, "y", "p", w).collect().head.getDouble(1)
+    // hand contingency: n=7; n_ij: (0,0)=2,(1,1)=2,(2,2)=1,(0,1)=1,(2,0)=1
+    // r = (3,2,2); c = (3,3,1)
+    def pin6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // none: o=2, e=Σ[i≠j] r_i c_j = 49 − (9+6+2) = 32; κ=1−7·2/32
+    assert(k("none") == pin6(1.0 - 14.0 / 32))
+    // linear: o=1·1+2·1=3, e=Σ|i−j| r_i c_j = 9+6+6+2+12+6 = 41; κ=1−7·3/41
+    assert(k("linear") == pin6(1.0 - 21.0 / 41))
+    // quadratic: o=1+4=5, e=9+12+6+2+24+6=59; κ=1−7·5/59
+    assert(k("quadratic") == pin6(1.0 - 35.0 / 59))
+  }
+
+  test("multiclass kappa: perfect agreement is 1, constant raters are 0") {
+    val same = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("y", "p")
+    assert(Metrics.cohenKappaMulticlass(same, "y", "p", "none").collect().head.getDouble(1) == 1.0)
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("y", "p")
+    assert(Metrics.cohenKappaMulticlass(const, "y", "p", "quadratic").collect().head.getDouble(1) == 0.0)
+  }
+
   test("log_loss clamps probabilities at 1e-15") {
     // p = 0 would be -inf without clamping
     val pairs = Seq((1.0, 0.0), (0.0, 1.0))
