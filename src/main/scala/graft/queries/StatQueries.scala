@@ -126,6 +126,53 @@ object StatQueries extends QueryPack {
       log(col("rank").cast("double")), log(col("freq").cast("double")))
   }
 
+  /** Heaps'-law vocabulary-growth curve — the second corpus-scaling
+    * diagnostic next to the Zipf fit: V(N) ≈ K·N^β for a natural corpus
+    * (β ≈ 0.4–0.6); a flat or unit slope flags synthetic/templated text or
+    * vocabulary exhaustion. Checkpoints are the 8 doc_id octiles via the
+    * exact-quantile rank rule (bounded driver values); cumulative tokens
+    * and first-occurrence vocabulary are CONDITIONAL AGGREGATES against
+    * those literals — no prefix windows over data rows, two corpus scans
+    * total (token axis + word-first-occurrence axis).
+    */
+  private val HEAPS_POINTS = 8
+
+  private def heapsCurve(spark: SparkSession, dir: String): DataFrame = {
+    // the sparse fixture, like the Zipf gate: the harness documents table's
+    // 31-word vocabulary saturates at the FIRST checkpoint (measured slope
+    // exactly 0.0) — a real growth curve needs a real vocabulary
+    val d = graft.dedup.SparseCorpus.generate(docs(spark, dir).select("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val qs = (1 to HEAPS_POINTS).map(_.toDouble / HEAPS_POINTS)
+    val cks = Quantiles.exactQuantiles(
+        d.select(lit("ALL").as("g"), col("doc_id").as("v")), col("g"), col("v"), qs)
+      .select(col("q"), col("value")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+      .zipWithIndex.map { case ((_, c), i) => (i + 1, c) }.toSeq
+    val tok = d.select(col("doc_id"), size(col("t")).as("n"))
+    val tokAggs = cks.map { case (k, c) =>
+      sum(when(col("doc_id") <= c, col("n")).otherwise(lit(0L))).as(s"__n$k") }
+    val aggTok = tok.agg(tokAggs.head, tokAggs.tail: _*)
+    val fo = d.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("f"))
+    val vocAggs = cks.map { case (k, c) =>
+      count(when(col("f") <= c, lit(1))).as(s"__v$k") }
+    val aggVoc = fo.agg(vocAggs.head, vocAggs.tail: _*)
+    aggTok.crossJoin(aggVoc) // two single-row frames
+      .select(explode(array(cks.map { case (k, c) =>
+        struct(lit(k).as("k"), lit(c).as("doc_threshold"),
+          col(s"__n$k").cast("long").as("n_tokens"),
+          col(s"__v$k").cast("long").as("vocab")) }: _*)).as("r"))
+      .select(col("r.k"), col("r.doc_threshold"), col("r.n_tokens"), col("r.vocab"))
+  }
+
+  private def heapsCurveQ(spark: SparkSession, dir: String): DataFrame =
+    heapsCurve(spark, dir).orderBy("k")
+
+  private def heapsFitQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.DecimalOls.fit(heapsCurve(spark, dir),
+      log(col("n_tokens").cast("double")), log(col("vocab").cast("double")))
+
   /** Per-source quality card composing the session's signals in ONE plan:
     * median token count (exact-quantile refinement), mean character
     * entropy and mean FK grade (per-doc values 6-dp-pinned then summed as
@@ -204,6 +251,14 @@ object StatQueries extends QueryPack {
     "q_weighted_sample_grouped" -> (weightedSampleGroupedQ _),
     "q_shard_assign" -> (shardAssignQ _),
     "q_zipf_fit" -> (zipfFitQ _),
+    "q_heaps_curve" -> (heapsCurveQ _),
+    "q_heaps_fit" -> (heapsFitQ _),
+    // word2vec unigram^0.75 negative-sampling table over the realistic
+    // sparse-corpus vocabulary
+    "q_negative_sampling" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      graft.text.NegativeSampling.table(sparse, col("text")).orderBy("word")
+    }),
     "q_quality_card" -> (qualityCardQ _),
     "q_stream_quantile" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamExactQuantiles(s, dir, QS_TOK,
@@ -342,6 +397,64 @@ object StatQueries extends QueryPack {
          |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank FROM top),
          |p AS (SELECT CAST(round(ln(rank), 6) AS DECIMAL(9,6)) AS x,
          |             CAST(round(ln(freq), 6) AS DECIMAL(9,6)) AS y FROM rk),
+         |a AS (SELECT CAST(count(*) AS DECIMAL(3,0)) AS n,
+         |             CAST(sum(x) AS DECIMAL(13,6)) AS sx,
+         |             CAST(sum(y) AS DECIMAL(13,6)) AS sy,
+         |             CAST(sum(x*y) AS DECIMAL(22,12)) AS sxy,
+         |             CAST(sum(x*x) AS DECIMAL(22,12)) AS sxx
+         |      FROM p)
+         |SELECT CAST(n AS BIGINT) AS n_points,
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+         |  round(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS intercept
+         |FROM a
+         |""".stripMargin,
+    "q_negative_sampling" ->
+      // one transcendental per word, 6-dp-pinned, exact-decimal normalizer
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |w AS (SELECT word, count(*) AS freq
+         |      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM sparsedocs)
+         |      WHERE length(word) > 0 GROUP BY 1),
+         |t AS (SELECT word, freq, round(pow(CAST(freq AS DOUBLE), 0.75), 6) AS tt FROM w),
+         |z AS (SELECT sum(CAST(tt AS DECIMAL(28,6))) AS z FROM t)
+         |SELECT word, freq, round(tt / CAST(z.z AS DOUBLE), 9) AS p_neg
+         |FROM t CROSS JOIN z
+         |""".stripMargin,
+    "q_heaps_curve" ->
+      // octile thresholds via the exact-quantile rank rule (window replay
+      // fine at oracle scale), cumulative tokens / first-occurrence vocab
+      // as correlated counts against the 8 threshold rows
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparsedocs),
+         |cnt AS (SELECT count(*) AS n FROM tk),
+         |ks AS (SELECT CAST(unnest(range(1, ${HEAPS_POINTS + 1})) AS INT) AS k),
+         |tgt AS (SELECT k, greatest(1, CAST(ceil((CAST(k AS DOUBLE) / $HEAPS_POINTS) * n) AS BIGINT)) AS rank
+         |        FROM ks CROSS JOIN cnt),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM tk),
+         |th AS (SELECT t.k, r.doc_id AS c FROM tgt t JOIN r ON r.rn = t.rank),
+         |fo AS (SELECT w, min(doc_id) AS f
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1)
+         |SELECT th.k, th.c AS doc_threshold,
+         |       (SELECT sum(len(t)) FROM tk WHERE doc_id <= th.c) AS n_tokens,
+         |       (SELECT count(*) FROM fo WHERE f <= th.c) AS vocab
+         |FROM th ORDER BY th.k
+         |""".stripMargin,
+    "q_heaps_fit" ->
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparsedocs),
+         |cnt AS (SELECT count(*) AS n FROM tk),
+         |ks AS (SELECT CAST(unnest(range(1, ${HEAPS_POINTS + 1})) AS INT) AS k),
+         |tgt AS (SELECT k, greatest(1, CAST(ceil((CAST(k AS DOUBLE) / $HEAPS_POINTS) * n) AS BIGINT)) AS rank
+         |        FROM ks CROSS JOIN cnt),
+         |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM tk),
+         |th AS (SELECT t.k, r.doc_id AS c FROM tgt t JOIN r ON r.rn = t.rank),
+         |fo AS (SELECT w, min(doc_id) AS f
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY 1),
+         |curve AS (SELECT th.k,
+         |            (SELECT sum(len(t)) FROM tk WHERE doc_id <= th.c) AS n_tokens,
+         |            (SELECT count(*) FROM fo WHERE f <= th.c) AS vocab
+         |          FROM th),
+         |p AS (SELECT CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(9,6)) AS x,
+         |             CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(9,6)) AS y FROM curve),
          |a AS (SELECT CAST(count(*) AS DECIMAL(3,0)) AS n,
          |             CAST(sum(x) AS DECIMAL(13,6)) AS sx,
          |             CAST(sum(y) AS DECIMAL(13,6)) AS sy,

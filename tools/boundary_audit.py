@@ -12,12 +12,14 @@ Two hazard classes:
 2. ROUNDING-BOUNDARY hazard: a pre-rounding value whose 7th decimal sits at
    ~5 could round differently under parallel-summation ulp drift. NOTE:
    this check is only meaningful on UNROUNDED columns — gate outputs are
-   already round-6 multiples, where the distance-to-boundary statistic is
-   structurally ~0.5 and the check cannot fire (the real cross-engine
+   already rounded decimal multiples (6 dp for most columns, 9 dp for the
+   small-probability outputs like PageRank contributions and
+   negative-sampling tails), where the distance-to-boundary statistic is
+   structurally degenerate and the check cannot fire (the real cross-engine
    defense is tools/check_oracle.py's BITWISE compare, which sees exactly
    what the driver's hash sees). The boundary scan is kept for any column a
-   query forgets to round: such values sit off the 1e-6 grid and do get
-   flagged when near a boundary.
+   query forgets to round: such values sit off BOTH the 1e-6 and 1e-9
+   grids and do get flagged when near a boundary.
 
 Usage: boundary_audit.py <verifyOutDir> [eps=1e-4]
 Exit code 1 if any hazard is found.
@@ -45,10 +47,14 @@ for qdir in sorted(glob.glob(f"{out_dir}/q_*")):
             near_zeros = int(((np.abs(v) < 1e-12) & (v != 0.0)).sum())
             if neg_zeros or near_zeros:
                 sign_hazards.append((os.path.basename(qdir), c, neg_zeros, near_zeros, len(v)))
-            # boundary proximity only detectable off the round-6 grid
+            # boundary proximity only detectable off the rounded grids
+            # (6 dp for most gate outputs, 9 dp for small-probability
+            # columns — both are deliberate round() projections)
             frac = np.abs(v) * 1e6
             on_grid = np.abs(frac - np.rint(frac)) < 1e-9
-            off = v[~on_grid]
+            frac9 = np.abs(v) * 1e9
+            on_grid9 = np.abs(frac9 - np.rint(frac9)) < 1e-5
+            off = v[~on_grid & ~on_grid9]
             if len(off):
                 f2 = np.abs(off) * 1e6
                 dist = np.abs((f2 - np.floor(f2)) - 0.5)
