@@ -201,6 +201,15 @@ object SimilarityQueries extends QueryPack {
     "q_embed_outliers" -> ((s, dir) =>
       graft.similarity.Silhouette.outlierScreen(
         emb(s, dir), "vec_id", "embedding", NLISTS, DIM, KM_ITERS, Z_THR)),
+    // embedding-distribution drift: per-label L2 distance between the two
+    // halves' mean embeddings — the encoder-swap/topic-shift screen an
+    // ANN index or SemDeDup threshold needs before it silently degrades
+    "q_embed_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.similarity.EmbedDrift.meanShift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "label", "embedding").orderBy("label")
+    }),
     // order-sensitive ANN evaluation: nDCG@k + MRR of the SRP head against
     // exact brute force — completes the recall@k triad every production
     // retrieval deployment tracks
@@ -569,6 +578,25 @@ object SimilarityQueries extends QueryPack {
          |SELECT query_id, CAST(n_true AS BIGINT) AS n_true, CAST(n_hit AS BIGINT) AS n_hit,
          |       round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
          |FROM g
+         |""".stripMargin,
+    "q_embed_drift" ->
+      // per-(label, dimension) 6-dp-pinned means on both halves, exact
+      // DECIMAL(18,6) diffs squared and summed, one IEEE sqrt
+      s"""WITH av AS (SELECT label AS grp, $dv AS dvv FROM embeddings WHERE vec_id % 2 = 0),
+         |bv AS (SELECT label AS grp, $dv AS dvv FROM embeddings WHERE vec_id % 2 = 1),
+         |pa AS (SELECT grp, dvv, unnest(range(0, $DIM)) AS pos FROM av),
+         |pb AS (SELECT grp, dvv, unnest(range(0, $DIM)) AS pos FROM bv),
+         |ma AS (SELECT grp, pos, count(*) AS na,
+         |         CAST(round(avg(dvv[pos + 1]), 6) AS DECIMAL(18,6)) AS m_a
+         |       FROM pa GROUP BY 1, 2),
+         |mb AS (SELECT grp, pos, count(*) AS nb,
+         |         CAST(round(avg(dvv[pos + 1]), 6) AS DECIMAL(18,6)) AS m_b
+         |       FROM pb GROUP BY 1, 2),
+         |j AS (SELECT ma.grp, ma.na, mb.nb, (ma.m_a - mb.m_b) * (ma.m_a - mb.m_b) AS d2
+         |      FROM ma JOIN mb ON ma.grp = mb.grp AND ma.pos = mb.pos)
+         |SELECT grp AS label, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+         |       round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS shift
+         |FROM j GROUP BY grp ORDER BY grp
          |""".stripMargin,
     "q_rank_eval" ->
       // same exact/approx rank chains as q_ann_recall; the per-position

@@ -259,6 +259,21 @@ object StatQueries extends QueryPack {
       val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
       graft.text.NegativeSampling.table(sparse, col("text")).orderBy("word")
     }),
+    // PMI collocation mining: top-50 adjacent pairs co-occurring above
+    // chance (min pair count 4 screens the hapax pathology while leaving
+    // a 63-candidate pool for the top-50 selection at sf0.01)
+    "q_pmi_collocations" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      graft.text.Pmi.collocations(sparse, col("text"), minCount = 4, k = 50)
+    }),
+    // stopword discovery: the hot-vocab words (each lands in ~9% of
+    // sparse-fixture docs vs ~0.1% for the cold tail — 0.05 splits them)
+    "q_stopword_discovery" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      graft.text.Pmi.stopwordDiscovery(sparse, col("doc_id"), col("text"), 0.05)
+        .filter(col("is_stop"))
+        .orderBy("word")
+    }),
     "q_quality_card" -> (qualityCardQ _),
     "q_stream_quantile" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamExactQuantiles(s, dir, QS_TOK,
@@ -418,6 +433,39 @@ object StatQueries extends QueryPack {
          |z AS (SELECT sum(CAST(tt AS DECIMAL(28,6))) AS z FROM t)
          |SELECT word, freq, round(tt / CAST(z.z AS DOUBLE), 9) AS p_neg
          |FROM t CROSS JOIN z
+         |""".stripMargin,
+    "q_pmi_collocations" ->
+      // the expanded log-sum form in the SAME left-to-right order — the
+      // ratio form's c12·T² numerator would pass 2^53
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM sparsedocs),
+         |pos AS (SELECT CAST(x AS INT) AS i FROM range(0, 600) r(x)),
+         |bg AS (SELECT t[i + 1] AS w1, t[i + 2] AS w2 FROM tk JOIN pos ON i + 2 <= len(t)),
+         |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         |uni AS (SELECT word AS w, count(*) AS c
+         |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM sparsedocs)
+         |        WHERE length(word) > 0 GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c12) FROM bc) AS b_total,
+         |               (SELECT sum(c) FROM uni) AS t_total),
+         |p AS (SELECT bc.w1, bc.w2, bc.c12 AS n_pair,
+         |        round(ln(bc.c12) - ln(tot.b_total) - ln(u1.c) - ln(u2.c)
+         |              + ln(tot.t_total) + ln(tot.t_total), 6) AS pmi
+         |      FROM bc JOIN uni u1 ON u1.w = bc.w1 JOIN uni u2 ON u2.w = bc.w2
+         |      CROSS JOIN tot WHERE bc.c12 >= 4)
+         |SELECT w1, w2, n_pair, pmi FROM p
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50
+         |""".stripMargin,
+    "q_stopword_discovery" ->
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |wd AS (SELECT word, count(*) AS df FROM (
+         |         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+         |         FROM sparsedocs) t WHERE length(word) > 0 GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sparsedocs)
+         |SELECT word, df, round(CAST(df AS DOUBLE) / n_docs, 6) AS df_frac,
+         |       CAST(df AS DOUBLE) / n_docs >= 0.05 AS is_stop
+         |FROM wd CROSS JOIN n
+         |WHERE CAST(df AS DOUBLE) / n_docs >= 0.05
+         |ORDER BY word
          |""".stripMargin,
     "q_heaps_curve" ->
       // octile thresholds via the exact-quantile rank rule (window replay
