@@ -210,6 +210,26 @@ object SimilarityQueries extends QueryPack {
         e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
         "label", "embedding").orderBy("label")
     }),
+    // Matryoshka dimension-quality curve: recall@k of prefix-d search vs
+    // full-dim truth for d in {8,16,32,64} — the measurement that picks a
+    // serving dimension (d=64 anchors at recall 1.0 by construction)
+    "q_mrl_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < NQUERIES)
+      val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", K)
+      MRL_CURVE_DIMS.map { d =>
+        val qd = q.withColumn("embedding", slice(col("embedding"), 1, d))
+        val ed = e.withColumn("embedding", slice(col("embedding"), 1, d))
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(qd, ed, "vec_id", "embedding", K), exact, K)
+          .select(lit(d).as("dims"), col("recall"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("dims"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("recall").cast("decimal(28,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_recall"))
+        .orderBy(col("dims"))
+    }),
     // order-sensitive ANN evaluation: nDCG@k + MRR of the SRP head against
     // exact brute force — completes the recall@k triad every production
     // retrieval deployment tracks
@@ -229,6 +249,8 @@ object SimilarityQueries extends QueryPack {
   private val MM_NA = 20
   private val MM_THR = 1.2
   private val MRL_DIMS = 16
+  /** MRL quality-curve prefix dimensions (64 = full, recall-1 anchor). */
+  private val MRL_CURVE_DIMS = Seq(8, 16, 32, 64)
   private val M = 4
   private val KSUB = 8
   private val PQ_ITERS = 2
@@ -333,6 +355,28 @@ object SimilarityQueries extends QueryPack {
        |         sqrt(greatest(min(CASE WHEN sd.c <> a.cluster THEN sd.d2 END), 0.0)) AS bb
        |       FROM sd JOIN assign a ON a.vec_id = sd.vec_id
        |       GROUP BY sd.vec_id, a.cluster)""".stripMargin
+
+  /** Per-dimension MRL-curve CTE block (suffix d): prefix-d brute-force
+    * ranks → per-query recall vs the shared full-dim `br` chain.
+    */
+  private def mrlCurveCtes(d: Int): String = {
+    val dvP = s"list_transform(list_slice(embedding, 1, $d), x -> CAST(x AS DOUBLE))"
+    s"""cq$d AS (SELECT vec_id AS query_id, $dvP AS qv FROM embeddings WHERE vec_id < $NQUERIES),
+       |cc$d AS (SELECT vec_id AS neighbor_id, $dvP AS cv FROM embeddings),
+       |cs$d AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+       |         FROM cc$d CROSS JOIN cq$d WHERE query_id <> neighbor_id),
+       |cr$d AS (SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |         FROM cs$d),
+       |chit$d AS (SELECT ex.query_id, count(*) AS n_true,
+       |             sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |           FROM (SELECT query_id, neighbor_id FROM br WHERE rnk <= $K) ex
+       |           LEFT JOIN (SELECT query_id, neighbor_id FROM cr$d WHERE rnk <= $K) ap
+       |             USING (query_id, neighbor_id)
+       |           GROUP BY 1),
+       |crec$d AS (SELECT $d AS dims, round(CAST(n_hit AS DOUBLE) / n_true, 6) AS recall
+       |           FROM chit$d)""".stripMargin
+  }
 
   /** nDCG gain CASE over 1-based ranks 1..K, literal driver doubles. */
   private def gainCaseSql(rank: String): String =
@@ -597,6 +641,22 @@ object SimilarityQueries extends QueryPack {
          |SELECT grp AS label, CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
          |       round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS shift
          |FROM j GROUP BY grp ORDER BY grp
+         |""".stripMargin,
+    "q_mrl_curve" ->
+      // shared full-dim br chain + one prefix-d rank chain per dimension;
+      // per-query recalls are exact multiples of 1/K, summed as decimals
+      s"""WITH bq AS (SELECT vec_id AS query_id, $dv AS qv FROM embeddings WHERE vec_id < $NQUERIES),
+         |bc AS (SELECT vec_id AS neighbor_id, $dv AS cv FROM embeddings),
+         |bs AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS sim
+         |       FROM bc CROSS JOIN bq WHERE query_id <> neighbor_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |       FROM bs),
+         |${MRL_CURVE_DIMS.map(mrlCurveCtes).mkString(",\n")},
+         |u AS (${MRL_CURVE_DIMS.map(d => s"SELECT * FROM crec$d").mkString(" UNION ALL ")})
+         |SELECT CAST(dims AS INT) AS dims, count(*) AS n_queries,
+         |       round(CAST(sum(CAST(recall AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_recall
+         |FROM u GROUP BY dims ORDER BY dims
          |""".stripMargin,
     "q_rank_eval" ->
       // same exact/approx rank chains as q_ann_recall; the per-position

@@ -514,6 +514,12 @@ object TextQueries extends QueryPack {
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
         "source", "text")
     }),
+    // the drift card maintained ON INGEST: per-batch partial (grp, word)
+    // counts merged at close, the same drift arithmetic on the merged
+    // frame — streamed == one-shot batch, batch oracle verbatim
+    "q_stream_drift" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamDriftCard(s, dir,
+        queryName = s"stream_drift_${math.abs(dir.hashCode)}")),
     // cross-source 8-gram overlap matrix: the inter-source dedup decision
     // card (which source pairs share boilerplate, and how much)
     "q_source_overlap" -> ((s, dir) =>
@@ -1618,6 +1624,38 @@ object TextQueries extends QueryPack {
          |FROM m GROUP BY 1, 2
          |""".stripMargin,
     "q_drift_card" ->
+      // exact cross-products a = (cp+1)(nq+V), b = (cq+1)(np+V) over the
+      // common denominator; TV entirely in decimals + one division, KL
+      // terms pinned at 9 dp and summed as DECIMAL(38,9)
+      s"""WITH o AS (SELECT source AS grp, unnest($toks) AS word FROM documents WHERE doc_id % 2 = 0),
+         |nn AS (SELECT source AS grp, unnest($toks) AS word FROM documents WHERE doc_id % 2 = 1),
+         |co AS (SELECT grp, word, count(*) AS cq FROM o GROUP BY 1, 2),
+         |cn AS (SELECT grp, word, count(*) AS cp FROM nn GROUP BY 1, 2),
+         |j AS (SELECT coalesce(co.grp, cn.grp) AS grp, coalesce(co.word, cn.word) AS word,
+         |             coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+         |      FROM co FULL OUTER JOIN cn ON co.grp = cn.grp AND co.word = cn.word),
+         |tt AS (SELECT grp, sum(cq) AS nq, sum(cp) AS np, count(*) AS v FROM j GROUP BY 1),
+         |t AS (SELECT j.grp, cp, cq, tt.nq, tt.np, tt.v,
+         |             tt.np + tt.v AS dp, tt.nq + tt.v AS dq
+         |      FROM j JOIN tt USING (grp)),
+         |w AS (SELECT grp, v, nq, np, dp, dq,
+         |        CAST(cp + 1 AS DECIMAL(19,0)) * CAST(dq AS DECIMAL(19,0)) AS a,
+         |        CAST(cq + 1 AS DECIMAL(19,0)) * CAST(dp AS DECIMAL(19,0)) AS b,
+         |        CAST(cp + 1 AS DOUBLE) / CAST(dp AS DOUBLE) AS pw
+         |      FROM t),
+         |x AS (SELECT grp, v, nq, np, dp, dq, abs(a - b) AS tvnum,
+         |        CAST(round(pw * ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)), 9) AS DECIMAL(38,9)) AS klterm
+         |      FROM w),
+         |g AS (SELECT grp AS source, max(v) AS v, max(nq) AS n_old, max(np) AS n_new,
+         |        max(dp) AS dpv, max(dq) AS dqv, sum(tvnum) AS tvsum, sum(klterm) AS klsum
+         |      FROM x GROUP BY 1)
+         |SELECT source, v, n_old, n_new,
+         |  round(CAST(tvsum AS DOUBLE)
+         |        / CAST(CAST(dpv AS DECIMAL(19,0)) * CAST(dqv AS DECIMAL(19,0)) AS DOUBLE) / 2, 6) AS tv,
+         |  round(CAST(klsum AS DOUBLE), 6) AS kl
+         |FROM g
+         |""".stripMargin,
+    "q_stream_drift" ->
       // exact cross-products a = (cp+1)(nq+V), b = (cq+1)(np+V) over the
       // common denominator; TV entirely in decimals + one division, KL
       // terms pinned at 9 dp and summed as DECIMAL(38,9)

@@ -1031,6 +1031,50 @@ object StreamingOps {
       .orderBy("bin")
   }
 
+  /** Streaming drift card: the per-source token-distribution drift
+    * ([[graft.text.DriftCard]]) computed against a REFERENCE snapshot as
+    * the new snapshot arrives on ingest. Per-(group, word) counts are a
+    * decomposable aggregate → per-batch partial counts in a batchId-keyed
+    * idempotent store, merged by sum at close; the drift arithmetic (exact
+    * cross-products, 9-dp KL terms) then runs on the merged frame — so
+    * streamed ≡ one-shot batch, and the batch gate's oracle applies
+    * verbatim. The reference side is a fixed artifact (here the even-id
+    * half), scored once.
+    */
+  def streamDriftCard(
+      spark: SparkSession,
+      dir: String,
+      nChunks: Int = 5,
+      queryName: String = "stream_drift"): DataFrame = {
+    import graft.text.DriftCard
+    val docs = graft.sources.Tables.cached(spark, dir, "documents")
+    val root = s"target/stream_drift_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val staging = s"$root/staging"
+    docs.filter(col("doc_id") % 2 === 1)
+      .repartition(nChunks, pmod(col("doc_id"), lit(nChunks)))
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        DriftCard.tokenCounts(batch, "source", "text", "c")
+          .write.mode("overwrite").parquet(s"$root/counts/b$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    val merged = spark.read.parquet(s"$root/counts/*")
+      .groupBy("grp", "word").agg(sum("c").as("cp"))
+    DriftCard.driftFromCounts(
+      DriftCard.tokenCounts(docs.filter(col("doc_id") % 2 === 0), "source", "text", "cq"),
+      merged, "source")
+  }
+
   def streamScd2(
       spark: SparkSession,
       dir: String,

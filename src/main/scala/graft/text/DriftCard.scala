@@ -35,17 +35,31 @@ import org.apache.spark.sql.functions._
   */
 object DriftCard {
 
+  /** Per-(group, word) occurrence counts — the decomposable frame the
+    * drift arithmetic consumes; exposed so the STREAMING variant can merge
+    * per-batch partial counts into the same shape.
+    */
+  private[graft] def tokenCounts(df: DataFrame, groupCol: String,
+      textCol: String, cname: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy("grp", "word").agg(count(lit(1)).as(cname))
+
   def tokenDrift(
       oldDocs: DataFrame,
       newDocs: DataFrame,
       groupCol: String,
-      textCol: String): DataFrame = {
-    def counts(df: DataFrame, cname: String): DataFrame =
-      df.select(col(groupCol).as("grp"),
-          explode(split(col(textCol), " ")).as("word"))
-        .groupBy("grp", "word").agg(count(lit(1)).as(cname))
+      textCol: String): DataFrame =
+    driftFromCounts(
+      tokenCounts(oldDocs, groupCol, textCol, "cq"),
+      tokenCounts(newDocs, groupCol, textCol, "cp"), groupCol)
 
-    val joined = counts(oldDocs, "cq").join(counts(newDocs, "cp"),
+  /** The drift arithmetic over pre-aggregated (grp, word, count) frames —
+    * `cq` = reference snapshot, `cp` = new snapshot.
+    */
+  private[graft] def driftFromCounts(cqf: DataFrame, cpf: DataFrame,
+      groupCol: String): DataFrame = {
+    val joined = cqf.join(cpf,
         Seq("grp", "word"), "full_outer")
       .na.fill(0L, Seq("cp", "cq"))
     val totals = joined.groupBy("grp").agg(
