@@ -1364,7 +1364,9 @@ object TextQueries extends QueryPack {
          |       FROM sel GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(km.n_bigrams, 0) AS n_bigrams,
          |       coalesce(km.n_scored, 0) AS n_scored,
-         |       round(CAST(gg.sx AS DOUBLE) / km.n_scored, 6) AS min_k_nll
+         |       floor((2.0 * CAST(CAST(gg.sx * 1000000 AS DECIMAL(38,0)) AS DOUBLE)
+         |              + km.n_scored)
+         |             / (2.0 * km.n_scored)) / 1000000.0 AS min_k_nll
          |FROM documents d LEFT JOIN km USING (doc_id) LEFT JOIN gg USING (doc_id)
          |""".stripMargin,
     "q_moore_lewis" ->

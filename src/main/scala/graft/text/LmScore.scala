@@ -164,13 +164,22 @@ object LmScore {
       .withColumn("n_scored",
         greatest(lit(1.0),
           floor((col("n_bigrams") * kPct).cast("double") / lit(100.0))).cast("long"))
+    // The mean is pinned by EXACT integer half-up rounding, not a double
+    // round(): the decimal sum is integral in micros (scale 6), so
+    // round_half_up(p/q) = floor((2p + q) / (2q)) with every operand ≤ 2^53
+    // — a replicated corpus can land sum/n EXACTLY on a 6-dp half-boundary
+    // (sfbig probe: 41.917134/12 = 3.4930945), where Spark's and DuckDB's
+    // round() disagree about which side the nearest double falls on.
+    val micros = (col("__s") * 1000000).cast("decimal(38,0)").cast("double")
+    val nd = col("n_scored").cast("double")
     val sums = arr
       .select(col("id"), col("n_bigrams"), col("n_scored"),
         explode(slice(col("__v"), lit(1), col("n_scored").cast("int"))).as("nlp"))
       .groupBy(col("id"), col("n_bigrams"), col("n_scored"))
       .agg(sum(round(col("nlp"), 6).cast("decimal(28,6)")).as("__s"))
       .select(col("id"), col("n_bigrams"), col("n_scored"),
-        round(col("__s").cast("double") / col("n_scored"), 6).as("min_k_nll"))
+        (floor((lit(2.0) * micros + nd) / (lit(2.0) * nd)) / lit(1000000.0))
+          .as("min_k_nll"))
     df.select(col(idCol).as("id")).join(sums, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

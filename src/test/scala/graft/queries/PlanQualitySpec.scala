@@ -178,4 +178,57 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       s"UDF island in the release plan:\n$plan")
   }
+
+  test("silhouette / outlier screen: centroid literals, no join, no window on data rows") {
+    val df = graft.SparkEntry.queries("q_silhouette")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"silhouette planned a window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"per-point distances must come from centroid LITERALS, not a join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF island:\n$plan")
+  }
+
+  test("embedding drift meets on the bounded (group, dimension) axis — no vector join") {
+    val df = graft.SparkEntry.queries("q_embed_drift")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"drift degraded to an all-pairs vector comparison:\n$plan")
+    assert(!plan.contains("Window"), s"drift planned a window:\n$plan")
+  }
+
+  test("prefix join: candidates from the prefix-posting equi-join, no cartesian, no global sort") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} shared tokens here")).toDF("doc_id", "text")
+    val out = graft.dedup.PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 1, 0.8)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degraded to all-pairs:\n$plan")
+    // the only sorts allowed are join/aggregate-internal; a global Sort
+    // node with a single output partition would mean a vocabulary rank
+    assert(!plan.contains("rangepartitioning"),
+      s"prefix join introduced a global range sort (vocab rank?):\n$plan")
+  }
+
+  test("min-k prob: selection is row-local array work above the salted LM chain") {
+    val df = graft.SparkEntry.queries("q_min_k_prob")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"min-k planned a per-doc window:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF island:\n$plan")
+  }
+
+  test("calibration bins aggregate straight to the (group, bin) axis") {
+    val preds = (1 to 200).map(i => (i % 3, (i % 2).toDouble, (i % 100) / 100.0))
+      .toDF("fold", "label", "probability")
+    val df = graft.metrics.Calibration.ece(preds, "label", "probability", Seq("fold"), 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("ScalaUDF"),
+      s"calibration must be aggregate-only:\n$plan")
+  }
 }
