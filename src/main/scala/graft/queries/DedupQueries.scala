@@ -79,6 +79,22 @@ object DedupQueries extends QueryPack {
       graft.dedup.PrefixJoin.jaccardPrefixJoin(sparse, "doc_id", "text",
         N, CLUSTER_THR)
     }),
+    // the EXACT head's cross-job deployment shape: base prefix postings as
+    // an on-disk bucketed table (full token arrays ride the postings →
+    // row-local verify), probes co-bucketed → ZERO shuffle exchanges in
+    // the candidate join (runtime-asserted); probe side needs no prefix —
+    // single-sided pigeonhole keeps the screen lossless
+    "q_prefix_screen_persistent" -> ((s, dir) => {
+      val sparse = graft.dedup.SparseCorpus.generate(docs(s, dir).select("doc_id"))
+      val suffix = math.abs(dir.hashCode)
+      val index = graft.dedup.PrefixJoin.persistentPrefixIndex(
+        sparse.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", N, CLUSTER_THR,
+        s"graft_prefix_index_$suffix")
+      graft.dedup.PrefixJoin.screenAgainstPrefixIndex(index,
+        sparse.filter(col("doc_id") % 5 === 0), "doc_id", "text", N, CLUSTER_THR,
+        s"graft_prefix_probe_$suffix")
+        .withColumnRenamed("id", "doc_id")
+    }),
     // dedup-head quality measured IN-ENGINE: precision/recall/F1 of the
     // capped MinHash-LSH head against the prefix join's EXACT truth — the
     // per-corpus head-tuning loop as one composed plan, in the same sparse
@@ -395,6 +411,26 @@ object DedupQueries extends QueryPack {
          |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jaccardRaw AS sim
          |          FROM t a JOIN t b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= $CLUSTER_THR
+         |""".stripMargin,
+    "q_prefix_screen_persistent" ->
+      // exhaustive probe×base truth (the probe side is bounded); best =
+      // min of the exact (1e6 − sim·1e6)·10¹² + id encoding
+      s"""WITH ${graft.dedup.SparseCorpus.oracleCtes()},
+         |base AS (SELECT doc_id, $sh AS sh FROM sparsedocs WHERE doc_id % 5 <> 0),
+         |probe AS (SELECT doc_id, $sh AS sh FROM sparsedocs WHERE doc_id % 5 = 0),
+         |pr AS (SELECT p.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(len(list_intersect(p.sh, b.sh)) AS DOUBLE)
+         |           / (len(p.sh) + len(b.sh) - len(list_intersect(p.sh, b.sh))) AS sim
+         |       FROM probe p CROSS JOIN base b),
+         |hits AS (SELECT id_a, id_b, sim,
+         |           (1000000 - CAST(round(round(sim, 6) * 1000000) AS BIGINT))
+         |             * 1000000000000 + id_b AS e
+         |         FROM pr WHERE sim >= $CLUSTER_THR),
+         |g AS (SELECT id_a, count(*) AS n_matches, min(e) AS e FROM hits GROUP BY 1)
+         |SELECT p.doc_id, coalesce(g.n_matches, 0) AS n_matches,
+         |       CAST(1000000 - (g.e // 1000000000000) AS DOUBLE) / 1000000 AS best_sim,
+         |       g.e % 1000000000000 AS match_id
+         |FROM probe p LEFT JOIN g ON g.id_a = p.doc_id
          |""".stripMargin,
     "q_dedup_eval" ->
       // candidate side = the capped-LSH chain (ver), truth side = the

@@ -66,4 +66,34 @@ class PrefixJoinSpec extends SparkTestBase {
       PrefixJoin.jaccardPrefixJoin(docs, "doc_id", "text", 1, 0.1234567)
     }
   }
+
+  test("persistent prefix screen: shuffle-free probe finds exactly the brute-force matches") {
+    val base = docs.filter(col("doc_id") =!= 1L && col("doc_id") =!= 4L)
+    val probe = docs.filter(col("doc_id") === 1L || col("doc_id") === 4L)
+    val suffix = System.nanoTime()
+    val index = PrefixJoin.persistentPrefixIndex(base, "doc_id", "text", 1, 0.6,
+      s"prefix_spec_idx_$suffix")
+    val out = PrefixJoin.screenAgainstPrefixIndex(index, probe, "doc_id", "text",
+        1, 0.6, s"prefix_spec_probe_$suffix")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    // doc 1 vs base: J(1,0)=J(1,2)=4/6=0.667 ≥ 0.6 (two matches, best ties
+    // at the same sim → smallest base id 0); doc 4 vs doc 3: J=3/4=0.75
+    assert(out.toSeq == Seq(
+      (1L, 2L, Some(BigDecimal(4.0 / 6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), Some(0L)),
+      (4L, 1L, Some(0.75), Some(3L))))
+  }
+
+  test("persistent prefix screen: no-match probes surface as (0, null, null)") {
+    val base = docs.filter(col("doc_id") < 6L)
+    val probe = docs.filter(col("doc_id") === 6L) // "solitary"
+    val suffix = System.nanoTime()
+    val index = PrefixJoin.persistentPrefixIndex(base, "doc_id", "text", 1, 0.8,
+      s"prefix_spec_idx2_$suffix")
+    val out = PrefixJoin.screenAgainstPrefixIndex(index, probe, "doc_id", "text",
+        1, 0.8, s"prefix_spec_probe2_$suffix")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2), r.isNullAt(3)))
+    assert(out.toSeq == Seq((6L, 0L, true, true)))
+  }
 }
