@@ -30,6 +30,8 @@ object SparkEntry {
     WebQueries,
     SketchQueries,
     StatQueries,
+    BehaviorQueries,
+    CompareQueries,
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: expanding-window

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.metrics.Agreement
+import graft.ml.BradleyTerry
+import graft.ops.EventAnalytics
+import graft.sources.Tables
+
+/** Behavioral analytics + preference/labeling-QA gates — the session-5
+  * additions to the beyond-reference surface:
+  *
+  *   - ordered funnel + windowed variant and cohort retention over the
+  *     `events` stream table ([[graft.ops.EventAnalytics]]): the two
+  *     canonical event-warehouse queries, planned with zero windows/sorts
+  *     over the raw event axis;
+  *   - Bradley–Terry preference-strength fit ([[graft.ml.BradleyTerry]]):
+  *     the RLHF pairwise-preference batch model, MM-iterated with every
+  *     round replayed by the oracle;
+  *   - multi-rater agreement (Fleiss' κ + Krippendorff's α,
+  *     [[graft.metrics.Agreement]]) over a 3-heuristic quality-rater
+  *     panel on `documents`: the "do my filters agree beyond chance?"
+  *     labeling-QA statistic.
+  */
+object BehaviorQueries extends QueryPack {
+
+  private val FUNNEL_STEPS = Seq("signup", "click", "purchase")
+  private val WINDOW_HOURS = 120
+  private val BT_ITERS = 4
+
+  // ---- the 3-heuristic rater panel over documents: length, type-token
+  // ratio, average token length — each a row-local codegen'd vote
+  private def raterVotes(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    val lenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    docs.select(
+      ((size(t) >= 20).cast("long") +
+        (size(array_distinct(t)).cast("double") / size(t) >= 0.5).cast("long") +
+        (lenSum.cast("double") / size(t) >= lit(4.0)).cast("long")).as("v"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> ((s, dir) =>
+      EventAnalytics.funnelReport(Tables.cached(s, dir, "events"),
+        "user_id", "ts", "event_type", FUNNEL_STEPS)),
+    "q_funnel_windowed" -> ((s, dir) =>
+      EventAnalytics.funnelReport(Tables.cached(s, dir, "events"),
+        "user_id", "ts", "event_type", FUNNEL_STEPS, Some(WINDOW_HOURS))),
+    "q_cohort_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(Tables.cached(s, dir, "events"), "user_id", "ts")),
+    "q_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamFunnel(s, dir, FUNNEL_STEPS)),
+    "q_rater_agreement" -> ((s, dir) =>
+      Agreement.binaryAgreement(
+        raterVotes(Tables.cached(s, dir, "documents")), col("v"), nRaters = 3)),
+    "q_bradley_terry" -> ((s, dir) => {
+      // comparisons: within each order, the supplier with the higher
+      // (exact-decimal) line-revenue total beats the other; ties drop
+      val rev = Tables.cached(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)")).as("rev"))
+      val a = rev.select(col("o"), col("sk").as("sa"), col("rev").as("ra"))
+      val b = rev.select(col("o"), col("sk").as("sb"), col("rev").as("rb"))
+      val comps = a.join(b, Seq("o"))
+        .where(col("sa") < col("sb") && col("ra") =!= col("rb"))
+        .select(
+          when(col("ra") > col("rb"), col("sa")).otherwise(col("sb")).as("winner"),
+          when(col("ra") > col("rb"), col("sb")).otherwise(col("sa")).as("loser"))
+      BradleyTerry.fit(BradleyTerry.pairCounts(comps, "winner", "loser"), BT_ITERS)
+        .select(col("player").as("s_suppkey"), col("wins"), col("n_comp"),
+          col("strength").cast("double").as("strength"))
+        .orderBy(col("strength").desc, col("s_suppkey"))
+        .limit(25)
+    }),
+  )
+
+  def oracleSql: Map[String, String] = {
+    def funnelSql(windowPred: String): String =
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |            WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, max(s.t1) AS t1, min(e.ts) AS t2
+         |       FROM events e JOIN s1 s ON s.user_id = e.user_id
+         |       WHERE e.event_type = 'click' AND e.ts > s.t1 $windowPred GROUP BY 1),
+         |s3 AS (SELECT e.user_id, max(s.t2) AS t2, min(e.ts) AS t3
+         |       FROM events e JOIN s2 s ON s.user_id = e.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts > s.t2 $windowPred GROUP BY 1),
+         |n1 AS (SELECT count(*) AS n FROM s1),
+         |p AS (SELECT 1 AS step, 'signup' AS event_type,
+         |             (SELECT count(*) FROM s1) AS n_users, CAST(NULL AS BIGINT) AS sum_us
+         |      UNION ALL
+         |      SELECT 2, 'click', count(*),
+         |             CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT) FROM s2
+         |      UNION ALL
+         |      SELECT 3, 'purchase', count(*),
+         |             CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT) FROM s3)
+         |SELECT CAST(step AS INT) AS step, event_type,
+         |  CAST(n_users AS BIGINT) AS n_users,
+         |  round(CAST(n_users AS DOUBLE) / n1.n, 6) AS conv_from_first,
+         |  round((CAST(sum_us AS DOUBLE) / n_users) / 3600000000.0, 6) AS avg_hours_from_prev
+         |FROM p CROSS JOIN n1 ORDER BY step
+         |""".stripMargin
+    val windowPred =
+      s"AND epoch_us(e.ts) - epoch_us(s.t1) <= ${WINDOW_HOURS.toLong * 3600L * 1000000L}"
+    Map(
+      "q_funnel" -> funnelSql(""),
+      // streamed per-user state machine over time-ordered ingest ≡ the
+      // one-shot batch funnel (a set step time is final; unset suffixes
+      // extend per batch) — the batch oracle verbatim
+      "q_stream_funnel" -> funnelSql(""),
+      // the windowed variant carries t1 through s2 so the bound applies to
+      // both the second and third hops, mirroring funnelTimesWindowed
+      "q_funnel_windowed" ->
+        s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, max(s.t1) AS t1, min(e.ts) AS t2
+           |       FROM events e JOIN s1 s ON s.user_id = e.user_id
+           |       WHERE e.event_type = 'click' AND e.ts > s.t1 $windowPred GROUP BY 1),
+           |s3 AS (SELECT e.user_id, max(s.t2) AS t2, min(e.ts) AS t3
+           |       FROM events e JOIN s2 s ON s.user_id = e.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts > s.t2 $windowPred GROUP BY 1),
+           |n1 AS (SELECT count(*) AS n FROM s1),
+           |p AS (SELECT 1 AS step, 'signup' AS event_type,
+           |             (SELECT count(*) FROM s1) AS n_users, CAST(NULL AS BIGINT) AS sum_us
+           |      UNION ALL
+           |      SELECT 2, 'click', count(*),
+           |             CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT) FROM s2
+           |      UNION ALL
+           |      SELECT 3, 'purchase', count(*),
+           |             CAST(sum(epoch_us(t3) - epoch_us(t2)) AS BIGINT) FROM s3)
+           |SELECT CAST(step AS INT) AS step, event_type,
+           |  CAST(n_users AS BIGINT) AS n_users,
+           |  round(CAST(n_users AS DOUBLE) / n1.n, 6) AS conv_from_first,
+           |  round((CAST(sum_us AS DOUBLE) / n_users) / 3600000000.0, 6) AS avg_hours_from_prev
+           |FROM p CROSS JOIN n1 ORDER BY step
+           |""".stripMargin,
+      "q_cohort_retention" ->
+        s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           |           FROM events GROUP BY 1),
+           |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+           |c AS (SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS offset_days,
+           |             count(*) AS n_active
+           |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+           |s AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY 1)
+           |SELECT c.cohort_day, CAST(c.offset_days AS INT) AS offset_days,
+           |  CAST(c.n_active AS BIGINT) AS n_active,
+           |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           |  round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+           |FROM c JOIN s USING (cohort_day) ORDER BY 1, 2
+           |""".stripMargin,
+      // integer corpus sums (N, S1, SA, SV01) then the κ/α scalar chain in
+      // the exact operation order of Agreement.binaryAgreement
+      "q_rater_agreement" ->
+        s"""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+           |v AS (SELECT
+           |    CAST(len(t) >= 20 AS BIGINT)
+           |    + CAST(CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.5 AS BIGINT)
+           |    + CAST(CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+           |           / len(t) >= 4.0 AS BIGINT) AS v
+           |  FROM t),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+           |             CAST(sum(v) AS BIGINT) AS s1,
+           |             CAST(sum(v * v + (3 - v) * (3 - v)) AS BIGINT) AS sa,
+           |             CAST(sum(v * (3 - v)) AS BIGINT) AS sv01
+           |      FROM v),
+           |sc AS (SELECT n_items, s1, sa, sv01,
+           |         CAST(sa - n_items * 3 AS DOUBLE) / (n_items * 3 * 2) AS p_bar,
+           |         CAST(s1 AS DOUBLE) / (n_items * 3) AS p1,
+           |         CAST(sv01 * 2 AS DOUBLE) / (2 * n_items * 3) AS d_o,
+           |         CAST(2 * (n_items * 3 - s1) * s1 AS DOUBLE)
+           |           / (n_items * 3 * (n_items * 3 - 1)) AS d_e
+           |       FROM a)
+           |SELECT n_items, 3 AS n_raters,
+           |  round(p_bar, 6) AS p_bar,
+           |  round(p1 * p1 + (1.0 - p1) * (1.0 - p1), 6) AS p_e,
+           |  round((p_bar - (p1 * p1 + (1.0 - p1) * (1.0 - p1)))
+           |        / (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 6) AS kappa,
+           |  round(d_o, 6) AS d_o,
+           |  round(d_e, 6) AS d_e,
+           |  round(1.0 - d_o / d_e, 6) AS alpha
+           |FROM sc
+           |""".stripMargin,
+      "q_bradley_terry" -> {
+        val pairsCte =
+          """SELECT least(winner, loser) AS lo, greatest(winner, loser) AS hi,
+            |    CAST(count(*) AS BIGINT) AS n,
+            |    CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT) AS w_lo
+            |  FROM cmp GROUP BY 1, 2""".stripMargin
+        s"""WITH rev AS (SELECT l_orderkey AS o, l_suppkey AS sk,
+           |    sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))) AS rev
+           |  FROM lineitem GROUP BY 1, 2),
+           |cmp AS (SELECT
+           |    CASE WHEN a.rev > b.rev THEN a.sk ELSE b.sk END AS winner,
+           |    CASE WHEN a.rev > b.rev THEN b.sk ELSE a.sk END AS loser
+           |  FROM rev a JOIN rev b ON a.o = b.o AND a.sk < b.sk AND a.rev <> b.rev),
+           |${BradleyTerry.oracleCtes(pairsCte, BT_ITERS)}
+           |SELECT player AS s_suppkey, wins, n_comp,
+           |  CAST(strength AS DOUBLE) AS strength
+           |FROM bt_final ORDER BY strength DESC, s_suppkey LIMIT 25
+           |""".stripMargin
+      },
+    )
+  }
+}

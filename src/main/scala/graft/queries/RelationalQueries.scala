@@ -93,6 +93,28 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 4).as("total_price"))
     }),
+    // TPC-H Q8-flavor market share: supplier-nation revenue share within
+    // each order year. One fact-fact join (lineitem↔orders), dimensions
+    // broadcast; the year totals derive from the nation-level aggregate
+    // (bounded: years × nations), never a second fact pass
+    "q_rel_market_share" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val sup = broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")))
+      val nat = broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")))
+      val byNation = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("o_year"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .cast("decimal(28,4)")).as("rev"))
+      val yearTot = byNation.groupBy(col("o_year")).agg(sum(col("rev")).as("year_rev"))
+      byNation.join(broadcast(yearTot), Seq("o_year"))
+        .select(col("o_year"), col("n_name"),
+          col("rev").cast("double").as("revenue"),
+          round(col("rev").cast("double") / col("year_rev").cast("double"), 6).as("share"))
+        .orderBy("o_year", "n_name")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -151,6 +173,23 @@ object RelationalQueries extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name
+        |""".stripMargin,
+    // 4-dp-pinned exact-decimal line revenue (the q_rel_order_revenue
+    // discipline); shares are one IEEE division on the decimal pair
+    "q_rel_market_share" ->
+      """WITH byn AS (
+        |  SELECT year(o_orderdate) AS o_year, n_name,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(28,4))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |yt AS (SELECT o_year, sum(rev) AS year_rev FROM byn GROUP BY 1)
+        |SELECT byn.o_year, byn.n_name,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(year_rev AS DOUBLE), 6) AS share
+        |FROM byn JOIN yt USING (o_year) ORDER BY 1, 2
         |""".stripMargin,
   )
 }
