@@ -338,4 +338,55 @@ object LinkGraph {
     labels.join(broadcast(sizes), "label")
       .select(col("node"), col("label"), col("community_size"))
   }
+
+  /** Per-node triangle counts + local clustering coefficient over the
+    * UNDIRECTED link graph — the density axis next to the centrality triad
+    * and k-core: link farms and mirror rings are triangle-dense (lcc → 1),
+    * organic hub pages are triangle-sparse (lcc → 0), so the coefficient
+    * is the classic spam/ring feature to screen on.
+    *
+    * DEGREE-ORIENTED enumeration (the MapReduce-classic Suri & Vassilvitskii
+    * 2011 shape): each undirected edge orients from the (degree, node)-
+    * lexicographically smaller endpoint to the larger, every triangle is
+    * enumerated exactly once at its smallest-rank vertex, and — the scale
+    * property — each wedge join fans out by a node's ORIENTED out-degree,
+    * which is O(√m) on any graph regardless of hub skew (a 10⁸-degree hub
+    * contributes no wedges beyond its higher-rank neighbors). Total work
+    * is O(m^{3/2}); the naive neighbor-join is Σ deg² and dies on the
+    * first crawl hub.
+    *
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 for degree-1 nodes; all
+    * counting integer-exact, one pinned IEEE division per node.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val dir0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+    val sym = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val oriented = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .filter(struct(col("da"), col("a")) < struct(col("db"), col("b")))
+      .select(col("a").as("u"), col("b").as("v"), col("db").as("dv"))
+      .localCheckpoint() // reused by both wedge sides and the closing probe
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tris = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    val perNode = tris.select(col("u").as("node"))
+      .unionAll(tris.select(col("x").as("node")))
+      .unionAll(tris.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          round((coalesce(col("n_tri"), lit(0L)) * lit(2)).cast("double") /
+            (col("deg") * (col("deg") - lit(1L))), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+  }
 }

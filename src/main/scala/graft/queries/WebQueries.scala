@@ -36,6 +36,31 @@ object WebQueries extends QueryPack {
   private val BODY_OPEN = "</h1><p>"
   private val TAIL_AFTER_P = "</body></html>"
 
+  /** Oracle CTEs rebuilding [[plantedCoreGraph]]'s edges (ek0) and their
+    * symmetrized distinct form (symk) — shared by q_kcore and q_triangles.
+    */
+  private val plantedGraphCtes =
+    """ek0 AS (
+      |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 4) % 6 AS VARCHAR), 2, '0') AS src,
+      |         'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 24) % 6 AS VARCHAR), 2, '0') AS dst
+      |  FROM documents WHERE (doc_id // 4) % 6 <> (doc_id // 24) % 6
+      |  UNION ALL
+      |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 AS VARCHAR), 2, '0'),
+      |         'c' || lpad(CAST(((doc_id % 4 + 1) % 4) * 6 AS VARCHAR), 2, '0')
+      |  FROM documents WHERE doc_id % 25 = 7
+      |  UNION ALL
+      |  SELECT 't' || CAST(doc_id % 4 AS VARCHAR) || 'a',
+      |         't' || CAST(doc_id % 4 AS VARCHAR) || 'b'
+      |  FROM documents WHERE doc_id % 20 = 3
+      |  UNION ALL
+      |  SELECT 't' || CAST(doc_id % 4 AS VARCHAR) || 'b',
+      |         'c' || lpad(CAST((doc_id % 4) * 6 AS VARCHAR), 2, '0')
+      |  FROM documents WHERE doc_id % 20 = 3),
+      |symk AS (SELECT DISTINCT a, b FROM (
+      |  SELECT src AS a, dst AS b FROM ek0 WHERE src <> dst
+      |  UNION ALL
+      |  SELECT dst AS a, src AS b FROM ek0 WHERE src <> dst))""".stripMargin
+
   private val N_FILES = 8
   private val CORRUPT_MOD = 13 // doc_id % 13 == 5 → mangled magic
   private val NOINDEX_MOD = 7 // doc_id % 7 == 0 → robots noindex
@@ -199,8 +224,11 @@ object WebQueries extends QueryPack {
     * oracle's 8-round unroll is exact by construction (peeling is
     * idempotent at fixpoint — extra unrolled rounds are no-ops).
     */
-  private def kcoreQ(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.cached(spark, dir, "documents")
+  /** The planted core graph shared by the k-core and triangle gates:
+    * four dense blocks (intra-block edges on a 6-node axis), a bridge
+    * cycle between block hubs, and pendant two-hop chains per block.
+    */
+  private def plantedCoreGraph(d: DataFrame): DataFrame = {
     val block = col("doc_id") % 4
     val i = expr("doc_id div 4") % 6
     val j = expr("doc_id div 24") % 6
@@ -217,10 +245,23 @@ object WebQueries extends QueryPack {
     val chainB = d.where(col("doc_id") % 20 === 3)
       .select(concat(lit("t"), block, lit("b")).as("src"),
         node(block, lit(0)).as("dst"))
-    val edges = intra.unionByName(bridges).unionByName(chainA).unionByName(chainB)
-    graft.graph.LinkGraph.kCore(edges, "src", "dst", k = 4, maxRounds = 8)
-      .orderBy(col("node"))
+    intra.unionByName(bridges).unionByName(chainA).unionByName(chainB)
   }
+
+  private def kcoreQ(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.LinkGraph.kCore(
+        plantedCoreGraph(Tables.cached(spark, dir, "documents")),
+        "src", "dst", k = 4, maxRounds = 8)
+      .orderBy(col("node"))
+
+  /** Degree-oriented triangle counting + local clustering coefficient on
+    * the same planted graph: dense blocks are triangle-rich (lcc near 1),
+    * pendant chain nodes sit at lcc 0 — both regimes pinned.
+    */
+  private def trianglesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.graph.LinkGraph.triangleStats(
+        plantedCoreGraph(Tables.cached(spark, dir, "documents")), "src", "dst")
+      .orderBy(col("node"))
 
   private def pagerankQ(spark: SparkSession, dir: String): DataFrame = {
     HtmlExtract.register(spark)
@@ -537,6 +578,7 @@ object WebQueries extends QueryPack {
     "q_pagerank_weighted" -> (pagerankWeightedQ _),
     "q_lpa_communities" -> (lpaQ _),
     "q_kcore" -> (kcoreQ _),
+    "q_triangles" -> (trianglesQ _),
     "q_trustrank" -> (trustRankQ _),
     "q_hits" -> (hitsQ _),
     "q_latest_capture" -> (latestCaptureQ _),
@@ -811,6 +853,31 @@ object WebQueries extends QueryPack {
     "q_pagerank_weighted" -> pagerankWeightedOracle,
     // 8 unrolled peel rounds (idempotent past the fixpoint the engine
     // asserts); survivors = nodes whose within-survivor degree stays >= 4
+    // degree-oriented wedge replay: row-value rank comparisons, integer
+    // counts, one pinned division per node
+    "q_triangles" ->
+      s"""WITH $plantedGraphCtes,
+         |degt AS (SELECT a AS node, count(*) AS deg FROM symk GROUP BY 1),
+         |ori AS (SELECT s.a AS u, s.b AS v, db.deg AS dv FROM symk s
+         |  JOIN degt da ON da.node = s.a JOIN degt db ON db.node = s.b
+         |  WHERE (da.deg, s.a) < (db.deg, s.b)),
+         |wed AS (SELECT e1.u, e1.x, e2.y FROM
+         |  (SELECT u, v AS x, dv AS dx FROM ori) e1
+         |  JOIN (SELECT u, v AS y, dv AS dy FROM ori) e2 ON e1.u = e2.u
+         |  WHERE (e1.dx, e1.x) < (e2.dy, e2.y)),
+         |tri AS (SELECT w.u, w.x, w.y FROM wed w
+         |  JOIN ori o ON o.u = w.x AND o.v = w.y),
+         |pn AS (SELECT node, count(*) AS n_tri FROM (
+         |    SELECT u AS node FROM tri
+         |    UNION ALL SELECT x FROM tri
+         |    UNION ALL SELECT y FROM tri) z GROUP BY 1)
+         |SELECT d.node, CAST(d.deg AS BIGINT) AS deg,
+         |  CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN d.deg >= 2 THEN
+         |    round(CAST(coalesce(pn.n_tri, 0) * 2 AS DOUBLE) / (d.deg * (d.deg - 1)), 6)
+         |  ELSE 0.0 END AS lcc
+         |FROM degt d LEFT JOIN pn USING (node) ORDER BY node
+         |""".stripMargin,
     "q_kcore" -> {
       val peels = (1 to 8).map { r =>
         s"""d$r AS (SELECT s.a AS node, count(*) AS c FROM symk s
@@ -818,26 +885,7 @@ object WebQueries extends QueryPack {
            |  GROUP BY 1),
            |s$r AS (SELECT node FROM d$r WHERE c >= 4)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ek0 AS (
-         |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 4) % 6 AS VARCHAR), 2, '0') AS src,
-         |         'c' || lpad(CAST((doc_id % 4) * 6 + (doc_id // 24) % 6 AS VARCHAR), 2, '0') AS dst
-         |  FROM documents WHERE (doc_id // 4) % 6 <> (doc_id // 24) % 6
-         |  UNION ALL
-         |  SELECT 'c' || lpad(CAST((doc_id % 4) * 6 AS VARCHAR), 2, '0'),
-         |         'c' || lpad(CAST(((doc_id % 4 + 1) % 4) * 6 AS VARCHAR), 2, '0')
-         |  FROM documents WHERE doc_id % 25 = 7
-         |  UNION ALL
-         |  SELECT 't' || CAST(doc_id % 4 AS VARCHAR) || 'a',
-         |         't' || CAST(doc_id % 4 AS VARCHAR) || 'b'
-         |  FROM documents WHERE doc_id % 20 = 3
-         |  UNION ALL
-         |  SELECT 't' || CAST(doc_id % 4 AS VARCHAR) || 'b',
-         |         'c' || lpad(CAST((doc_id % 4) * 6 AS VARCHAR), 2, '0')
-         |  FROM documents WHERE doc_id % 20 = 3),
-         |symk AS (SELECT DISTINCT a, b FROM (
-         |  SELECT src AS a, dst AS b FROM ek0 WHERE src <> dst
-         |  UNION ALL
-         |  SELECT dst AS a, src AS b FROM ek0 WHERE src <> dst)),
+      s"""WITH $plantedGraphCtes,
          |s0 AS (SELECT DISTINCT a AS node FROM symk),
          |$peels
          |SELECT node, CAST(c AS BIGINT) AS core_degree
