@@ -135,6 +135,109 @@ object EventAnalytics {
       .orderBy("cohort_day", "offset_days")
   }
 
+  /** Per-day active-user rollup: DAU plus sliding 7-day (WAU) and 30-day
+    * (MAU) distinct actives and the DAU/MAU stickiness ratio. The sliding
+    * windows are EXPLODED, not joined: each distinct (user, day) row fans
+    * out to the ≤7/≤30 report days it contributes to, so the plan is one
+    * distinct + linear explodes + counted aggregates — never a
+    * day-range nested-loop join against the event axis. At 100 TB the
+    * ×30 fan-out is the documented cost; the constant-space alternative is
+    * the per-day HLL register table ([[graft.functions.DistinctSketch]])
+    * merged over the window at read time.
+    */
+  def activeUsers(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    def windowed(days: Int, name: String): DataFrame = ud
+      .select(col("u"), explode(sequence(lit(0), lit(days - 1))).as("off"), col("d"))
+      .select(col("u"), date_add(col("d"), col("off")).as("day"))
+      .groupBy("day").agg(countDistinct(col("u")).as(name))
+    dau.join(windowed(7, "wau"), Seq("day"))
+      .join(windowed(30, "mau"), Seq("day"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** Daily event-volume anomaly flags by the median/MAD rule — the robust
+    * ops-monitoring screen (a mean/stddev z-score is itself dragged by the
+    * outliers it should flag). Day counts reduce the event axis to a
+    * bounded frame; median and MAD replay the exact-quantile rank rule
+    * r = max(1, ceil(0.5·n)); everything stays INTEGER (counts, integer
+    * medians, |dev| > k·MAD on longs) — no float appears anywhere, so
+    * cross-engine equality is structural.
+    */
+  def dailyAnomalies(events: DataFrame, tsCol: String, k: Int = 3): DataFrame = {
+    val daily = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = Quantiles.exactQuantiles(
+        daily.select(lit("ALL").as("g"), col("n_events").as("v")),
+        col("g"), col("v"), Seq(0.5))
+      .select(col("value").as("median_n"))
+    val withMed = daily.crossJoin(broadcast(med))
+      .withColumn("abs_dev", abs(col("n_events") - col("median_n")))
+    val mad = Quantiles.exactQuantiles(
+        withMed.select(lit("ALL").as("g"), col("abs_dev").as("v")),
+        col("g"), col("v"), Seq(0.5))
+      .select(col("value").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("day"), col("n_events"), col("median_n"), col("abs_dev"), col("mad"),
+        (col("abs_dev") > lit(k.toLong) * col("mad")).as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation over
+    * purchase events — the classic value-tiering rollup. Per user:
+    * recency = days since last purchase (vs the corpus max day),
+    * frequency = purchase count, monetary = exact-decimal value sum.
+    * Each dimension scores 1–3 against its global tercile thresholds
+    * (the exact-quantile rank rule; recency reversed — fresher is
+    * better). One aggregate to the user axis; thresholds are a bounded
+    * broadcast; the scoring scan is literal CASEs.
+    */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      purchaseType: String,
+      valueCol: String): DataFrame = {
+    val p = events.filter(col(typeCol) === purchaseType)
+    val maxDay = p.agg(max(to_date(col(tsCol))).as("max_day"))
+    val per = p.groupBy(col(userCol).as("user_id"))
+      .agg(max(to_date(col(tsCol))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(round(col(valueCol), 2).cast("decimal(18,2)")).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    def thresholds(v: Column, name: String): DataFrame =
+      Quantiles.exactQuantiles(
+          per.select(lit("ALL").as("g"), v.as("v")), col("g"), col("v"),
+          Seq(1.0 / 3.0, 2.0 / 3.0))
+        .groupBy(col("grp"))
+        .agg(min(col("value")).as(s"${name}_t1"), max(col("value")).as(s"${name}_t2"))
+        .drop("grp")
+    // monetary thresholds quantile over cents (long) so the rank machinery
+    // stays integer; scores compare on the same cents axis
+    val scored = per
+      .withColumn("m_cents", (col("monetary") * 100).cast("long"))
+      .crossJoin(broadcast(thresholds(col("recency_days"), "r")))
+      .crossJoin(broadcast(thresholds(col("frequency"), "f")))
+      .crossJoin(broadcast(thresholds((col("monetary") * 100).cast("long"), "m")))
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        (lit(3L) - (col("recency_days") > col("r_t1")).cast("long")
+          - (col("recency_days") > col("r_t2")).cast("long")).as("r_score"),
+        (lit(1L) + (col("frequency") > col("f_t1")).cast("long")
+          + (col("frequency") > col("f_t2")).cast("long")).as("f_score"),
+        (lit(1L) + (col("m_cents") > col("m_t1")).cast("long")
+          + (col("m_cents") > col("m_t2")).cast("long")).as("m_score"))
+      .withColumn("segment", concat_ws("-", col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("user_id")
+  }
+
   /** Sliding-window funnel variant: like [[funnelReport]] but step k must
     * also land within `windowHours` of t1 (the "complete within N hours"
     * constraint every funnel product exposes). Same plan shape — the

@@ -51,6 +51,13 @@ object BehaviorQueries extends QueryPack {
       EventAnalytics.cohortRetention(Tables.cached(s, dir, "events"), "user_id", "ts")),
     "q_stream_funnel" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamFunnel(s, dir, FUNNEL_STEPS)),
+    "q_active_users" -> ((s, dir) =>
+      EventAnalytics.activeUsers(Tables.cached(s, dir, "events"), "user_id", "ts")),
+    "q_event_anomaly" -> ((s, dir) =>
+      EventAnalytics.dailyAnomalies(Tables.cached(s, dir, "events"), "ts")),
+    "q_rfm_segments" -> ((s, dir) =>
+      EventAnalytics.rfmSegments(Tables.cached(s, dir, "events"),
+        "user_id", "ts", "event_type", "purchase", "value")),
     "q_rater_agreement" -> ((s, dir) =>
       Agreement.binaryAgreement(
         raterVotes(Tables.cached(s, dir, "documents")), col("v"), nRaters = 3)),
@@ -134,6 +141,81 @@ object BehaviorQueries extends QueryPack {
            |  round((CAST(sum_us AS DOUBLE) / n_users) / 3600000000.0, 6) AS avg_hours_from_prev
            |FROM p CROSS JOIN n1 ORDER BY step
            |""".stripMargin,
+      // exploded sliding windows, distinct counted per report day
+      "q_active_users" ->
+        s"""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+           |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+           |wau AS (SELECT day, count(DISTINCT u) AS wau FROM (
+           |    SELECT u, d + CAST(x AS INT) AS day
+           |    FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS x) o) z GROUP BY 1),
+           |mau AS (SELECT day, count(DISTINCT u) AS mau FROM (
+           |    SELECT u, d + CAST(x AS INT) AS day
+           |    FROM ud CROSS JOIN (SELECT unnest(range(0, 30)) AS x) o) z GROUP BY 1)
+           |SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           |  CAST(mau AS BIGINT) AS mau,
+           |  round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+           |FROM dau JOIN wau USING (day) JOIN mau USING (day) ORDER BY 1
+           |""".stripMargin,
+      // median/MAD rank-rule replay; fully integer — no float anywhere
+      "q_event_anomaly" -> {
+        val half = 0.5
+        s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+           |  FROM events GROUP BY 1),
+           |nn AS (SELECT count(*) AS n FROM daily),
+           |r1 AS (SELECT n_events AS v, row_number() OVER (ORDER BY n_events) AS rn FROM daily),
+           |med AS (SELECT v AS median_n FROM r1 CROSS JOIN nn
+           |  WHERE rn = greatest(1, CAST(ceil(CAST($half AS DOUBLE) * n) AS BIGINT))),
+           |wd AS (SELECT day, n_events, median_n,
+           |    abs(n_events - median_n) AS abs_dev FROM daily CROSS JOIN med),
+           |r2 AS (SELECT abs_dev AS v, row_number() OVER (ORDER BY abs_dev) AS rn FROM wd),
+           |madt AS (SELECT v AS mad FROM r2 CROSS JOIN nn
+           |  WHERE rn = greatest(1, CAST(ceil(CAST($half AS DOUBLE) * n) AS BIGINT)))
+           |SELECT day, CAST(n_events AS BIGINT) AS n_events,
+           |  CAST(median_n AS BIGINT) AS median_n, CAST(abs_dev AS BIGINT) AS abs_dev,
+           |  CAST(mad AS BIGINT) AS mad, abs_dev > 3 * mad AS is_anomaly
+           |FROM wd CROSS JOIN madt ORDER BY day
+           |""".stripMargin
+      },
+      // per-dimension tercile thresholds via the exact-quantile rank rule,
+      // then literal-CASE scoring (recency reversed); monetary exact
+      // decimals, compared on the cents axis
+      "q_rfm_segments" -> {
+        val q1 = 1.0 / 3.0
+        val q2 = 2.0 / 3.0
+        def thr(expr: String, name: String) =
+          s"""r_$name AS (SELECT $expr AS v, row_number() OVER (ORDER BY $expr) AS rn FROM per),
+             |t_$name AS (SELECT
+             |  (SELECT v FROM r_$name CROSS JOIN nn
+             |   WHERE rn = greatest(1, CAST(ceil(CAST($q1 AS DOUBLE) * n) AS BIGINT))) AS t1,
+             |  (SELECT v FROM r_$name CROSS JOIN nn
+             |   WHERE rn = greatest(1, CAST(ceil(CAST($q2 AS DOUBLE) * n) AS BIGINT))) AS t2)""".stripMargin
+        s"""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS d,
+           |    CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+           |  FROM events WHERE event_type = 'purchase'),
+           |mx AS (SELECT max(d) AS max_day FROM p),
+           |per AS (SELECT user_id,
+           |    CAST(datediff('day', max(d), max(max_day)) AS BIGINT) AS recency_days,
+           |    count(*) AS frequency, sum(v) AS monetary
+           |  FROM p CROSS JOIN mx GROUP BY user_id),
+           |nn AS (SELECT count(*) AS n FROM per),
+           |${thr("recency_days", "r")},
+           |${thr("frequency", "f")},
+           |${thr("CAST(monetary * 100 AS BIGINT)", "m")},
+           |scored AS (SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+           |    CAST(monetary AS DOUBLE) AS monetary,
+           |    3 - CAST(recency_days > t_r.t1 AS BIGINT)
+           |      - CAST(recency_days > t_r.t2 AS BIGINT) AS r_score,
+           |    1 + CAST(frequency > t_f.t1 AS BIGINT)
+           |      + CAST(frequency > t_f.t2 AS BIGINT) AS f_score,
+           |    1 + CAST(CAST(monetary * 100 AS BIGINT) > t_m.t1 AS BIGINT)
+           |      + CAST(CAST(monetary * 100 AS BIGINT) > t_m.t2 AS BIGINT) AS m_score
+           |  FROM per CROSS JOIN t_r CROSS JOIN t_f CROSS JOIN t_m)
+           |SELECT user_id, recency_days, frequency, monetary,
+           |  r_score, f_score, m_score,
+           |  concat_ws('-', r_score, f_score, m_score) AS segment
+           |FROM scored ORDER BY user_id
+           |""".stripMargin
+      },
       "q_cohort_retention" ->
         s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
            |           FROM events GROUP BY 1),
