@@ -68,4 +68,21 @@ object CountMin {
       .groupBy(col("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Equi-join size estimate from two sketches over the join key
+    * (Cormode & Muthukrishnan 2005 §4.3 inner-product estimation):
+    * |A ⋈_k B| = Σ_v f_A(v)·f_B(v) ≈ min over rows r of the counter dot
+    * product Σ_c cntA[r][c]·cntB[r][c] — one-sided (never under-
+    * estimates). With A = B this is the F₂ self-join moment, THE skew
+    * diagnostic a planner wants before committing to a shuffle join: two
+    * d·w-cell frames answer "how big will this join be" without touching
+    * either fact table again. Plan: one (r, c) equi-join on the bounded
+    * counter axis + a d-row min — all integer arithmetic, no estimate
+    * drift across engines.
+    */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.select(col("r"), col("c"), col("cnt").as("ca"))
+      .join(sketchB.select(col("r"), col("c"), col("cnt").as("cb")), Seq("r", "c"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("dot"))
+      .agg(min(col("dot")).as("est"))
 }

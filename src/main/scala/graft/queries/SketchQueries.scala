@@ -61,9 +61,42 @@ object SketchQueries extends QueryPack {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** CMS join-size estimation: two d×w counter frames answer "how big is
+    * this equi-join" (and, self-joined, the F₂ skew moment) without a
+    * second pass over either fact table. Gate pairs the one-sided
+    * estimate with the exact join size; w=32 forces collisions so the
+    * over-estimate is non-vacuous.
+    */
+  private def cmsJoinSizeQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CountMin
+    val (depth, width) = (3, 32)
+    val ev = graft.sources.Tables.cached(spark, dir, "events")
+    def sk(f: DataFrame) =
+      CountMin.sketch(f, array(col("user_id").cast("string")), depth, width)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    val estPc = CountMin.joinSizeEstimate(sk(purchases), sk(clicks))
+      .select(lit("purchase_click").as("pair"), col("est"))
+    val estF2 = CountMin.joinSizeEstimate(sk(ev), sk(ev))
+      .select(lit("self_f2").as("pair"), col("est"))
+    val pc = purchases.groupBy("user_id").agg(count(lit(1)).as("p"))
+      .join(clicks.groupBy("user_id").agg(count(lit(1)).as("c")), Seq("user_id"))
+      .agg(sum(col("p") * col("c")).as("exact"))
+      .select(lit("purchase_click").as("pair"), col("exact"))
+    val f2 = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact"))
+      .select(lit("self_f2").as("pair"), col("exact"))
+    estPc.unionByName(estF2)
+      .join(pc.unionByName(f2), Seq("pair"))
+      .select(col("pair"), col("est"), col("exact"),
+        round(col("est").cast("double") / col("exact"), 6).as("over_ratio"))
+      .orderBy("pair")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hll_distinct" -> (hllQ _),
     "q_kmv_overlap" -> (kmvQ _),
+    "q_cms_join_size" -> (cmsJoinSizeQ _),
     "q_stream_hll" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamHllDistinct(s, dir,
         queryName = s"stream_hll_${math.abs(dir.hashCode)}")),
@@ -105,6 +138,39 @@ object SketchQueries extends QueryPack {
     // streamed register maintenance ≡ one-shot batch sketch (merge
     // property, spec-proven) — the batch oracle verbatim
     "q_stream_hll" -> hllOracle,
+    // identical 3x32 counter matrices per side (same md5-prefix bucket),
+    // dot product per row, min over rows — all integer
+    "q_cms_join_size" -> {
+      def cells(name: String, src: String) =
+        s"""$name AS (SELECT r,
+           |    CAST(CAST(CAST(('0x' || substr(md5('cms' || r || '#' || CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 32 AS BIGINT) AS c,
+           |    count(*) AS cnt
+           |  FROM ($src) z CROSS JOIN rows_ GROUP BY 1, 2)""".stripMargin
+      s"""WITH rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+         |${cells("skp", "SELECT user_id FROM events WHERE event_type = 'purchase'")},
+         |${cells("skc", "SELECT user_id FROM events WHERE event_type = 'click'")},
+         |${cells("ska", "SELECT user_id FROM events")},
+         |est AS (
+         |  SELECT 'purchase_click' AS pair, min(dot) AS est FROM (
+         |    SELECT a.r, sum(a.cnt * b.cnt) AS dot FROM skp a
+         |    JOIN skc b ON a.r = b.r AND a.c = b.c GROUP BY 1) d1
+         |  UNION ALL
+         |  SELECT 'self_f2', min(dot) FROM (
+         |    SELECT a.r, sum(a.cnt * b.cnt) AS dot FROM ska a
+         |    JOIN ska b ON a.r = b.r AND a.c = b.c GROUP BY 1) d2),
+         |ex AS (
+         |  SELECT 'purchase_click' AS pair, sum(p * c) AS "exact" FROM
+         |    (SELECT user_id, count(*) AS p FROM events WHERE event_type = 'purchase' GROUP BY 1) pp
+         |    JOIN (SELECT user_id, count(*) AS c FROM events WHERE event_type = 'click' GROUP BY 1) cc
+         |    USING (user_id)
+         |  UNION ALL
+         |  SELECT 'self_f2', sum(n * n) FROM
+         |    (SELECT user_id, count(*) AS n FROM events GROUP BY 1) uu)
+         |SELECT pair, CAST(est AS BIGINT) AS est, CAST("exact" AS BIGINT) AS "exact",
+         |  round(CAST(est AS DOUBLE) / "exact", 6) AS over_ratio
+         |FROM est JOIN ex USING (pair) ORDER BY pair
+         |""".stripMargin
+    },
     // per-source bottom-64 gram hashes, then per pair: bottom-64 of the
     // two sketches' union, threshold h_k, membership-in-both count
     "q_kmv_overlap" ->

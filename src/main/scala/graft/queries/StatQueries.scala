@@ -242,8 +242,21 @@ object StatQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** k-anonymity release screen over the customer table: quasi-identifier
+    * tuple (nation, market segment, account-balance band), reported per
+    * segment at k=5 — the compliance aggregate next to the Laplace-noised
+    * q_dp_release. Fully integer.
+    */
+  private def kAnonymityQ(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.sources.Tables.cached(spark, dir, "customer")
+    graft.ops.KAnonymity.report(c, col("c_mktsegment"),
+      Seq(col("c_nationkey"), floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+      k = 5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_readability" -> (readabilityQ _),
+    "q_k_anonymity" -> (kAnonymityQ _),
     "q_exact_quantile" -> (tokenQuantilesQ _),
     "q_quantile_price" -> (priceQuantilesQ _),
     "q_quantile_filter" -> (quantileFilterQ _),
@@ -333,6 +346,23 @@ object StatQueries extends QueryPack {
        |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // one groupBy on the quasi tuple, then the per-segment rollup — the
+    // bal band's floor(double/1000) mirrored bit for bit
+    "q_k_anonymity" ->
+      s"""WITH g AS (SELECT c_mktsegment AS stratum, c_nationkey,
+         |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         |    count(*) AS sz
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT stratum,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(sz) AS BIGINT) AS n_records,
+         |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+         |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_records_at_risk,
+         |  CAST(min(sz) AS BIGINT) AS k_achieved,
+         |  CAST(5 AS BIGINT) AS k_required,
+         |  min(sz) >= 5 AS anonymous
+         |FROM g GROUP BY 1 ORDER BY 1
+         |""".stripMargin,
     // planted-period text rebuilt via ordered string_agg; word/sentence/
     // vowel-group counts replayed on the Java∩RE2 regex subset; scores are
     // ratio arithmetic only (no transcendentals) → 6-dp identical
