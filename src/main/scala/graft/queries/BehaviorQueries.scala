@@ -58,6 +58,21 @@ object BehaviorQueries extends QueryPack {
     "q_rfm_segments" -> ((s, dir) =>
       EventAnalytics.rfmSegments(Tables.cached(s, dir, "events"),
         "user_id", "ts", "event_type", "purchase", "value")),
+    "q_ab_test" -> ((s, dir) => {
+      // arms = user_id parity; conversion = any purchase of value >= 150
+      // (every user makes SOME purchase on this fixture — the plain
+      // "any purchase" conversion is degenerate with zero pooled variance)
+      val conv = Tables.cached(s, dir, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") >= 150).cast("int")).as("cv"))
+        .select((col("user_id") % 2).as("arm"), (col("cv") === 1).as("converted"))
+      graft.ops.Experiments.abTest(conv, col("arm"), col("converted"))
+    }),
+    "q_basket_rules" -> ((s, dir) =>
+      graft.ops.Experiments.basketRules(Tables.cached(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey") % 50, minSupport = 5, topK = 25)),
+    "q_event_transitions" -> ((s, dir) =>
+      graft.ops.Experiments.eventTransitions(Tables.cached(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")),
     "q_rater_agreement" -> ((s, dir) =>
       Agreement.binaryAgreement(
         raterVotes(Tables.cached(s, dir, "documents")), col("v"), nRaters = 3)),
@@ -140,6 +155,68 @@ object BehaviorQueries extends QueryPack {
            |  round(CAST(n_users AS DOUBLE) / n1.n, 6) AS conv_from_first,
            |  round((CAST(sum_us AS DOUBLE) / n_users) / 3600000000.0, 6) AS avg_hours_from_prev
            |FROM p CROSS JOIN n1 ORDER BY step
+           |""".stripMargin,
+      // pooled two-proportion z; every ratio a single IEEE op on integer
+      // operands, sqrt correctly rounded per IEEE — no pinning needed
+      "q_ab_test" ->
+        s"""WITH conv AS (SELECT user_id,
+           |    max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS cv
+           |  FROM events GROUP BY 1),
+           |agg AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(cv) AS x
+           |  FROM conv GROUP BY 1),
+           |p AS (SELECT
+           |    CAST(0 AS BIGINT) AS arm_a,
+           |    CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+           |    CAST(1 AS BIGINT) AS arm_b,
+           |    CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+           |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b
+           |  FROM agg),
+           |s AS (SELECT *, CAST(x_a AS DOUBLE) / n_a AS pa, CAST(x_b AS DOUBLE) / n_b AS pb,
+           |    CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS pool FROM p),
+           |z AS (SELECT *, sqrt((pool * (CAST(1.0 AS DOUBLE) - pool)) *
+           |    (CAST(1.0 AS DOUBLE) / n_a + CAST(1.0 AS DOUBLE) / n_b)) AS se FROM s)
+           |SELECT arm_a, n_a, x_a, round(pa, 6) AS p_a,
+           |  arm_b, n_b, x_b, round(pb, 6) AS p_b,
+           |  round(pa - pb, 6) AS diff,
+           |  round((pa - pb) / se, 6) AS z,
+           |  abs((pa - pb) / se) > 1.959964 AS significant
+           |FROM z
+           |""".stripMargin,
+      // within-basket self-join (cost bounded by basket size squared),
+      // decimal cross-products for lift
+      "q_basket_rules" ->
+        s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i FROM lineitem),
+           |nb AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+           |itn AS (SELECT i, count(*) AS n_i FROM bi GROUP BY 1),
+           |pr AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS n_ab
+           |  FROM bi l JOIN bi r ON l.b = r.b AND l.i < r.i
+           |  GROUP BY 1, 2 HAVING count(*) >= 5),
+           |sc AS (SELECT item_a, item_b, n_ab, na.n_i AS n_a, nbb.n_i AS n_b, nb.n_baskets
+           |  FROM pr JOIN itn na ON na.i = pr.item_a
+           |  JOIN itn nbb ON nbb.i = pr.item_b CROSS JOIN nb)
+           |SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+           |  CAST(n_ab AS BIGINT) AS n_ab, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |  round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
+           |  round(CAST(n_ab AS DOUBLE) / n_a, 6) AS conf_a_to_b,
+           |  round(CAST(n_ab AS DOUBLE) / n_b, 6) AS conf_b_to_a,
+           |  round(CAST(CAST(n_ab AS DECIMAL(19,0)) * CAST(n_baskets AS DECIMAL(19,0)) AS DOUBLE)
+           |    / CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) AS DOUBLE), 6) AS lift
+           |FROM sc ORDER BY lift DESC, item_a, item_b LIMIT 25
+           |""".stripMargin,
+      // per-user lag with a total (ts, id) order; conditional probabilities
+      // over the bounded type-pair axis
+      "q_event_transitions" ->
+        s"""WITH t AS (SELECT event_type AS to_type,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+           |  FROM events),
+           |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+           |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |rt AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+           |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+           |  CAST(n_from AS BIGINT) AS n_from,
+           |  round(CAST(n AS DOUBLE) / n_from, 6) AS p
+           |FROM c JOIN rt USING (from_type) ORDER BY 1, 2
            |""".stripMargin,
       // exploded sliding windows, distinct counted per report day
       "q_active_users" ->
