@@ -82,6 +82,107 @@ object Experiments {
     scored.orderBy(col("lift").desc, col("item_a"), col("item_b")).limit(topK)
   }
 
+  /** Kaplan–Meier survival over right-censored durations: one row per
+    * distinct duration with d (events), c (censored), the at-risk count
+    * (suffix sum over the BOUNDED duration axis — the only window, above
+    * an aggregate), and S(t) = Π_{t_i ≤ t} (1 − d_i/n_i).
+    *
+    * Cross-engine: per-step log factors ln(1 − d/n) pin to 9 dp DECIMAL,
+    * the cumulative sum is exact (and emitted as `cum_ln`, the
+    * bitwise-comparable column); S(t) = exp(cum_ln) is one transcendental
+    * on an identical pinned operand, rounded at 6 dp.
+    */
+  def kaplanMeier(durations: DataFrame, durationCol: Column, eventCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = durations.select(durationCol.cast("long").as("t"), eventCol.cast("long").as("e"))
+    val byT = per.groupBy(col("t"))
+      .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+    val wSuffix = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrefix = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wSuffix))
+      // d == n_risk (every remaining at-risk unit events here) sends the
+      // curve to exactly 0 — handled as a sticky flag, not ln(0)
+      .withColumn("ln_f",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 9))
+          .otherwise(lit(0.0)).cast("decimal(20,9)"))
+      .withColumn("cum_ln", sum(col("ln_f")).over(wPrefix))
+      .withColumn("hit_zero", max((col("d") === col("n_risk")).cast("int")).over(wPrefix))
+      .select(col("t").as("duration"), col("d"), col("c"), col("n_risk"),
+        col("cum_ln"),
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(round(exp(col("cum_ln").cast("double")), 6)).as("survival"))
+      .orderBy("duration")
+  }
+
+  /** Pareto / ABC concentration over a keyed value aggregate: rank by
+    * value desc, exact-decimal cumulative share, class A ≤ `aCut`,
+    * B ≤ `bCut`, else C — thresholds compare on the ROUNDED share so both
+    * engines classify identically. The rank/prefix windows run on the
+    * bounded post-aggregate axis.
+    */
+  def paretoAbc(keyed: DataFrame, keyCol: Column, valueCents: Column,
+      aCut: Double = 0.7, bCut: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = keyed.groupBy(keyCol.as("key"))
+      .agg(sum(valueCents.cast("decimal(28,0)")).as("v"))
+    val tot = agg.agg(sum(col("v")).as("tot"))
+    val w = Window.orderBy(col("v").desc, col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(Window.orderBy(col("v").desc, col("key"))))
+      .withColumn("cum_v", sum(col("v")).over(w))
+      .select(col("key"), col("v").cast("long").as("value_units"), col("rank"),
+        round(col("cum_v").cast("double") / col("tot").cast("double"), 6).as("cum_share"))
+      .withColumn("abc",
+        when(col("cum_share") <= aCut, "A")
+          .when(col("cum_share") <= bCut, "B").otherwise("C"))
+      .orderBy("rank")
+  }
+
+  /** Gini coefficient of a value distribution (integer cents):
+    * G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending-sorted values.
+    * Rank·value products are exact decimals (swap-invariant under ties),
+    * two IEEE divisions at the end. The rank window runs above the
+    * per-key aggregate.
+    */
+  def gini(keyed: DataFrame, keyCol: Column, valueCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = keyed.groupBy(keyCol.as("key"))
+      .agg(sum(valueCents.cast("decimal(28,0)")).as("x"))
+    val ranked = agg.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("key"))).cast("decimal(19,0)"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n"), col("sx").cast("long").as("total_cents"),
+        round(
+          (col("six") * lit(2)).cast("double") / (col("n") * col("sx")).cast("double")
+            - (col("n") + lit(1)).cast("double") / col("n"), 6).as("gini"))
+  }
+
+  /** Two-proportion sample-size planning: units per arm to detect an
+    * absolute lift `mde` over the observed base rate at the given z
+    * quantiles (driver literals — no inverse-CDF in either engine):
+    * n = (z_α·√(2p̄q̄) + z_β·√(p₁q₁ + p₂q₂))² / mde².
+    */
+  def abPower(assignments: DataFrame, convertedCol: Column, mde: Double,
+      zAlpha: Double = 1.959964, zBeta: Double = 0.841621): DataFrame = {
+    val base = assignments.agg(count(lit(1)).as("n"),
+      sum(convertedCol.cast("long")).as("x"))
+    val p1 = col("x").cast("double") / col("n")
+    val p2 = p1 + lit(mde)
+    val term = lit(zAlpha) * sqrt(lit(2.0) * p1 * (lit(1.0) - p1)) +
+      lit(zBeta) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    base.select(col("n").as("n_observed"), round(p1, 6).as("p_base"),
+      lit(mde).as("mde"),
+      ceil((term * term) / lit(mde * mde)).cast("long").as("n_per_arm"))
+  }
+
   /** First-order transition counts and conditional probabilities over
     * per-user event sequences. The lag window runs over the event axis —
     * the same capability surface as q_rel_user_window; ordering is made

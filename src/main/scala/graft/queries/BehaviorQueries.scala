@@ -73,6 +73,42 @@ object BehaviorQueries extends QueryPack {
     "q_event_transitions" -> ((s, dir) =>
       graft.ops.Experiments.eventTransitions(Tables.cached(s, dir, "events"),
         "user_id", "ts", "event_type", "event_id")),
+    "q_survival_km" -> ((s, dir) => {
+      // time signup→purchase with right censoring at the corpus max day
+      val ev = Tables.cached(s, dir, "events")
+      val frames = EventAnalytics.funnelTimes(ev, "user_id", "ts", "event_type",
+        Seq("signup", "purchase"))
+      val maxDay = ev.agg(max(to_date(col("ts"))).as("max_day"))
+      val done = frames(1).select(
+        datediff(to_date(col("t2")), to_date(col("t1"))).cast("long").as("dur"),
+        lit(1L).as("e"))
+      val cens = frames(0).join(frames(1).select("user_id"), Seq("user_id"), "left_anti")
+        .crossJoin(broadcast(maxDay))
+        .select(datediff(col("max_day"), to_date(col("t1"))).cast("long").as("dur"),
+          lit(0L).as("e"))
+      graft.ops.Experiments.kaplanMeier(done.unionByName(cens), col("dur"), col("e"))
+        .withColumn("cum_ln", col("cum_ln").cast("double"))
+    }),
+    "q_pareto_abc" -> ((s, dir) => {
+      // 2dp price × 2dp (1−disc) is EXACTLY 4 decimal digits — round at
+      // 4 dp is an identity (the q_rel_order_revenue discipline); value
+      // units are 1e-4 currency units, exact integers in both engines
+      val units = (round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast("decimal(18,4)") * 10000).cast("decimal(28,0)")
+      graft.ops.Experiments.paretoAbc(Tables.cached(s, dir, "lineitem"),
+        col("l_partkey") % 50, units)
+    }),
+    "q_gini_revenue" -> ((s, dir) => {
+      val cents = (round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+        .cast("decimal(28,0)")
+      graft.ops.Experiments.gini(Tables.cached(s, dir, "orders"), col("o_custkey"), cents)
+    }),
+    "q_ab_power" -> ((s, dir) => {
+      val conv = Tables.cached(s, dir, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") >= 150).cast("int")).as("cv"))
+        .select((col("cv") === 1).as("converted"))
+      graft.ops.Experiments.abPower(conv, col("converted"), mde = 0.1)
+    }),
     "q_rater_agreement" -> ((s, dir) =>
       Agreement.binaryAgreement(
         raterVotes(Tables.cached(s, dir, "documents")), col("v"), nRaters = 3)),
@@ -203,6 +239,95 @@ object BehaviorQueries extends QueryPack {
            |  round(CAST(CAST(n_ab AS DECIMAL(19,0)) * CAST(n_baskets AS DECIMAL(19,0)) AS DOUBLE)
            |    / CAST(CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)) AS DOUBLE), 6) AS lift
            |FROM sc ORDER BY lift DESC, item_a, item_b LIMIT 25
+           |""".stripMargin,
+      // KM replay: suffix-sum risk sets, 9-dp-pinned log factors, exact
+      // decimal cumulative, ONE exp on the identical pinned operand
+      "q_survival_km" ->
+        s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, max(s.t1) AS t1, min(e.ts) AS t2
+           |  FROM events e JOIN s1 s ON s.user_id = e.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > s.t1 GROUP BY 1),
+           |mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+           |dur AS (SELECT datediff('day', CAST(t1 AS DATE), CAST(t2 AS DATE)) AS t, 1 AS e
+           |    FROM s2
+           |  UNION ALL
+           |  SELECT datediff('day', CAST(s1.t1 AS DATE), mx.md), 0
+           |    FROM s1 CROSS JOIN mx
+           |    WHERE s1.user_id NOT IN (SELECT user_id FROM s2)),
+           |byt AS (SELECT t, sum(e) AS d, sum(1 - e) AS c FROM dur GROUP BY 1),
+           |nr AS (SELECT t, d, c,
+           |    sum(d + c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+           |  FROM byt),
+           |lf AS (SELECT *, CAST(CASE WHEN d > 0 AND d < n_risk
+           |    THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9) ELSE 0.0 END
+           |    AS DECIMAL(20,9)) AS ln_f FROM nr),
+           |cl AS (SELECT *,
+           |    sum(ln_f) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum_ln,
+           |    max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero
+           |  FROM lf)
+           |SELECT CAST(t AS BIGINT) AS duration, CAST(d AS BIGINT) AS d,
+           |  CAST(c AS BIGINT) AS c, CAST(n_risk AS BIGINT) AS n_risk,
+           |  CAST(cum_ln AS DOUBLE) AS cum_ln,
+           |  CASE WHEN hit_zero = 1 THEN 0.0
+           |       ELSE round(exp(CAST(cum_ln AS DOUBLE)), 6) END AS survival
+           |FROM cl ORDER BY duration
+           |""".stripMargin,
+      // exact-decimal cumulative shares ranked desc; ABC classes compare
+      // on the ROUNDED share
+      "q_pareto_abc" ->
+        s"""WITH v AS (SELECT l_partkey % 50 AS key,
+           |    sum(CAST(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))
+           |        * 10000 AS DECIMAL(28,0))) AS v
+           |  FROM lineitem GROUP BY 1),
+           |tot AS (SELECT sum(v) AS tot FROM v),
+           |r AS (SELECT key, v,
+           |    row_number() OVER (ORDER BY v DESC, key) AS rank,
+           |    sum(v) OVER (ORDER BY v DESC, key ROWS UNBOUNDED PRECEDING) AS cum_v
+           |  FROM v),
+           |sh AS (SELECT key, CAST(v AS BIGINT) AS value_units, CAST(rank AS INT) AS rank,
+           |    round(CAST(cum_v AS DOUBLE) / CAST(tot.tot AS DOUBLE), 6) AS cum_share
+           |  FROM r CROSS JOIN tot)
+           |SELECT CAST(key AS BIGINT) AS key, value_units, rank, cum_share,
+           |  CASE WHEN cum_share <= 0.7 THEN 'A'
+           |       WHEN cum_share <= 0.9 THEN 'B' ELSE 'C' END AS abc
+           |FROM sh ORDER BY rank
+           |""".stripMargin,
+      // 2*sum(i*x)/(n*sum(x)) - (n+1)/n over ascending order; decimal
+      // rank-value products, two IEEE divisions
+      "q_gini_revenue" ->
+        s"""WITH x AS (SELECT o_custkey AS key,
+           |    sum(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100
+           |        AS DECIMAL(28,0))) AS x
+           |  FROM orders GROUP BY 1),
+           |r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, key) AS DECIMAL(19,0)) AS i
+           |  FROM x),
+           |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM r)
+           |SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS total_cents,
+           |  round(CAST(six * 2 AS DOUBLE) / CAST(n * sx AS DOUBLE)
+           |        - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+           |FROM a
+           |""".stripMargin,
+      // closed-form n per arm from the observed base rate; z quantiles are
+      // driver literals, sqrt correctly rounded per IEEE
+      "q_ab_power" ->
+        s"""WITH conv AS (SELECT user_id,
+           |    max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS cv
+           |  FROM events GROUP BY 1),
+           |b AS (SELECT count(*) AS n, sum(cv) AS x FROM conv),
+           |s AS (SELECT n, CAST(x AS DOUBLE) / n AS p1,
+           |    CAST(x AS DOUBLE) / n + 0.1 AS p2 FROM b),
+           |t AS (SELECT n, p1,
+           |    1.959964 * sqrt(CAST(2.0 AS DOUBLE) * p1 * (CAST(1.0 AS DOUBLE) - p1))
+           |    + 0.841621 * sqrt(p1 * (CAST(1.0 AS DOUBLE) - p1)
+           |                      + p2 * (CAST(1.0 AS DOUBLE) - p2)) AS term
+           |  FROM s)
+           |SELECT CAST(n AS BIGINT) AS n_observed, round(p1, 6) AS p_base,
+           |  CAST(0.1 AS DOUBLE) AS mde,
+           |  CAST(ceil((term * term)
+           |    / (CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))) AS BIGINT) AS n_per_arm
+           |FROM t
            |""".stripMargin,
       // per-user lag with a total (ts, id) order; conditional probabilities
       // over the bounded type-pair axis
