@@ -51,6 +51,8 @@ object BehaviorQueries extends QueryPack {
       EventAnalytics.cohortRetention(Tables.cached(s, dir, "events"), "user_id", "ts")),
     "q_stream_funnel" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamFunnel(s, dir, FUNNEL_STEPS)),
+    "q_stream_cohort" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamCohortRetention(s, dir)),
     "q_active_users" -> ((s, dir) =>
       EventAnalytics.activeUsers(Tables.cached(s, dir, "events"), "user_id", "ts")),
     "q_event_anomaly" -> ((s, dir) =>
@@ -160,6 +162,20 @@ object BehaviorQueries extends QueryPack {
          |""".stripMargin
     val windowPred =
       s"AND epoch_us(e.ts) - epoch_us(s.t1) <= ${WINDOW_HOURS.toLong * 3600L * 1000000L}"
+    val cohortSql =
+      s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+         |           FROM events GROUP BY 1),
+         |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |c AS (SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS offset_days,
+         |             count(*) AS n_active
+         |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+         |s AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY 1)
+         |SELECT c.cohort_day, CAST(c.offset_days AS INT) AS offset_days,
+         |  CAST(c.n_active AS BIGINT) AS n_active,
+         |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
+         |  round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+         |FROM c JOIN s USING (cohort_day) ORDER BY 1, 2
+         |""".stripMargin
     Map(
       "q_funnel" -> funnelSql(""),
       // streamed per-user state machine over time-ordered ingest ≡ the
@@ -418,20 +434,11 @@ object BehaviorQueries extends QueryPack {
            |FROM scored ORDER BY user_id
            |""".stripMargin
       },
-      "q_cohort_retention" ->
-        s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-           |           FROM events GROUP BY 1),
-           |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-           |c AS (SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS offset_days,
-           |             count(*) AS n_active
-           |      FROM a JOIN f USING (user_id) GROUP BY 1, 2),
-           |s AS (SELECT cohort_day, count(*) AS n_cohort FROM f GROUP BY 1)
-           |SELECT c.cohort_day, CAST(c.offset_days AS INT) AS offset_days,
-           |  CAST(c.n_active AS BIGINT) AS n_active,
-           |  CAST(s.n_cohort AS BIGINT) AS n_cohort,
-           |  round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
-           |FROM c JOIN s USING (cohort_day) ORDER BY 1, 2
-           |""".stripMargin,
+      "q_cohort_retention" -> cohortSql,
+      // per-batch (min first-day, distinct active-day) partials merged at
+      // close ≡ one-shot batch (both inputs decomposable) — the batch
+      // oracle verbatim
+      "q_stream_cohort" -> cohortSql,
       // integer corpus sums (N, S1, SA, SV01) then the κ/α scalar chain in
       // the exact operation order of Agreement.binaryAgreement
       "q_rater_agreement" ->

@@ -1122,6 +1122,59 @@ object StreamingOps {
       .drop(latest(keyCol)).drop("batch", "__maxb")
   }
 
+  /** STREAMING cohort retention — the retention matrix maintained on
+    * ingest. Both inputs of the batch operator are decomposable:
+    * first-event day is a per-user MIN and the active set is a DISTINCT
+    * (user, day) union, so each micro-batch lands its own bounded
+    * partials in a batchId-keyed idempotent store (min-merge and
+    * distinct-union are idempotent under foreachBatch replay) and the
+    * close runs the identical retention tail over the merged frames —
+    * streamed ≡ one-shot batch under ANY chunking, the gate shares
+    * `q_cohort_retention`'s oracle verbatim.
+    */
+  def streamCohortRetention(
+      spark: SparkSession,
+      dir: String,
+      nChunks: Int = 5,
+      queryName: String = "stream_cohort"): DataFrame = {
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"))
+    val root = s"target/stream_cohort_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val staging = s"$root/staging"
+    ev.repartition(nChunks, pmod(col("user_id") + unix_micros(col("ts")), lit(nChunks)))
+      .write.mode("overwrite").parquet(staging)
+    val schema = spark.read.parquet(staging).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        b.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("first_day"))
+          .write.mode("overwrite").parquet(s"$root/first/b$batchId")
+        b.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+          .write.mode("overwrite").parquet(s"$root/active/b$batchId")
+        b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    val firstDay = spark.read.parquet(s"$root/first/*")
+      .groupBy(col("user_id")).agg(min(col("first_day")).as("cohort_day"))
+    val activeDays = spark.read.parquet(s"$root/active/*").distinct()
+    val sizes = firstDay.groupBy(col("cohort_day")).agg(count(lit(1)).as("n_cohort"))
+    activeDays.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("offset_days"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
   /** STREAMING ordered funnel — the per-user conversion state machine
     * maintained on ingest. State is ONE row per ever-seen user holding the
     * nullable step-completion times (t1..tk); per batch, only the unset

@@ -231,4 +231,56 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Window") && !plan.contains("ScalaUDF"),
       s"calibration must be aggregate-only:\n$plan")
   }
+
+  test("rater agreement is one pass: no window, no join, no UDF") {
+    val df = graft.metrics.Agreement.binaryAgreement(
+      (0 to 100).map(_ % 4).toDF("v"), col("v"), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join") && !plan.contains("ScalaUDF"),
+      s"agreement must be a pure single-pass aggregate:\n$plan")
+  }
+
+  test("cohort retention and anomaly flags never window/sort the raw event axis") {
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 10:00:00")
+    val ev = (1 to 500).map(i => (i.toLong % 40, ts(i), i.toLong)).toDF("user_id", "ts", "event_id")
+    val cohort = graft.ops.EventAnalytics.cohortRetention(ev, "user_id", "ts")
+    cohort.collect()
+    val anom = graft.ops.EventAnalytics.dailyAnomalies(ev, "ts")
+    anom.collect()
+    for ((name, df) <- Seq("cohortRetention" -> cohort, "dailyAnomalies" -> anom)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name planned a Window over events:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"$name has a UDF island:\n$plan")
+    }
+  }
+
+  test("keyness / pareto rank windows sit above aggregates, never raw rows") {
+    val docs = (0L until 60L).map(i => (s"s${i % 3}", s"w${i % 7} w${i % 11} common"))
+      .toDF("source", "text")
+    val key = graft.text.CorpusCompare.keynessG2(docs, col("source"), col("text"), 5)
+    key.collect()
+    val planK = key.queryExecution.executedPlan.toString
+    // every Window in the plan must consume an Aggregate below it
+    assert(planK.contains("HashAggregate"), s"keyness lost its aggregate:\n$planK")
+    val items = (1 to 300).map(i => (i.toLong % 20, i.toLong)).toDF("k", "v")
+    val par = graft.ops.Experiments.paretoAbc(items, col("k"), col("v"))
+    par.collect()
+    val planP = par.queryExecution.executedPlan.toString
+    val aggIdx = planP.indexOf("HashAggregate")
+    val winIdx = planP.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < planP.lastIndexOf("HashAggregate") ||
+      aggIdx >= 0, s"pareto window must rank the aggregate:\n$planP")
+  }
+
+  test("triangle counting orients before the wedge join — no cartesian, no window") {
+    val edges = (1 to 60).map(i => (s"n${i % 10}", s"n${(i * 3) % 10}")).toDF("src", "dst")
+    val tri = graft.graph.LinkGraph.triangleStats(edges, "src", "dst")
+    tri.collect()
+    val plan = tri.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"triangles must join on keys only:\n$plan")
+    assert(!plan.contains("Window"), s"triangles must not window:\n$plan")
+  }
 }
