@@ -183,6 +183,76 @@ object Experiments {
       ceil((term * term) / lit(mde * mde)).cast("long").as("n_per_arm"))
   }
 
+  /** Benford first-digit diagnostic over positive integer amounts — the
+    * classic fabricated-data / unit-mixing screen on financial columns.
+    * First digits come from the integer's STRING head (both engines
+    * render integers identically; `floor(log10)` sits on libm boundaries
+    * at exact powers of ten). Expected frequencies log10(1+1/d) are
+    * driver literals; per-digit χ² contributions from exact counts.
+    */
+  def benford(df: DataFrame, amountUnits: Column): DataFrame = {
+    val expected = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    val expCol = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("digit") === d, lit(expected(d - 1)._2)).otherwise(acc)
+    }
+    val digits = df.where(amountUnits > 0)
+      .select(substring(amountUnits.cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    digits.crossJoin(broadcast(digits.agg(sum(col("n")).as("tot"))))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("frac"),
+        round(expCol, 6).as("expected_frac"),
+        round(
+          (col("n").cast("double") - col("tot") * expCol) *
+            (col("n").cast("double") - col("tot") * expCol) / (col("tot") * expCol), 6)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** Pinned-weight EWMA over a bounded keyed series (daily counts):
+    * s_t = Σ_{i≥2, i≤t} w_lag(t−i)·x_i + w_init(t−1)·x_1 with
+    * w_lag(k) = α(1−α)^k and w_init(k) = (1−α)^k as EXACT-DECIMAL driver
+    * literals pinned at `scale` digits — both engines consume the same
+    * literal weight table, every product/sum is exact decimal, one IEEE
+    * division never happens (pure polynomial). The self-join runs on the
+    * bounded distinct-key axis (days), never data rows.
+    */
+  def ewmaWeights(alpha: BigDecimal, n: Int, scale: Int): (Seq[String], Seq[String]) = {
+    val oneMinus = BigDecimal(1) - alpha
+    val lag = (0 until n).map(k =>
+      (alpha * oneMinus.pow(k)).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.toPlainString)
+    val init = (0 until n).map(k =>
+      oneMinus.pow(k).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.toPlainString)
+    (lag, init)
+  }
+
+  def ewmaDaily(events: DataFrame, tsCol: Column, alpha: BigDecimal = BigDecimal("0.3"),
+      maxDays: Int = 64, scale: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lag, init) = ewmaWeights(alpha, maxDays, scale)
+    val lagArr = array(lag.map(s => lit(BigDecimal(s)).cast(s"decimal(18,$scale)")): _*)
+    val initArr = array(init.map(s => lit(BigDecimal(s)).cast(s"decimal(18,$scale)")): _*)
+    val daily = events.groupBy(to_date(tsCol).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+    val t = daily.select(col("day"), col("x").as("xt"), col("rn").as("rt"))
+    val i = daily.select(col("x").as("xi"), col("rn").as("ri"))
+    t.join(i, col("ri") <= col("rt"))
+      .select(col("day"), col("xt"), col("rt"),
+        (when(col("ri") === 1, element_at(initArr, col("rt")))
+          .otherwise(element_at(lagArr, col("rt") - col("ri") + 1)) *
+          col("xi").cast(s"decimal(18,0)")).as("w"))
+      .groupBy(col("day"), col("xt"), col("rt"))
+      .agg(sum(col("w")).as("s"))
+      .select(col("day"), col("xt").as("n_events"),
+        round(col("s").cast("double"), 6).as("ewma"),
+        round(col("xt").cast("double") - col("s").cast("double"), 6).as("resid"))
+      .orderBy("day")
+  }
+
   /** First-order transition counts and conditional probabilities over
     * per-user event sequences. The lag window runs over the event axis —
     * the same capability surface as q_rel_user_window; ordering is made

@@ -19,6 +19,21 @@ object CompareQueries extends QueryPack {
       CorpusCompare.sourceKl(Tables.cached(s, dir, "documents"), col("source"), col("text"))),
     "q_keyness_g2" -> ((s, dir) =>
       CorpusCompare.keynessG2(Tables.cached(s, dir, "documents"), col("source"), col("text"), TOPK)),
+    // tokenizer fertility per language: BPE tokens per word and chars per
+    // token — THE comparison table for choosing a tokenizer per corpus
+    // mix; exact integer sums, one IEEE division per ratio
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      import graft.text.TextFunctions
+      Tables.cached(s, dir, "documents").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.bpeTokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_words"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_words"), col("n_chars"),
+          round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+        .orderBy("lang")
+    }),
   )
 
   private val countsCtes =
@@ -30,6 +45,17 @@ object CompareQueries extends QueryPack {
       |tx AS (SELECT sum(c) AS t FROM csw)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_tokenizer_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS DOUBLE)
+         |        / sum(len(string_split(text, ' '))), 6) AS fertility,
+         |  round(CAST(sum(length(text)) AS DOUBLE)
+         |        / sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))), 6) AS chars_per_token
+         |FROM documents GROUP BY lang ORDER BY lang
+         |""".stripMargin,
     "q_source_kl" ->
       s"""WITH $countsCtes,
          |term AS (SELECT csw.source, ts,

@@ -254,9 +254,40 @@ object StatQueries extends QueryPack {
       k = 5)
   }
 
+  /** Deequ-style declarative data contract over the orders table: the
+    * whole contract compiles to ONE single-pass aggregate (+ a distinct
+    * count for the uniqueness check) — adding a check adds a column,
+    * never a scan.
+    */
+  private def dataContractQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataContract._
+    val o = graft.sources.Tables.cached(spark, dir, "orders")
+    report(o, Seq(
+      NotNull("orderkey_not_null", col("o_orderkey")),
+      Unique("orderkey_unique", Seq(col("o_orderkey"))),
+      Satisfies("totalprice_positive", col("o_totalprice") > 0),
+      Satisfies("status_domain", col("o_orderstatus").isin("F", "O", "P")),
+      Satisfies("date_range", to_date(col("o_orderdate"))
+        .between(lit("1992-01-01"), lit("1998-12-31"))),
+      RowCount("row_count", 1L, 10000000000L)))
+  }
+
+  private def benfordQ(spark: SparkSession, dir: String): DataFrame = {
+    val cents = (round(col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+      .cast("decimal(28,0)")
+    graft.ops.Experiments.benford(graft.sources.Tables.cached(spark, dir, "orders"), cents)
+  }
+
+  private def ewmaQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Experiments.ewmaDaily(
+      graft.sources.Tables.cached(spark, dir, "events"), col("ts"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_readability" -> (readabilityQ _),
     "q_k_anonymity" -> (kAnonymityQ _),
+    "q_data_contract" -> (dataContractQ _),
+    "q_benford" -> (benfordQ _),
+    "q_ewma_daily" -> (ewmaQ _),
     "q_exact_quantile" -> (tokenQuantilesQ _),
     "q_quantile_price" -> (priceQuantilesQ _),
     "q_quantile_filter" -> (quantileFilterQ _),
@@ -345,7 +376,85 @@ object StatQueries extends QueryPack {
        |FROM k ORDER BY key DESC, doc_id LIMIT 100
        |""".stripMargin
 
+  private lazy val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
   def oracleSql: Map[String, String] = Map(
+    // the whole contract from one aggregate row + one distinct count;
+    // ratios and verdicts mirrored op-for-op
+    "q_data_contract" ->
+      s"""WITH a AS (SELECT count(*) AS n,
+         |    count(o_orderkey) AS nn,
+         |    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS pos,
+         |    sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS dom,
+         |    sum(CASE WHEN CAST(o_orderdate AS DATE)
+         |        BETWEEN DATE '1992-01-01' AND DATE '1998-12-31' THEN 1 ELSE 0 END) AS dr
+         |  FROM orders),
+         |u AS (SELECT count(*) AS uq FROM (SELECT DISTINCT o_orderkey FROM orders) z)
+         |SELECT * FROM (
+         |  SELECT 'date_range' AS "check", 'satisfies' AS kind,
+         |    CAST(dr AS BIGINT) AS passed, CAST(n AS BIGINT) AS total,
+         |    round(CAST(dr AS DOUBLE) / n, 6) AS metric,
+         |    CAST(dr AS DOUBLE) / n >= 1.0 AS ok FROM a
+         |  UNION ALL SELECT 'orderkey_not_null', 'not_null',
+         |    CAST(nn AS BIGINT), CAST(n AS BIGINT),
+         |    round(CAST(nn AS DOUBLE) / n, 6), CAST(nn AS DOUBLE) / n >= 1.0 FROM a
+         |  UNION ALL SELECT 'orderkey_unique', 'unique',
+         |    CAST(uq AS BIGINT), CAST(n AS BIGINT),
+         |    round(CAST(uq AS DOUBLE) / n, 6), uq = n FROM a CROSS JOIN u
+         |  UNION ALL SELECT 'row_count', 'row_count',
+         |    CAST(n AS BIGINT), CAST(n AS BIGINT), 1.0,
+         |    n >= 1 AND n <= 10000000000 FROM a
+         |  UNION ALL SELECT 'status_domain', 'satisfies',
+         |    CAST(dom AS BIGINT), CAST(n AS BIGINT),
+         |    round(CAST(dom AS DOUBLE) / n, 6), CAST(dom AS DOUBLE) / n >= 1.0 FROM a
+         |  UNION ALL SELECT 'totalprice_positive', 'satisfies',
+         |    CAST(pos AS BIGINT), CAST(n AS BIGINT),
+         |    round(CAST(pos AS DOUBLE) / n, 6), CAST(pos AS DOUBLE) / n >= 1.0 FROM a
+         |) z ORDER BY "check"
+         |""".stripMargin,
+    // integer-string first digits; expected log10(1+1/d) as the SAME
+    // driver literals; chi-square terms on (n - tot*p) exact-count doubles
+    "q_benford" -> {
+      val caseExp = benfordExpected
+        .map { case (d, p) => s"WHEN digit = $d THEN $p" }.mkString(" ")
+      s"""WITH c AS (SELECT CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS cents
+         |  FROM orders WHERE CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 > 0),
+         |d AS (SELECT CAST(substr(CAST(CAST(cents AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM c),
+         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT sum(n) AS tot FROM g),
+         |e AS (SELECT digit, n, tot, CASE $caseExp END AS p FROM g CROSS JOIN t)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n AS DOUBLE) / tot, 6) AS frac,
+         |  round(p, 6) AS expected_frac,
+         |  round((CAST(n AS DOUBLE) - tot * p) * (CAST(n AS DOUBLE) - tot * p)
+         |        / (tot * p), 6) AS chi2_term
+         |FROM e ORDER BY digit
+         |""".stripMargin
+    },
+    // the identical pinned-decimal weight tables, polynomial sums exact
+    "q_ewma_daily" -> {
+      val (lag, init) = graft.ops.Experiments.ewmaWeights(BigDecimal("0.3"), 64, 12)
+      def values(ws: Seq[String]) = ws.zipWithIndex
+        .map { case (w, k) => s"($k, CAST($w AS DECIMAL(18,12)))" }.mkString(", ")
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS x
+         |  FROM events GROUP BY 1),
+         |r AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+         |wl(k, w) AS (VALUES ${values(lag)}),
+         |wi(k, w) AS (VALUES ${values(init)}),
+         |p AS (SELECT t.day, t.x AS xt,
+         |    CASE WHEN i.rn = 1 THEN (SELECT w FROM wi WHERE k = t.rn - 1)
+         |         ELSE (SELECT w FROM wl WHERE k = t.rn - i.rn) END
+         |      * CAST(i.x AS DECIMAL(18,0)) AS w
+         |  FROM r t JOIN r i ON i.rn <= t.rn),
+         |s AS (SELECT day, xt, sum(w) AS s FROM p GROUP BY 1, 2)
+         |SELECT day, CAST(xt AS BIGINT) AS n_events,
+         |  round(CAST(s AS DOUBLE), 6) AS ewma,
+         |  round(CAST(xt AS DOUBLE) - CAST(s AS DOUBLE), 6) AS resid
+         |FROM s ORDER BY day
+         |""".stripMargin
+    },
     // one groupBy on the quasi tuple, then the per-segment rollup — the
     // bal band's floor(double/1000) mirrored bit for bit
     "q_k_anonymity" ->
