@@ -53,6 +53,8 @@ object BehaviorQueries extends QueryPack {
       graft.streaming.StreamingOps.streamFunnel(s, dir, FUNNEL_STEPS)),
     "q_stream_cohort" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamCohortRetention(s, dir)),
+    "q_stream_transitions" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamEventTransitions(s, dir)),
     "q_active_users" -> ((s, dir) =>
       EventAnalytics.activeUsers(Tables.cached(s, dir, "events"), "user_id", "ts")),
     "q_event_anomaly" -> ((s, dir) =>
@@ -162,6 +164,18 @@ object BehaviorQueries extends QueryPack {
          |""".stripMargin
     val windowPred =
       s"AND epoch_us(e.ts) - epoch_us(s.t1) <= ${WINDOW_HOURS.toLong * 3600L * 1000000L}"
+    val transitionsSql =
+      s"""WITH t AS (SELECT event_type AS to_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+         |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+         |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
+         |  CAST(n_from AS BIGINT) AS n_from,
+         |  round(CAST(n AS DOUBLE) / n_from, 6) AS p
+         |FROM c JOIN rt USING (from_type) ORDER BY 1, 2
+         |""".stripMargin
     val cohortSql =
       s"""WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
          |           FROM events GROUP BY 1),
@@ -347,18 +361,10 @@ object BehaviorQueries extends QueryPack {
            |""".stripMargin,
       // per-user lag with a total (ts, id) order; conditional probabilities
       // over the bounded type-pair axis
-      "q_event_transitions" ->
-        s"""WITH t AS (SELECT event_type AS to_type,
-           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
-           |  FROM events),
-           |c AS (SELECT from_type, to_type, count(*) AS n FROM t
-           |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
-           |rt AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
-           |SELECT c.from_type, c.to_type, CAST(n AS BIGINT) AS n,
-           |  CAST(n_from AS BIGINT) AS n_from,
-           |  round(CAST(n AS DOUBLE) / n_from, 6) AS p
-           |FROM c JOIN rt USING (from_type) ORDER BY 1, 2
-           |""".stripMargin,
+      "q_event_transitions" -> transitionsSql,
+      // within-batch lag pairs + one carried boundary pair per user over
+      // time-ordered ingest ≡ one-shot batch — the batch oracle verbatim
+      "q_stream_transitions" -> transitionsSql,
       // exploded sliding windows, distinct counted per report day
       "q_active_users" ->
         s"""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),

@@ -1122,6 +1122,102 @@ object StreamingOps {
       .drop(latest(keyCol)).drop("batch", "__maxb")
   }
 
+  /** Stage `ev` (must carry `event_id`, ts-ordered by id — the harness
+    * generator's property) as `nChunks` id-range files written
+    * SEQUENTIALLY with explicitly stamped ascending mtimes, so
+    * FileStreamSource dequeues them in time order — the shape of a
+    * Kafka/log consumer replay. Shared by the in-order state machines
+    * (funnel, transitions).
+    */
+  private def stageTimeOrderedChunks(ev: DataFrame, staging: String, nChunks: Int): Unit = {
+    val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+    val per = maxId / nChunks + 1
+    val seen = scala.collection.mutable.Set.empty[String]
+    val t0 = System.currentTimeMillis() - nChunks * 60000L
+    (0 until nChunks).foreach { i =>
+      ev.filter(col("event_id") >= i * per && col("event_id") < (i + 1) * per)
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(staging)
+      new java.io.File(staging).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !seen.contains(f.getName))
+        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
+    }
+  }
+
+  /** STREAMING event-transition matrix — first-order Markov counts
+    * maintained on time-ordered ingest, the cross-batch stitching shape:
+    * per batch, WITHIN-batch per-user lag pairs (a window over the
+    * bounded micro-batch only — never the accumulated axis) plus ONE
+    * boundary pair per user from the carried (last ts, type) state joined
+    * to the batch's first event. Pair-count partials are batchId-keyed
+    * (pure function of previous state + batch ⇒ replay-idempotent);
+    * state is one row per user. The close sums partials — streamed ≡
+    * one-shot batch, the `q_event_transitions` oracle verbatim.
+    */
+  def streamEventTransitions(
+      spark: SparkSession,
+      dir: String,
+      nChunks: Int = 5,
+      queryName: String = "stream_transitions"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val root = s"target/stream_transitions_${math.abs(queryName.hashCode)}"
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val staging = s"$root/staging"
+    stageTimeOrderedChunks(ev, staging, nChunks)
+    val schema = spark.read.parquet(staging).schema
+    def stateDir(b: Long) = s"$root/state/b$b"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        val b = batch.persist()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val internal = b
+          .select(col("user_id"), col("event_type").as("to_type"),
+            lag(col("event_type"), 1).over(w).as("from_type"))
+          .filter(col("from_type").isNotNull)
+          .select(col("from_type"), col("to_type"))
+        val firsts = b.groupBy(col("user_id"))
+          .agg(min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("to_type"))
+        val lasts = b.groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"))).as("k"),
+            max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))
+          .select(col("user_id"), col("k.ts").as("last_ts"),
+            col("k.event_id").as("last_id"), col("last_type"))
+        val prev =
+          if (batchId > 0 && new java.io.File(stateDir(batchId - 1)).exists())
+            sp.read.parquet(stateDir(batchId - 1))
+          else lasts.limit(0)
+        val boundary = prev.select(col("user_id"), col("last_type").as("from_type"))
+          .join(firsts, Seq("user_id"))
+          .select(col("from_type"), col("to_type"))
+        internal.unionByName(boundary)
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$root/pairs/b$batchId")
+        // in-order ingest: the batch's last event per user supersedes any
+        // carried state for that user
+        prev.join(lasts.select("user_id"), Seq("user_id"), "left_anti")
+          .unionByName(lasts)
+          .write.mode("overwrite").parquet(stateDir(batchId))
+        b.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .queryName(queryName)
+      .start()
+    query.awaitTermination()
+    val counts = spark.read.parquet(s"$root/pairs/*")
+      .groupBy("from_type", "to_type").agg(sum(col("n")).as("n"))
+    val rowTot = counts.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(rowTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** STREAMING cohort retention — the retention matrix maintained on
     * ingest. Both inputs of the batch operator are decomposable:
     * first-event day is a per-user MIN and the active set is a DISTINCT
@@ -1211,21 +1307,7 @@ object StreamingOps {
     val root = s"target/stream_funnel_${math.abs(queryName.hashCode)}"
     deleteRecursively(java.nio.file.Paths.get(root))
     val staging = s"$root/staging"
-    // time-ordered replay: events are ts-ordered by event_id, so id-range
-    // chunks written SEQUENTIALLY give ascending file mtimes — the order
-    // FileStreamSource dequeues. Stamp mtimes explicitly so equal-ms
-    // writes cannot tie.
-    val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
-    val per = maxId / nChunks + 1
-    val seen = scala.collection.mutable.Set.empty[String]
-    val t0 = System.currentTimeMillis() - nChunks * 60000L
-    (0 until nChunks).foreach { i =>
-      ev.filter(col("event_id") >= i * per && col("event_id") < (i + 1) * per)
-        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(staging)
-      new java.io.File(staging).listFiles()
-        .filter(f => f.getName.endsWith(".parquet") && !seen.contains(f.getName))
-        .foreach { f => f.setLastModified(t0 + i * 60000L); seen += f.getName }
-    }
+    stageTimeOrderedChunks(ev, staging, nChunks)
     val schema = spark.read.parquet(staging).schema
     val K = steps.length
     val tCols = (1 to K).map(k => s"t$k")
