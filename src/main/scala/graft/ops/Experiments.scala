@@ -183,6 +183,59 @@ object Experiments {
       ceil((term * term) / lit(mde * mde)).cast("long").as("n_per_arm"))
   }
 
+  /** Herfindahl–Hirschman concentration index per market: HHI =
+    * Σ (100·share_i)² over the supplier shares of each market's exact
+    * integer revenue. Shares are single IEEE divisions on exact decimals;
+    * the squared terms pin at 9 dp before the order-free decimal sum
+    * (0–10000 scale; >2500 = highly concentrated, the DOJ convention).
+    */
+  def hhi(df: DataFrame, marketCol: Column, memberCol: Column,
+      valueUnits: Column): DataFrame = {
+    val byMember = df.groupBy(marketCol.as("market"), memberCol.as("member"))
+      .agg(sum(valueUnits.cast("decimal(28,0)")).as("v"))
+    val byMarket = byMember.groupBy(col("market"))
+      .agg(sum(col("v")).as("tot"), count(lit(1)).as("n_members"))
+    byMember.join(byMarket, Seq("market"))
+      .select(col("market"), col("n_members"), col("tot"),
+        round(
+          (col("v").cast("double") / col("tot").cast("double") * lit(100.0)) *
+            (col("v").cast("double") / col("tot").cast("double") * lit(100.0)), 9)
+          .cast("decimal(24,9)").as("term"))
+      .groupBy(col("market"), col("n_members"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("hhi"))
+      .withColumn("concentrated", col("hhi") > 2500.0)
+      .orderBy("market")
+  }
+
+  /** Odds ratio + relative risk with log-scale Wald CIs from the same
+    * two-arm conversion frame as [[abTest]]. CI bounds stay in LN space —
+    * exp() is the one libm call whose last ulp differs across engines,
+    * and the consumer exponentiates when displaying.
+    */
+  def oddsRatio(assignments: DataFrame, armCol: Column, convertedCol: Column,
+      zCrit: Double = 1.959964): DataFrame = {
+    val agg = assignments.groupBy(armCol.as("arm"))
+      .agg(count(lit(1)).as("n"), sum(convertedCol.cast("long")).as("x"))
+    val a = agg.orderBy("arm").limit(2)
+      .select(col("arm").as("arm_a"), col("n").as("n_a"), col("x").as("x_a")).limit(1)
+    val b = agg.orderBy(col("arm").desc).limit(1)
+      .select(col("arm").as("arm_b"), col("n").as("n_b"), col("x").as("x_b"))
+    // cells: a=x_a, b=n_a-x_a, c=x_b, d=n_b-x_b
+    val (ca, cb, cc, cd) = (col("x_a"), col("n_a") - col("x_a"),
+      col("x_b"), col("n_b") - col("x_b"))
+    val lnOr = log((ca.cast("double") * cd) / (cb.cast("double") * cc))
+    val seLn = sqrt(lit(1.0) / ca + lit(1.0) / cb + lit(1.0) / cc + lit(1.0) / cd)
+    val lnRr = log((ca.cast("double") / col("n_a")) / (cc.cast("double") / col("n_b")))
+    a.crossJoin(b).select(
+      col("arm_a"), col("x_a"), col("n_a"), col("arm_b"), col("x_b"), col("n_b"),
+      round(lnOr, 6).as("ln_odds_ratio"),
+      round(lnOr - lit(zCrit) * seLn, 6).as("ln_or_ci_lo"),
+      round(lnOr + lit(zCrit) * seLn, 6).as("ln_or_ci_hi"),
+      round(lnRr, 6).as("ln_relative_risk"),
+      ((lnOr - lit(zCrit) * seLn) > 0.0 || (lnOr + lit(zCrit) * seLn) < 0.0)
+        .as("significant"))
+  }
+
   /** Benford first-digit diagnostic over positive integer amounts — the
     * classic fabricated-data / unit-mixing screen on financial columns.
     * First digits come from the integer's STRING head (both engines

@@ -107,6 +107,23 @@ object BehaviorQueries extends QueryPack {
         .cast("decimal(28,0)")
       graft.ops.Experiments.gini(Tables.cached(s, dir, "orders"), col("o_custkey"), cents)
     }),
+    "q_hhi" -> ((s, dir) => {
+      // supplier concentration of each nation-market's line revenue:
+      // fact join + broadcast supplier dim, exact 1e-4 revenue units
+      val li = Tables.cached(s, dir, "lineitem")
+      val sup = broadcast(Tables.cached(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val joined = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      val units = (round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .cast("decimal(18,4)") * 10000).cast("decimal(28,0)")
+      graft.ops.Experiments.hhi(joined, col("s_nationkey"), col("l_suppkey"), units)
+    }),
+    "q_odds_ratio" -> ((s, dir) => {
+      val conv = Tables.cached(s, dir, "events").groupBy(col("user_id"))
+        .agg(max((col("event_type") === "purchase" && col("value") >= 150).cast("int")).as("cv"))
+        .select((col("user_id") % 2).as("arm"), (col("cv") === 1).as("converted"))
+      graft.ops.Experiments.oddsRatio(conv, col("arm"), col("converted"))
+    }),
     "q_ab_power" -> ((s, dir) => {
       val conv = Tables.cached(s, dir, "events").groupBy(col("user_id"))
         .agg(max((col("event_type") === "purchase" && col("value") >= 150).cast("int")).as("cv"))
@@ -338,6 +355,56 @@ object BehaviorQueries extends QueryPack {
            |  round(CAST(six * 2 AS DOUBLE) / CAST(n * sx AS DOUBLE)
            |        - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
            |FROM a
+           |""".stripMargin,
+      // shares one IEEE division each on exact decimals, squared terms
+      // pinned at 9 dp before the order-free sum
+      "q_hhi" ->
+        s"""WITH bm AS (SELECT s_nationkey AS market, l_suppkey AS member,
+           |    sum(CAST(CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))
+           |        * 10000 AS DECIMAL(28,0))) AS v
+           |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |mk AS (SELECT market, sum(v) AS tot, count(*) AS n_members FROM bm GROUP BY 1),
+           |t AS (SELECT bm.market, mk.n_members,
+           |    CAST(round((CAST(v AS DOUBLE) / CAST(tot AS DOUBLE) * 100.0)
+           |         * (CAST(v AS DOUBLE) / CAST(tot AS DOUBLE) * 100.0), 9)
+           |      AS DECIMAL(24,9)) AS term
+           |  FROM bm JOIN mk USING (market))
+           |SELECT CAST(market AS BIGINT) AS market, CAST(n_members AS BIGINT) AS n_members,
+           |  round(CAST(sum(term) AS DOUBLE), 6) AS hhi,
+           |  round(CAST(sum(term) AS DOUBLE), 6) > 2500.0 AS concentrated
+           |FROM t GROUP BY 1, 2 ORDER BY 1
+           |""".stripMargin,
+      // log-scale Wald CIs — no exp() in either plan (the one libm call
+      // whose last ulp differs across engines)
+      "q_odds_ratio" ->
+        s"""WITH conv AS (SELECT user_id,
+           |    max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS cv
+           |  FROM events GROUP BY 1),
+           |agg AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(cv) AS x
+           |  FROM conv GROUP BY 1),
+           |p AS (SELECT
+           |    CAST(0 AS BIGINT) AS arm_a,
+           |    CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_a,
+           |    CAST(1 AS BIGINT) AS arm_b,
+           |    CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+           |    CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_b
+           |  FROM agg),
+           |c AS (SELECT *, n_a - x_a AS cb, n_b - x_b AS cd FROM p),
+           |s AS (SELECT *,
+           |    ln((CAST(x_a AS DOUBLE) * cd) / (CAST(cb AS DOUBLE) * x_b)) AS ln_or,
+           |    sqrt(CAST(1.0 AS DOUBLE) / x_a + CAST(1.0 AS DOUBLE) / cb
+           |         + CAST(1.0 AS DOUBLE) / x_b + CAST(1.0 AS DOUBLE) / cd) AS se,
+           |    ln((CAST(x_a AS DOUBLE) / n_a) / (CAST(x_b AS DOUBLE) / n_b)) AS ln_rr
+           |  FROM c)
+           |SELECT arm_a, x_a, n_a, arm_b, x_b, n_b,
+           |  round(ln_or, 6) AS ln_odds_ratio,
+           |  round(ln_or - 1.959964 * se, 6) AS ln_or_ci_lo,
+           |  round(ln_or + 1.959964 * se, 6) AS ln_or_ci_hi,
+           |  round(ln_rr, 6) AS ln_relative_risk,
+           |  (ln_or - 1.959964 * se) > 0.0 OR (ln_or + 1.959964 * se) < 0.0 AS significant
+           |FROM s
            |""".stripMargin,
       // closed-form n per arm from the observed base rate; z quantiles are
       // driver literals, sqrt correctly rounded per IEEE
