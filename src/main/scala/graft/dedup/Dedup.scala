@@ -44,6 +44,21 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** NECESSARY size condition for J(A,B) ≥ t (round-7; guide §2.3 — do the
+    * cheap integer test before the per-pair set intersection): J ≤
+    * min(|A|,|B|)/max(|A|,|B|), so J ≥ t forces t·max ≤ min. Evaluated in
+    * exact integer arithmetic on the FLOORED 6-dp threshold numerator —
+    * floor, never round: an upward-rounded t′ > t would reject a boundary
+    * pair the Jaccard filter keeps. A pure pre-filter: every surviving
+    * candidate still runs the exact Jaccard test, so results are unchanged.
+    */
+  private def sizeCompatible(a: Column, b: Column, threshold: Double): Column = {
+    val t6 = math.floor(threshold * 1000000L).toLong
+    val sa = size(a).cast("long")
+    val sb = size(b).cast("long")
+    sb * 1000000L >= lit(t6) * sa && sa * 1000000L >= lit(t6) * sb
+  }
+
   /** Near-duplicate pairs by n-gram shingle Jaccard within a blocking key —
     * the BOUNDED-VERIFY primitive: correct whenever the caller can guarantee
     * the blocking key caps block size (a pre-computed LSH bucket, a tenant id
@@ -66,6 +81,7 @@ object Dedup {
     val b = withSh.select(col("id").as("id_b"), col("block"), col("sh").as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
+      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -168,21 +184,65 @@ object Dedup {
     }
   }
 
-  /** Per-document MinHash signatures: explode shingles × k hash functions,
-    * min-aggregate. One shuffle on (id, hash index); at 100 TB the explode
-    * is map-local and the aggregate is partial-combine friendly.
-    * Output: (id, i, minh) — k rows per document.
+  /** Per-document MinHash signatures: ONE aggregation with k codegen'd
+    * `min` buffers over the exploded shingle rows (round-7 optimization;
+    * guide §2.3/§2.4) — each shingle row updates all k minima, so there is
+    * no k× crossJoin row blowup and only ONE shuffle, carrying one row of
+    * k longs per (partition, id) after partial aggregation. Per-function
+    * minima are order-independent, so the output is bit-identical to the
+    * old explode × k plan (same (a·x+b) mod p arithmetic).
+    * Output: (id, i, minh) — k rows per document (posexploded row-locally).
     */
   def minhashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      k: Int = 16): DataFrame = {
-    // measured: the codegen'd explode × k + min() formulation beats the
-    // custom Aggregator below ~3x at sf0.1 — the typed UDAF pays per-update
-    // buffer encode/decode that outweighs the k-fold row blowup it avoids
-    minhashSignaturesExploded(df, idCol, textCol, n, k)
+      k: Int = 16): DataFrame =
+    minhashSignaturesWide(df, idCol, textCol, n, k)
+      .select(col("id"),
+        posexplode(array((0 until k).map(i => col(s"__m$i")): _*)).as(Seq("i", "minh")))
+
+  /** One row per document with the k signature minima as columns
+    * (__m0..__m{k-1}) — the single-shuffle core of [[minhashSignatures]];
+    * [[bandedSignatures]] derives LSH band keys from it ROW-LOCALLY.
+    */
+  private[dedup] def minhashSignaturesWide(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .withColumn("x", pmod(hash60(col("sh")), lit(MINHASH_P)))
+    val mins = minhashParams(k).map { case (i, a, b) =>
+      min(pmod(lit(a) * col("x") + lit(b), lit(MINHASH_P))).as(s"__m$i")
+    }
+    tok.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band signatures derived ROW-LOCALLY from the wide signature frame:
+    * (id, band, band_sig) where band_sig is the comma-joined minh string of
+    * the band's k/nBands functions in index order — character-identical to
+    * the old groupBy(id, band) + sorted collect_list construction, without
+    * its second shuffle.
+    */
+  private[dedup] def bandedSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      nBands: Int): DataFrame = {
+    val bandSize = k / nBands
+    require(bandSize * nBands == k, s"nBands=$nBands must divide k=$k")
+    val sigs = (0 until nBands).map { b =>
+      concat_ws(",", (0 until bandSize).map(j =>
+        col(s"__m${b * bandSize + j}").cast("string")): _*)
+    }
+    minhashSignaturesWide(df, idCol, textCol, n, k)
+      .select(col("id"), posexplode(array(sigs: _*)).as(Seq("band", "band_sig")))
   }
 
   /** One-pass custom Aggregator formulation (identical output): all k
@@ -257,8 +317,25 @@ object Dedup {
       .groupBy(col("id"), col("band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("minh")))),
         x => x.getField("minh").cast("string")), ",").as("band_sig"))
+    lshCandidatesFromBanded(banded, maxBucketSize)
+  }
+
+  /** Candidate generation over a prebuilt (id, band, band_sig) frame — the
+    * shared tail of [[lshCandidates]]; [[minhashLshPairs]] feeds it from the
+    * row-local [[bandedSignatures]] construction instead of the exploded
+    * signature frame (one shuffle fewer).
+    */
+  private[dedup] def lshCandidatesFromBanded(banded0: DataFrame,
+      maxBucketSize: Option[Int]): DataFrame = {
     val pairs = maxBucketSize match {
       case Some(cap) =>
+        // pin on the bucket keys: the population stats groupBy, the stats
+        // joins, and the within-cap self-join are all keyed
+        // (band, band_sig), so this single pinned exchange serves every
+        // stage — and keeps the expansion off the AQE-coalesced single
+        // partition (Par.pinned); per-bucket work is cap-bounded, so no
+        // further salting is needed here
+        val banded = graft.ops.Par.pinned(banded0, col("band"), col("band_sig"))
         // one extra count-shuffle on the same key the join shuffles on
         val sizes = banded.groupBy(col("band"), col("band_sig"))
           .agg(count(lit(1)).as("__bucket_n"), min(col("id")).as("__hub"))
@@ -279,9 +356,25 @@ object Dedup {
           .select(col("__hub").as("id_a"), col("id").as("id_b"))
         full.unionByName(stars)
       case None =>
-        val a = banded.select(col("id").as("id_a"), col("band"), col("band_sig"))
-        val b = banded.select(col("id").as("id_b"), col("band"), col("band_sig"))
-        a.join(b, Seq("band", "band_sig"))
+        // UNCAPPED: a degenerate mega-bucket's quadratic expansion would run
+        // as one straggler task — triangle-split it like
+        // [[simhashNearDupPairs]] (deterministic pmod(id, g) grid; every
+        // pair joins in exactly one of the g² cells)
+        val spark = banded0.sparkSession
+        import spark.implicits._
+        val g = SELF_JOIN_SPLIT
+        val gDf = (0 until g).map(_.toLong).toList
+        val a = graft.ops.Par.pinned(
+          banded0.select(col("id").as("id_a"), col("band"), col("band_sig"))
+            .withColumn("ga", pmod(col("id_a"), lit(g.toLong)))
+            .crossJoin(broadcast(gDf.toDF("gb"))),
+          col("band"), col("band_sig"), col("ga"), col("gb"))
+        val b = graft.ops.Par.pinned(
+          banded0.select(col("id").as("id_b"), col("band"), col("band_sig"))
+            .withColumn("gb", pmod(col("id_b"), lit(g.toLong)))
+            .crossJoin(broadcast(gDf.toDF("ga"))),
+          col("band"), col("band_sig"), col("ga"), col("gb"))
+        a.join(b, Seq("band", "band_sig", "ga", "gb"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b")
     }
@@ -317,8 +410,8 @@ object Dedup {
       nBands: Int = 4,
       threshold: Double = 0.5,
       maxBucketSize: Option[Int] = None): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
-    val cands = lshCandidates(sigs, nBands, k, maxBucketSize)
+    val cands = lshCandidatesFromBanded(
+      bandedSignatures(df, idCol, textCol, n, k, nBands), maxBucketSize)
     // measured: letting Catalyst pick the join strategy here beats forcing
     // broadcast (the array payloads make broadcast hash probes slower than
     // the partitioned join at this shape)
@@ -326,6 +419,7 @@ object Dedup {
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -348,10 +442,19 @@ object Dedup {
     // symmetrize via explode, NOT union: a self-union would execute the
     // (potentially expensive) pair-generation plan twice before the cache
     // materializes — measured 2x the LSH pipeline cost on the cluster query
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // cache the edges PRE-PARTITIONED on the per-round join key (round-7;
+    // guide §2.4 "two operations keyed the same way can share one
+    // exchange"): without the pinned repartition every round re-shuffled
+    // the full cached edge frame by dst — stage metrics showed two
+    // 1.9M-record exchanges per round on the sf0.1 flagship. Partitioned
+    // once at cache time, the per-round join needs no edge-side exchange
+    // at all.
+    val edges = graft.ops.Par.pinned(
+      pairs.select(explode(array(
+          struct(col("id_a").as("src"), col("id_b").as("dst")),
+          struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")),
+      col("dst"))
       .cache()
     // materialize the symmetrized frame EAGERLY: the pair-generation plan
     // (banded index + verify — the expensive part) runs exactly once, in
@@ -369,9 +472,15 @@ object Dedup {
     var converged = false
     while (!converged && iter < maxIters) {
       val tr = System.nanoTime()
-      // candidate label via neighbors: min over (own, neighbors' labels)
+      // candidate label via neighbors: min over (own, neighbors' labels).
+      // SHUFFLE_HASH on the labels side (round-7; guide §3.1): the build
+      // side is one row per node — always ≤ the edge side — and hashing it
+      // per partition beats sort-merge, which re-SORTED the cached edge
+      // frame every round; Spark 4's shuffled hash join spills, so the
+      // build side need not fit in memory at scale.
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nlbl"), "dst")
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster", "nlbl")
+          .hint("shuffle_hash"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nlbl")).as("minNeighbor"))
       val afterMin = labels.join(viaNeighbors, Seq("id"), "left")
@@ -457,14 +566,38 @@ object Dedup {
     val sigs = simhash(df, idCol, textCol, bits)
     val banded = sigs.crossJoin(broadcast((0 until nBands).toDF("band")))
       .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
-    val a = banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("band"), col("bkey"))
-    val b = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
+    // triangle-split self-join (round-7; guide §2.5 skew): each side is
+    // salted with a deterministic pmod(id, g) grid cell — side a fixes
+    // ga = id_a mod g and enumerates gb, side b the reverse — so every
+    // (a, b) pair joins in EXACTLY ONE of the g² cells and a hot bucket's
+    // quadratic expansion spreads over g² tasks instead of one straggler
+    // (measured: a 92 s taskMax on the sf0.1 flagship without it). The
+    // pinned 4-key partitioning also keeps AQE from coalescing the tiny
+    // pre-expansion exchanges into a single partition.
+    val g = SELF_JOIN_SPLIT
+    val gDf = (0 until g).map(_.toLong).toList
+    val a = graft.ops.Par.pinned(
+      banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("band"), col("bkey"))
+        .withColumn("ga", pmod(col("id_a"), lit(g.toLong)))
+        .crossJoin(broadcast(gDf.toDF("gb"))),
+      col("band"), col("bkey"), col("ga"), col("gb"))
+    val b = graft.ops.Par.pinned(
+      banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bkey"))
+        .withColumn("gb", pmod(col("id_b"), lit(g.toLong)))
+        .crossJoin(broadcast(gDf.toDF("ga"))),
+      col("band"), col("bkey"), col("ga"), col("gb"))
+    a.join(b, Seq("band", "bkey", "ga", "gb"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
+
+  /** Grid size of the salted self-join split: hot-bucket work divides by
+    * g², input rows multiply by g (tiny frames). 8 splits the worst
+    * measured bucket ~64× while keeping the enumerated side trivial.
+    */
+  private val SELF_JOIN_SPLIT = 8
 
   /** Incremental ingest screen: probe a NEW batch against a BASE corpus for
     * SimHash near-dups, comparing neither base-to-base nor batch-to-batch.
@@ -508,9 +641,11 @@ object Dedup {
     import spark.implicits._
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
-    simhash(base, idCol, textCol, bits)
-      .crossJoin(broadcast((0 until nBands).toDF("band")))
-      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    graft.ops.Par.pinned(
+      simhash(base, idCol, textCol, bits)
+        .crossJoin(broadcast((0 until nBands).toDF("band")))
+        .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask")),
+      col("band"), col("bkey"))
       .select(col("id").as("base_id"), col("simhash").as("sig_b"),
         col("band"), col("bkey"))
   }
@@ -532,9 +667,11 @@ object Dedup {
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
     val ENC = 1000000000000L // hamming ≤ 63 ≪ 10¹², ids < 10¹² by contract
-    val probe = simhash(batch, idCol, textCol, bits)
-      .crossJoin(broadcast((0 until nBands).toDF("band")))
-      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    val probe = graft.ops.Par.pinned(
+      simhash(batch, idCol, textCol, bits)
+        .crossJoin(broadcast((0 until nBands).toDF("band")))
+        .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask")),
+      col("band"), col("bkey"))
       .select(col("id"), col("simhash").as("sig_n"), col("band"), col("bkey"))
     verifyScreenMatches(probe.join(index, Seq("band", "bkey")), maxHamming)
   }
@@ -686,6 +823,7 @@ object Dedup {
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -719,8 +857,10 @@ object Dedup {
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
     val sigs = simhash(known, idCol, textCol, bits)
-    val banded = sigs.crossJoin(broadcast((0 until nBands).toDF("band")))
-      .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask"))
+    val banded = graft.ops.Par.pinned(
+      sigs.crossJoin(broadcast((0 until nBands).toDF("band")))
+        .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask")),
+      col("band"), col("bkey"))
     val ids = batchIds.select(col(batchIds.columns.head).as("id"))
     val probe = banded.join(ids, Seq("id"), "left_semi")
       .select(col("id").as("id_x"), col("simhash").as("sig_x"), col("band"), col("bkey"))
@@ -736,6 +876,7 @@ object Dedup {
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
@@ -743,25 +884,31 @@ object Dedup {
 
   /** 32-bit SimHash over tokens: bit b of the signature is the sign of
     * Σ_tokens (±1 depending on bit b of the token's 60-bit hash).
-    * Computed as explode(tokens) × 32 bit positions → conditional sum —
-    * fully distributed, partial-aggregation friendly.
+    *
+    * ONE aggregation, `bits` conditional-sum buffers (round-7 optimization;
+    * guide §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles outright"):
+    * the previous shape exploded tokens × `bits` positions through a
+    * broadcast crossJoin and paid TWO hash aggregations ((id, b) then id) —
+    * a bits× row blowup whose partial-aggregate hashmap saw bits×|tokens|
+    * updates. Here each token row updates `bits` codegen'd sum buffers of
+    * one groupBy(id), so the shuffle carries one row of `bits` longs per
+    * (partition, id) and the bit-assembly is a row-local projection.
+    * Per-bit integer sums are order-independent — output is bit-identical
+    * to the old plan (same md5-derived ±1 contributions, same sign rule).
     * Output: (id, simhash).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bitsDf = (0 until bits).toDF("b")
-    df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val tok = df
+      .select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
       .withColumn("th", hash60(col("tok")))
-      .crossJoin(broadcast(bitsDf))
-      // shiftright/shiftleft by a column require the SQL form (the typed
-      // functions._ overloads only take Int literals)
-      .withColumn("contrib",
-        when(expr("shiftright(th, b)") % 2 === 1, 1).otherwise(-1))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    val sums = (0 until bits).map { b =>
+      sum(when(shiftright(col("th"), b) % 2 === 1, 1).otherwise(-1)).as(s"__s$b")
+    }
+    tok.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(b =>
+          when(col(s"__s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** WIDE SimHash: the signature as `array<bigint>` with ONE WORD PER BAND
@@ -789,33 +936,36 @@ object Dedup {
     require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
     val bandBits = bits / nBands
     require(bandBits <= 60, s"band width $bandBits exceeds 60 bits (raise nBands)")
-    val spark = df.sparkSession
-    import spark.implicits._
     // hash60 yields 60 independent bits per token — conceptual bit b draws
     // from hash CHUNK k = b/60 at position b%60, where chunk 0 is the plain
     // token hash (so any bits ≤ 60 prefix agrees with [[simhash]] exactly)
     // and chunk k > 0 salts the token with "k#".
+    //
+    // ONE aggregation with `bits` conditional-sum buffers (round-7
+    // optimization, same rewrite as [[simhash]]): the previous shape paid a
+    // bits× crossJoin row blowup and THREE shuffles ((id,b) → (id,w) → id
+    // with a collect_list sort); per-bit integer sums are order-independent
+    // and the word assembly is a row-local projection, so the output is
+    // bit-identical.
     val nChunks = (bits + 59) / 60
-    val bitsDf = (0 until bits).map(b => (b, b / 60, b % 60)).toDF("b", "k", "p")
-    val chunkHashes = array((0 until nChunks).map { k =>
-      if (k == 0) hash60(col("tok")) else hash60(concat(lit(s"$k#"), col("tok")))
-    }: _*)
-    df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
-      .withColumn("ths", chunkHashes)
-      .crossJoin(broadcast(bitsDf))
-      .withColumn("contrib",
-        when(expr("shiftright(element_at(ths, k + 1), p)") % 2 === 1, 1).otherwise(-1))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(col("contrib")).as("s"))
-      // word index + in-word position, then per-word bit assembly; the
-      // (id, w) aggregate is partial-combine friendly like everything above
-      .withColumn("w", (col("b") / bandBits).cast("int"))
-      .groupBy(col("id"), col("w"))
-      .agg(sum(when(col("s") > 0,
-        expr(s"shiftleft(CAST(1 AS BIGINT), b % $bandBits)")).otherwise(0L)).as("wbits"))
-      .groupBy(col("id"))
-      .agg(transform(array_sort(collect_list(struct(col("w"), col("wbits")))),
-        x => x.getField("wbits")).as("simhash"))
+    val withH = (0 until nChunks).foldLeft(
+      df.select(col(idCol).as("id"), explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    ) { (d, k) =>
+      d.withColumn(s"__th$k",
+        if (k == 0) hash60(col("tok")) else hash60(concat(lit(s"$k#"), col("tok"))))
+    }
+    val sums = (0 until bits).map { b =>
+      val (k, p) = (b / 60, b % 60)
+      sum(when(shiftright(col(s"__th$k"), p) % 2 === 1, 1).otherwise(-1)).as(s"__s$b")
+    }
+    val words = (0 until nBands).map { w =>
+      (0 until bandBits).map { j =>
+        val b = w * bandBits + j
+        when(col(s"__s$b") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    withH.groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"), array(words: _*).as("simhash"))
   }
 
   /** Near-duplicate candidate pairs over [[simhashWide]] signatures — the
@@ -835,8 +985,10 @@ object Dedup {
     require(maxHamming < nBands,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
     val sigs = simhashWide(df, idCol, textCol, bits, nBands)
-    val banded = sigs.select(col("id"), col("simhash"),
-      posexplode(col("simhash")).as(Seq("band", "bkey")))
+    val banded = graft.ops.Par.pinned(
+      sigs.select(col("id"), col("simhash"),
+        posexplode(col("simhash")).as(Seq("band", "bkey"))),
+      col("band"), col("bkey"))
     val a = banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("band"), col("bkey"))
     val b = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
@@ -867,6 +1019,7 @@ object Dedup {
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(sizeCompatible(col("sh_a"), col("sh_b"), threshold))
       .withColumn("sim", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))

@@ -38,8 +38,14 @@ object SparseCorpus {
   val MIN_TOKENS = 40
   val LEN_SPREAD = 41  // n_tokens ∈ [40, 80]
 
-  /** (doc_id, text) for every id in `idAxis` — row-local generation, no
-    * shuffle, no data read beyond the id column.
+  /** (doc_id, text) for every id in `idAxis` — row-local generation from
+    * the id column. The id axis is first hash-spread across the session's
+    * default parallelism (round-7; guide §2): the harness id axis arrives
+    * as ONE cached partition, and without the repartition the generation
+    * AND everything downstream of it (postings explodes, signature
+    * aggregates, bucketed index writes) ran single-task in every
+    * sparse-corpus gate. One exchange of bare ids buys ×cores parallelism
+    * for the whole consumer chain.
     */
   def generate(idAxis: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val id = col(idCol)
@@ -62,7 +68,8 @@ object SparseCorpus {
         .when(sel === 0, concat(lit("x"), pmod(hw, lit(COLD_VOCAB)).cast("string")))
         .otherwise(concat(lit("w"), pmod(hw, lit(HOT_VOCAB)).cast("string")))
     })
-    idAxis.select(id.as("doc_id"), array_join(toks, " ").as("text"))
+    graft.ops.Par.pinned(idAxis, id)
+      .select(id.as("doc_id"), array_join(toks, " ").as("text"))
   }
 
   /** The DuckDB CTE chain rebuilding [[generate]]'s corpus bit-for-bit,

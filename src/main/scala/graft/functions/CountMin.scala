@@ -80,9 +80,27 @@ object CountMin {
     * counter axis + a d-row min — all integer arithmetic, no estimate
     * drift across engines.
     */
-  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
-    sketchA.select(col("r"), col("c"), col("cnt").as("ca"))
-      .join(sketchB.select(col("r"), col("c"), col("cnt").as("cb")), Seq("r", "c"))
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2; got d=$depth w=$width")
+    val spark = sketchA.sparkSession
+    import spark.implicits._
+    // incompatible sketches (different depth/width) would silently join on
+    // (r, c) and return a meaningless estimate — verify each cell is in
+    // bounds at runtime (round-7 ADVICE fix)
+    def checked(s: DataFrame, name: String) = s.select(
+      when(col("r") >= 0 && col("r") < depth && col("c") >= 0 && col("c") < width,
+        col("r")).otherwise(raise_error(concat(
+          lit(s"joinSizeEstimate: $name cell outside d=$depth w=$width: r="),
+          col("r").cast("string"), lit(" c="), col("c").cast("string")))).as("r"),
+      col("c"), col("cnt"))
+    val dots = checked(sketchA, "sketchA").withColumnRenamed("cnt", "ca")
+      .join(checked(sketchB, "sketchB").withColumnRenamed("cnt", "cb"), Seq("r", "c"))
       .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("dot"))
-      .agg(min(col("dot")).as("est"))
+    // a row with NO overlapping cells has dot product 0 — without the left
+    // join its row would vanish from the min (and two disjoint sketches
+    // would return an empty frame instead of est=0)
+    (0 until depth).toDF("r").join(dots, Seq("r"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est"))
+  }
 }

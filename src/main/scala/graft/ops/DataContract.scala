@@ -28,37 +28,45 @@ object DataContract {
 
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty contract")
-    val rowAggs = Seq(count(lit(1)).cast("long").as("__n")) ++ checks.collect {
-      case NotNull(n, c, _) => count(c).cast("long").as(s"__$n")
-      case Satisfies(n, p, _) => sum(when(p, 1L).otherwise(0L)).as(s"__$n")
+    // collision-proof internal aliases (round-7 ADVICE fix): checks are
+    // addressed by INDEX, not by user-supplied name — two checks sharing a
+    // name, or one literally named "n", previously collided with each other
+    // or the __n row-count column
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name).diff(checks.map(_.name).distinct).distinct.mkString(", ")}")
+    val idx = checks.zipWithIndex.toMap
+    def a(c: Check) = s"__c${idx(c)}"
+    val rowAggs = Seq(count(lit(1)).cast("long").as("__total")) ++ checks.collect {
+      case ck @ NotNull(_, c, _) => count(c).cast("long").as(a(ck))
+      case ck @ Satisfies(_, p, _) => sum(when(p, 1L).otherwise(0L)).as(a(ck))
     }
     val base = df.agg(rowAggs.head, rowAggs.tail: _*)
     val uniques = checks.collect { case u: Unique => u }
     val withU = uniques.foldLeft(base) { (acc, u) =>
       acc.crossJoin(broadcast(
-        df.select(u.keys: _*).distinct().agg(count(lit(1)).cast("long").as(s"__${u.name}"))))
+        df.select(u.keys: _*).distinct().agg(count(lit(1)).cast("long").as(a(u)))))
     }
     val rows = checks.map {
-      case NotNull(n, _, f) =>
+      case ck @ NotNull(n, _, f) =>
         struct(lit(n).as("check"), lit("not_null").as("kind"),
-          col(s"__$n").as("passed"), col("__n").as("total"),
-          round(col(s"__$n").cast("double") / col("__n"), 6).as("metric"),
-          (col(s"__$n").cast("double") / col("__n") >= f).as("ok"))
-      case Satisfies(n, _, f) =>
+          col(a(ck)).as("passed"), col("__total").as("total"),
+          round(col(a(ck)).cast("double") / col("__total"), 6).as("metric"),
+          (col(a(ck)).cast("double") / col("__total") >= f).as("ok"))
+      case ck @ Satisfies(n, _, f) =>
         struct(lit(n).as("check"), lit("satisfies").as("kind"),
-          col(s"__$n").as("passed"), col("__n").as("total"),
-          round(col(s"__$n").cast("double") / col("__n"), 6).as("metric"),
-          (col(s"__$n").cast("double") / col("__n") >= f).as("ok"))
-      case Unique(n, _) =>
+          col(a(ck)).as("passed"), col("__total").as("total"),
+          round(col(a(ck)).cast("double") / col("__total"), 6).as("metric"),
+          (col(a(ck)).cast("double") / col("__total") >= f).as("ok"))
+      case ck @ Unique(n, _) =>
         struct(lit(n).as("check"), lit("unique").as("kind"),
-          col(s"__$n").as("passed"), col("__n").as("total"),
-          round(col(s"__$n").cast("double") / col("__n"), 6).as("metric"),
-          (col(s"__$n") === col("__n")).as("ok"))
+          col(a(ck)).as("passed"), col("__total").as("total"),
+          round(col(a(ck)).cast("double") / col("__total"), 6).as("metric"),
+          (col(a(ck)) === col("__total")).as("ok"))
       case RowCount(n, lo, hi) =>
         struct(lit(n).as("check"), lit("row_count").as("kind"),
-          col("__n").as("passed"), col("__n").as("total"),
+          col("__total").as("passed"), col("__total").as("total"),
           lit(1.0).as("metric"),
-          (col("__n") >= lo && col("__n") <= hi).as("ok"))
+          (col("__total") >= lo && col("__total") <= hi).as("ok"))
     }
     withU.select(explode(array(rows: _*)).as("r"))
       .select(col("r.check"), col("r.kind"), col("r.passed"), col("r.total"),

@@ -23,18 +23,24 @@ import org.apache.spark.sql.functions._
 object Experiments {
 
   /** Two-proportion z-test. `assignments` must have one row per unit with
-    * `armCol` (two distinct values, compared in ascending order) and a
-    * boolean `convertedCol`. Returns one row: per-arm n/x/rate, absolute
-    * difference, pooled z, and significance at the given |z| threshold.
+    * `armCol` (two distinct values; arm_a = min, arm_b = max, the same
+    * convention as [[oddsRatio]]) and a boolean `convertedCol`. Returns one
+    * row: per-arm n/x/rate, absolute difference, pooled z, and significance
+    * at the given |z| threshold.
     */
   def abTest(assignments: DataFrame, armCol: Column, convertedCol: Column,
       zCrit: Double = 1.959964): DataFrame = {
     val agg = assignments.groupBy(armCol.as("arm"))
       .agg(count(lit(1)).as("n"), sum(convertedCol.cast("long")).as("x"))
-    val arms = agg.orderBy("arm").limit(2)
-    val a = arms.select(col("arm").as("arm_a"), col("n").as("n_a"), col("x").as("x_a")).limit(1)
-    val b = arms.orderBy(col("arm").desc).limit(1)
-      .select(col("arm").as("arm_b"), col("n").as("n_b"), col("x").as("x_b"))
+    // deterministic arm selection (round-7 ADVICE fix): min_by/max_by on the
+    // arm value instead of orderBy(...).limit(...) chains, whose row-order
+    // preservation through a Project is not a guaranteed Spark contract —
+    // arm_a = the global min arm, arm_b = the global max arm, matching the
+    // oracle's hardcoded arm 0/1 and oddsRatio's max-arm convention.
+    val a = agg.agg(min(col("arm")).as("arm_a"),
+      min_by(col("n"), col("arm")).as("n_a"), min_by(col("x"), col("arm")).as("x_a"))
+    val b = agg.agg(max(col("arm")).as("arm_b"),
+      max_by(col("n"), col("arm")).as("n_b"), max_by(col("x"), col("arm")).as("x_b"))
     val pA = col("x_a").cast("double") / col("n_a")
     val pB = col("x_b").cast("double") / col("n_b")
     val pool = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
@@ -121,22 +127,65 @@ object Experiments {
   /** Pareto / ABC concentration over a keyed value aggregate: rank by
     * value desc, exact-decimal cumulative share, class A ≤ `aCut`,
     * B ≤ `bCut`, else C — thresholds compare on the ROUNDED share so both
-    * engines classify identically. The rank/prefix windows run on the
-    * bounded post-aggregate axis.
+    * engines classify identically.
+    *
+    * Scale shape (round-7; guide §2.5 — the key axis GROWS with the corpus,
+    * so the previous unpartitioned rank/prefix window was a single-task
+    * sort straggler at 10⁸ keys): range-bucket the aggregated values with a
+    * monotone v→bucket map (equal v shares a bucket, so the global
+    * (v desc, key) order is bucket order + within-bucket order), prefix-sum
+    * the ≤`nBuckets` bucket histogram of (count, Σv) on the driver — the
+    * [[CorpusShuffle]] bounded-axis pattern — and rank/cumsum within
+    * buckets via a PARTITIONED window whose sort unit is |keys|/nBuckets.
+    * Ranks and exact-decimal cumulative sums are identical to the global
+    * window's by construction.
     */
   def paretoAbc(keyed: DataFrame, keyCol: Column, valueCents: Column,
-      aCut: Double = 0.7, bCut: Double = 0.9): DataFrame = {
+      aCut: Double = 0.7, bCut: Double = 0.9, nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = keyed.sparkSession
+    import spark.implicits._
     val agg = keyed.groupBy(keyCol.as("key"))
       .agg(sum(valueCents.cast("decimal(28,0)")).as("v"))
-    val tot = agg.agg(sum(col("v")).as("tot"))
-    val w = Window.orderBy(col("v").desc, col("key"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    agg.crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(Window.orderBy(col("v").desc, col("key"))))
-      .withColumn("cum_v", sum(col("v")).over(w))
+    val bounds = agg.agg(min(col("v").cast("double")), max(col("v").cast("double"))).head()
+    val (vMin, vMax) =
+      if (bounds.isNullAt(0)) (0.0, 0.0) else (bounds.getDouble(0), bounds.getDouble(1))
+    val width = math.max((vMax - vMin) / nBuckets, 1e-9)
+    // descending buckets: v1 ≥ v2 ⇒ bucket(v1) ≤ bucket(v2); equal v ⇒ equal
+    // bucket (decimal→double cast, subtraction, division by a positive
+    // constant, floor, and clamping are all monotone)
+    val bucketCol = least(greatest(
+      floor((lit(vMax) - col("v").cast("double")) / lit(width)).cast("int"),
+      lit(0)), lit(nBuckets - 1))
+    val hist = agg.withColumn("__bucket", bucketCol)
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"), sum(col("v")).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDecimal(2)))
+      .sortBy(_._1)
+    val totBd = hist.map(_._3.asInstanceOf[java.math.BigDecimal])
+      .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+    val offsets = {
+      var rankAcc = 0L
+      var sumAcc = java.math.BigDecimal.ZERO
+      hist.map { case (b, n, s) =>
+        val o = (b, rankAcc, scala.math.BigDecimal(sumAcc))
+        rankAcc += n; sumAcc = sumAcc.add(s)
+        o
+      }
+    }
+    val offDf = offsets.toSeq.toDF("__bucket", "__roff", "__soff")
+      .withColumn("__soff", col("__soff").cast("decimal(38,0)"))
+    val wRank = Window.partitionBy(col("__bucket")).orderBy(col("v").desc, col("key"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.withColumn("__bucket", bucketCol)
+      .join(broadcast(offDf), Seq("__bucket"))
+      .withColumn("rank", (col("__roff") + row_number().over(wRank)).cast("int"))
+      .withColumn("cum_v", col("__soff") + sum(col("v")).over(wCum))
       .select(col("key"), col("v").cast("long").as("value_units"), col("rank"),
-        round(col("cum_v").cast("double") / col("tot").cast("double"), 6).as("cum_share"))
+        round(col("cum_v").cast("double") /
+          lit(scala.math.BigDecimal(totBd)).cast("decimal(38,0)").cast("double"),
+          6).as("cum_share"))
       .withColumn("abc",
         when(col("cum_share") <= aCut, "A")
           .when(col("cum_share") <= bCut, "B").otherwise("C"))
@@ -149,12 +198,38 @@ object Experiments {
     * two IEEE divisions at the end. The rank window runs above the
     * per-key aggregate.
     */
-  def gini(keyed: DataFrame, keyCol: Column, valueCents: Column): DataFrame = {
+  def gini(keyed: DataFrame, keyCol: Column, valueCents: Column,
+      nBuckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = keyed.sparkSession
+    import spark.implicits._
     val agg = keyed.groupBy(keyCol.as("key"))
       .agg(sum(valueCents.cast("decimal(28,0)")).as("x"))
-    val ranked = agg.withColumn("i",
-      row_number().over(Window.orderBy(col("x"), col("key"))).cast("decimal(19,0)"))
+    // ascending bucket-histogram ranks (round-7; guide §2.5): same
+    // bounded-axis replacement for the unpartitioned rank window as
+    // [[paretoAbc]] — the key axis grows with the corpus, so the global
+    // `row_number` was a single-task sort. Equal x lands in one bucket, so
+    // bucket-offset + within-bucket rank equals the global (x, key) rank.
+    val bounds = agg.agg(min(col("x").cast("double")), max(col("x").cast("double"))).head()
+    val (xMin, xMax) =
+      if (bounds.isNullAt(0)) (0.0, 0.0) else (bounds.getDouble(0), bounds.getDouble(1))
+    val width = math.max((xMax - xMin) / nBuckets, 1e-9)
+    val bucketCol = least(greatest(
+      floor((col("x").cast("double") - lit(xMin)) / lit(width)).cast("int"),
+      lit(0)), lit(nBuckets - 1))
+    val offsets = {
+      val hist = agg.withColumn("__bucket", bucketCol)
+        .groupBy(col("__bucket")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      hist.map { case (b, n) => val o = (b, acc); acc += n; o }
+    }
+    val offDf = offsets.toSeq.toDF("__bucket", "__roff")
+    val wRank = Window.partitionBy(col("__bucket")).orderBy(col("x"), col("key"))
+    val ranked = agg.withColumn("__bucket", bucketCol)
+      .join(broadcast(offDf), Seq("__bucket"))
+      .withColumn("i",
+        (col("__roff") + row_number().over(wRank)).cast("decimal(19,0)"))
     ranked.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"),
@@ -291,6 +366,13 @@ object Experiments {
     val daily = events.groupBy(to_date(tsCol).as("day"))
       .agg(count(lit(1)).as("x"))
       .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      // the weight arrays hold maxDays entries: a day index past them would
+      // silently drop old terms via element_at's out-of-bounds null (or
+      // throw under ANSI) — fail loudly instead (round-7 ADVICE fix)
+      .withColumn("rn", when(col("rn") <= maxDays, col("rn"))
+        .otherwise(raise_error(concat(
+          lit(s"ewmaDaily supports at most $maxDays distinct days; got day index "),
+          col("rn").cast("string")))))
     val t = daily.select(col("day"), col("x").as("xt"), col("rn").as("rt"))
     val i = daily.select(col("x").as("xi"), col("rn").as("ri"))
     t.join(i, col("ri") <= col("rt"))

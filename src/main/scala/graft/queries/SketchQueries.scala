@@ -75,9 +75,9 @@ object SketchQueries extends QueryPack {
       CountMin.sketch(f, array(col("user_id").cast("string")), depth, width)
     val purchases = ev.filter(col("event_type") === "purchase")
     val clicks = ev.filter(col("event_type") === "click")
-    val estPc = CountMin.joinSizeEstimate(sk(purchases), sk(clicks))
+    val estPc = CountMin.joinSizeEstimate(sk(purchases), sk(clicks), depth, width)
       .select(lit("purchase_click").as("pair"), col("est"))
-    val estF2 = CountMin.joinSizeEstimate(sk(ev), sk(ev))
+    val estF2 = CountMin.joinSizeEstimate(sk(ev), sk(ev), depth, width)
       .select(lit("self_f2").as("pair"), col("est"))
     val pc = purchases.groupBy("user_id").agg(count(lit(1)).as("p"))
       .join(clicks.groupBy("user_id").agg(count(lit(1)).as("c")), Seq("user_id"))

@@ -111,6 +111,11 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("i"), r.getAs[Long]("minh"))).toSet
     assert(viaAgg == viaExplode)
     assert(viaAgg.size == 4 * 16)
+    // round-7: the DEFAULT path is the one-aggregation wide form — it must
+    // reproduce the explode formulation value-for-value too
+    val viaWide = Dedup.minhashSignatures(df, "doc_id", "text", n = 1, k = 16)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("i"), r.getAs[Long]("minh"))).toSet
+    assert(viaWide == viaExplode)
   }
 
   test("connectedComponents: chains collapse to min id, singletons keep their own") {

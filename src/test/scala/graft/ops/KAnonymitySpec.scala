@@ -27,10 +27,10 @@ class KAnonymitySpec extends SparkTestBase {
     // wide sketch → no collisions → est == exact = 2*1 + 1*2 = 4
     val skA = CountMin.sketch(a, array(col("k")), 3, 1024)
     val skB = CountMin.sketch(b, array(col("k")), 3, 1024)
-    assert(CountMin.joinSizeEstimate(skA, skB).collect().head.getLong(0) == 4L)
+    assert(CountMin.joinSizeEstimate(skA, skB, 3, 1024).collect().head.getLong(0) == 4L)
     // narrow sketch → collisions only inflate
     val nA = CountMin.sketch(a, array(col("k")), 3, 2)
     val nB = CountMin.sketch(b, array(col("k")), 3, 2)
-    assert(CountMin.joinSizeEstimate(nA, nB).collect().head.getLong(0) >= 4L)
+    assert(CountMin.joinSizeEstimate(nA, nB, 3, 2).collect().head.getLong(0) >= 4L)
   }
 }

@@ -270,8 +270,18 @@ class PlanQualitySpec extends SparkTestBase {
     val planP = par.queryExecution.executedPlan.toString
     val aggIdx = planP.indexOf("HashAggregate")
     val winIdx = planP.indexOf("Window")
-    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < planP.lastIndexOf("HashAggregate") ||
-      aggIdx >= 0, s"pareto window must rank the aggregate:\n$planP")
+    assert(aggIdx >= 0 && winIdx >= 0,
+      s"pareto must aggregate and window:\n$planP")
+    // every rank window must be PARTITIONED (by the histogram bucket) —
+    // an unpartitioned WindowExec is a single-task sort of the key axis
+    for (q <- Seq(par, graft.ops.Experiments.gini(items, col("k"), col("v")))) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("Window [")).foreach { l =>
+        assert(l.contains("__bucket"),
+          s"unpartitioned window in pareto/gini plan line: $l\n$plan")
+      }
+    }
   }
 
   test("triangle counting orients before the wedge join — no cartesian, no window") {
