@@ -35,7 +35,22 @@ object Tables {
     var df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    df
+    // Input-parallelism guard (round-7; guide §2.5 "input skew: one file"):
+    // each harness table ships as ONE parquet file under the 128 MB split
+    // size, so every scan — and every downstream chain until the first
+    // exchange — ran as a single task. Repartition to the session's default
+    // parallelism, but ONLY when the scan has fewer partitions than cores
+    // and the file is non-trivial: on a real multi-file table the condition
+    // is false and the plan is untouched, so this is scale-adaptive, not a
+    // local tuning constant. Round-robin is deterministic under retries
+    // (sortBeforeRepartition is on by default), and the one-time exchange
+    // is amortized by the session cache for `cached` tables.
+    val par = spark.sparkContext.defaultParallelism
+    val fileBytes = scala.util.Try(
+      new java.io.File(s"$dir/$name.parquet").length).getOrElse(Long.MaxValue)
+    if (fileBytes > (1L << 20) && df.rdd.getNumPartitions < par)
+      df.repartition(par)
+    else df
   }
 
   /** Session-scoped cached table handle: repeated driver-contract queries
