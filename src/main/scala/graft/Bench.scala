@@ -15,36 +15,76 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Engine-side streaming time (round-7, VERDICT item 2): sum each
-    // micro-batch's triggerExecution duration per streaming query so the
+    // micro-batch's triggerExecution duration PER STREAMING RUN so the
     // bench can report engine time NEXT TO wall time for every q_stream_*
     // gate — on a loaded box scheduler wait inflates the wall clock while
     // engine time stays put, which is exactly the round-6 anomaly signature.
-    val engineMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Round-8 (ADVICE r07): keyed by runId instead of one global counter —
+    // a gate's engine time sums exactly the runs STARTED during that gate,
+    // so late listener-bus deliveries can no longer leak into the next
+    // gate or stamp spurious __engine keys onto batch gates.
+    val engineByRun = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
-        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit =
+        engineByRun.putIfAbsent(e.runId, 0L)
       override def onQueryProgress(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
-        engineMs.addAndGet(e.progress.durationMs.getOrDefault("triggerExecution", 0L))
+        engineByRun.merge(e.progress.runId,
+          e.progress.durationMs.getOrDefault("triggerExecution", 0L), _ + _)
       override def onQueryTerminated(
         e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
     // warmup: JVM/codegen/table-cache spin-up outside the timed region
     try SparkEntry.queries.get("q_fold_periods").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
+    // Partial-run record (round-8, VERDICT r07 "What's wrong" #5): stdout's
+    // one-line JSON only exists if the loop finishes; a driver timeout used
+    // to lose the whole run. Append one JSONL line per query as it lands so
+    // a killed run leaves a truthful partial record.
+    val partialPath = java.nio.file.Paths.get("target/bench_partial.jsonl")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(partialPath, "")
+    } catch { case _: Throwable => () }
+    def appendPartial(line: String): Unit =
+      try java.nio.file.Files.writeString(partialPath, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      spark.sparkContext.setJobDescription(name) // guide §1.5: label the jobs
-      val e0 = engineMs.get()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val wall = (System.nanoTime() - t0) / 1e9
-      val engine = (engineMs.get() - e0) / 1e3
-      spark.sparkContext.setJobDescription(null)
-      // ADDED keys only (driver contract: never remove/rename): each
-      // streaming gate gets a sibling `<name>__engine` entry = the summed
-      // per-batch engine execution seconds observed during its wall window
-      if (engine > 0.0) Seq(name -> wall, s"${name}__engine" -> engine)
-      else Seq(name -> wall)
+      // Abort on a dead context (round-8, VERDICT r07 "What's wrong" #4):
+      // after an external SIGTERM shuts the SparkContext down, every
+      // remaining query fails in milliseconds and round 7 persisted those
+      // garbage walls as if real. A stopped context ends the run.
+      if (spark.sparkContext.isStopped) Seq.empty
+      else {
+        spark.sparkContext.setJobDescription(name) // guide §1.5: label the jobs
+        val runs0 = new java.util.HashSet(engineByRun.keySet())
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.setJobDescription(null)
+        if (spark.sparkContext.isStopped) Seq.empty // killed mid-query: wall is garbage
+        else {
+          // runs started during this gate; give the async listener bus a
+          // beat to drain before reading their totals (outside the wall)
+          val newRuns = new java.util.HashSet(engineByRun.keySet())
+          newRuns.removeAll(runs0)
+          if (!newRuns.isEmpty) Thread.sleep(200)
+          val engine = {
+            val it = newRuns.iterator(); var s = 0L
+            while (it.hasNext) s += engineByRun.getOrDefault(it.next(), 0L)
+            s / 1e3
+          }
+          // ADDED keys only (driver contract: never remove/rename): each
+          // streaming gate gets a sibling `<name>__engine` entry = the summed
+          // per-batch engine execution seconds of the runs it started
+          val out = if (engine > 0.0) Seq(name -> wall, s"${name}__engine" -> engine)
+          else Seq(name -> wall)
+          out.foreach { case (k, v) => appendPartial(s"""{"$k":$v}""") }
+          out
+        }
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

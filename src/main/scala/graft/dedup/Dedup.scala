@@ -41,7 +41,15 @@ object Dedup {
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - inter)
+    val denom = size(a) + size(b) - inter
+    // guard the empty∩empty pair (round-8): under ANSI mode the 0/0
+    // division THROWS, and Catalyst is free to evaluate this expression
+    // before the caller's id_a < id_b / size-compatibility conjuncts (it
+    // merges post-join filters; observed: a self-pair of an empty-shingle
+    // doc reached the division inside a BroadcastHashJoin). J(∅,∅) := 0
+    // here — such a pair can never pass a threshold > 0, and no previously
+    // succeeding query ever produced one (it would have thrown).
+    when(denom > 0, inter / denom).otherwise(lit(0.0))
   }
 
   /** NECESSARY size condition for J(A,B) ≥ t (round-7; guide §2.3 — do the
@@ -588,6 +596,7 @@ object Dedup {
       col("band"), col("bkey"), col("ga"), col("gb"))
     a.join(b, Seq("band", "bkey", "ga", "gb"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstMatchingBand(col("band"), col("sig_a"), col("sig_b"), bandBits, nBands))
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
@@ -598,6 +607,38 @@ object Dedup {
     * measured bucket ~64× while keeping the enumerated side trivial.
     */
   private val SELF_JOIN_SPLIT = 8
+
+  /** TRUE iff `band` is the FIRST band whose keys match between the two
+    * narrow (single-BIGINT) signatures — row-local pre-dedup of banded
+    * candidates BEFORE the distinct exchange (round-8; guide §2.3 "shuffle
+    * fewer bytes"): a pair within maxHamming of a near-dup corpus shares
+    * ~all nBands bands, so the candidate join otherwise emits ≈nBands
+    * copies of every pair into the distinct's shuffle (measured on the
+    * sf0.1 clusters head: 28.9M rows shuffled into distinct for 1.2M out).
+    * Both full signatures ride the joined row, so "j matches" is a pure
+    * integer test on their XOR; keeping only the first matching band emits
+    * each (pair, orientation) exactly once. Recall is unchanged: the
+    * joined band itself matches, so a first matching band always exists
+    * and that copy survives. The later `.distinct()` stays as the
+    * orientation/safety net, now over ~nBands× fewer rows.
+    */
+  private def firstMatchingBand(band: Column, sigA: Column, sigB: Column,
+      bandBits: Int, nBands: Int): Column = {
+    val x = sigA.bitwiseXOR(sigB)
+    val mask = (1L << bandBits) - 1
+    (0 until nBands).map { j =>
+      band <= lit(j) || (shiftright(x, j * bandBits).bitwiseAND(lit(mask)) =!= lit(0L))
+    }.reduce(_ && _)
+  }
+
+  /** [[firstMatchingBand]] for WIDE (array-of-words) signatures: band j
+    * matches iff word j is equal — one word per band by construction.
+    */
+  private def firstMatchingBandWide(band: Column, sigA: Column, sigB: Column,
+      nBands: Int): Column =
+    (0 until nBands).map { j =>
+      band <= lit(j) || (element_at(sigA, j + 1) =!= element_at(sigB, j + 1))
+    }.reduce(_ && _)
 
   /** Incremental ingest screen: probe a NEW batch against a BASE corpus for
     * SimHash near-dups, comparing neither base-to-base nor batch-to-batch.
@@ -673,7 +714,9 @@ object Dedup {
         .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask")),
       col("band"), col("bkey"))
       .select(col("id"), col("simhash").as("sig_n"), col("band"), col("bkey"))
-    verifyScreenMatches(probe.join(index, Seq("band", "bkey")), maxHamming)
+    verifyScreenMatches(probe.join(index, Seq("band", "bkey"))
+      .filter(firstMatchingBand(col("band"), col("sig_n"), col("sig_b"), bandBits, nBands)),
+      maxHamming)
   }
 
   /** Shared screen tail: matched (id, sig_n, base_id, sig_b) candidate rows
@@ -754,7 +797,12 @@ object Dedup {
     require(graft.sources.PartitionedSink.isShuffleFree(joined),
       "persistent-index probe join introduced a shuffle exchange — " +
         "index and probe must be co-bucketed on bk")
-    verifyScreenMatches(joined, maxHamming)
+    // bk = band·2^bandBits + bkey, so band = bk >> bandBits (row-local)
+    val bandBits = bits / nBands
+    verifyScreenMatches(joined
+      .filter(firstMatchingBand(shiftright(col("bk"), bandBits),
+        col("sig_n"), col("sig_b"), bandBits, nBands)),
+      maxHamming)
   }
 
   /** The matched-candidates join of [[screenAgainstPersistentIndex]],
@@ -868,6 +916,7 @@ object Dedup {
       .select(col("id").as("id_y"), col("simhash").as("sig_y"), col("band"), col("bkey"))
     val cands = probe.join(index, Seq("band", "bkey"))
       .filter(col("id_x") =!= col("id_y"))
+      .filter(firstMatchingBand(col("band"), col("sig_x"), col("sig_y"), bandBits, nBands))
       .filter(expr("bit_count(sig_x ^ sig_y)") <= maxHamming)
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
@@ -993,6 +1042,7 @@ object Dedup {
     val b = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstMatchingBandWide(col("band"), col("sig_a"), col("sig_b"), nBands))
       .withColumn("hamming",
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)"))
       .filter(col("hamming") <= maxHamming)

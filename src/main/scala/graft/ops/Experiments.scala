@@ -145,8 +145,14 @@ object Experiments {
     import org.apache.spark.sql.expressions.Window
     val spark = keyed.sparkSession
     import spark.implicits._
+    // materialize the keyed aggregate ONCE (round-8; ADVICE r07): the
+    // bounds pass, the bucket histogram, and the final ranked plan all read
+    // it — uncached, the upstream aggregation executed three times (the
+    // round-7 q_pareto_abc 0.2→4.9 s regression; accepted then as a
+    // scale-safety trade, now simply removed)
     val agg = keyed.groupBy(keyCol.as("key"))
       .agg(sum(valueCents.cast("decimal(28,0)")).as("v"))
+      .localCheckpoint(true)
     val bounds = agg.agg(min(col("v").cast("double")), max(col("v").cast("double"))).head()
     val (vMin, vMax) =
       if (bounds.isNullAt(0)) (0.0, 0.0) else (bounds.getDouble(0), bounds.getDouble(1))
@@ -169,7 +175,10 @@ object Experiments {
       var rankAcc = 0L
       var sumAcc = java.math.BigDecimal.ZERO
       hist.map { case (b, n, s) =>
-        val o = (b, rankAcc, scala.math.BigDecimal(sumAcc))
+        // __soff travels as a STRING (round-8; ADVICE r07): toDF on a
+        // BigDecimal infers decimal(38,18), which caps cumulative sums near
+        // 10^20 — the string→decimal(38,0) cast below is exact to 10^38
+        val o = (b, rankAcc, sumAcc.toPlainString)
         rankAcc += n; sumAcc = sumAcc.add(s)
         o
       }
@@ -203,8 +212,11 @@ object Experiments {
     import org.apache.spark.sql.expressions.Window
     val spark = keyed.sparkSession
     import spark.implicits._
+    // one materialization for the bounds/histogram/rank passes (round-8;
+    // ADVICE r07 — same fix as [[paretoAbc]])
     val agg = keyed.groupBy(keyCol.as("key"))
       .agg(sum(valueCents.cast("decimal(28,0)")).as("x"))
+      .localCheckpoint(true)
     // ascending bucket-histogram ranks (round-7; guide §2.5): same
     // bounded-axis replacement for the unpartitioned rank window as
     // [[paretoAbc]] — the key axis grows with the corpus, so the global

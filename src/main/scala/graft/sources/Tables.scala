@@ -32,26 +32,18 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     tsConf(spark)
-    var df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df = df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    // Input-parallelism guard (round-7; guide §2.5 "input skew: one file"):
-    // each harness table ships as ONE parquet file under the 128 MB split
-    // size, so every scan — and every downstream chain until the first
-    // exchange — ran as a single task. Repartition to the session's default
-    // parallelism, but ONLY when the scan has fewer partitions than cores
-    // and the file is non-trivial: on a real multi-file table the condition
-    // is false and the plan is untouched, so this is scale-adaptive, not a
-    // local tuning constant. Round-robin is deterministic under retries
-    // (sortBeforeRepartition is on by default), and the one-time exchange
-    // is amortized by the session cache for `cached` tables.
-    val par = spark.sparkContext.defaultParallelism
-    val fileBytes = scala.util.Try(
-      new java.io.File(s"$dir/$name.parquet").length).getOrElse(Long.MaxValue)
-    if (fileBytes > (1L << 20) && df.rdd.getNumPartitions < par)
-      df.repartition(par)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+  // NOTE (round-8): round 7 appended an unconditional repartition-to-cores
+  // here for >1 MB single-file scans. It was never benchmarked and the
+  // driver's round-7 bench DNF'd (VERDICT r07 "What's wrong" #1): the
+  // round-robin exchange re-executed on every staged-chunk write and every
+  // micro-batch whose static side used `load`. Reverted. Single-file scan
+  // parallelism at real scale is a reader concern (`maxPartitionBytes` /
+  // `minPartitionNum` on the session), not a per-load exchange.
 
   /** Session-scoped cached table handle: repeated driver-contract queries
     * over the same sf dir share one in-memory copy instead of re-scanning
@@ -61,7 +53,23 @@ object Tables {
   private val cacheReg = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   def cached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = s"${System.identityHashCode(spark)}|$dir|$name"
-    cacheReg.computeIfAbsent(key, _ => load(spark, dir, name).persist())
+    cacheReg.computeIfAbsent(key, _ => {
+      // Spread the cache ONCE at materialization (round-8; guide §2.5
+      // "input skew: one file" + VERDICT r07 next-round #1): each harness
+      // table ships as ONE parquet file under the 128 MB split size, so an
+      // unspread cache pins every consumer's pre-exchange chain to a single
+      // task. Unlike round 7's per-`load` guard (which re-ran the exchange
+      // on every scan and every micro-batch — the bench-DNF cause), this
+      // exchange runs exactly once per (session, table): consumers read the
+      // already-partitioned InMemoryRelation with no further shuffle. Sized
+      // like Par.pinned — proportional to file bytes, capped at cores — so
+      // sf0.001 test tables stay at a handful of partitions. Round-robin is
+      // deterministic under retries (sortBeforeRepartition default-on) and
+      // partitioning never changes results.
+      val df = load(spark, dir, name)
+      val n = graft.ops.Par.parts(df)
+      (if (n > 1 && df.rdd.getNumPartitions < n) df.repartition(n) else df).persist()
+    })
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")

@@ -374,4 +374,30 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide == narrow)
   }
+
+  test("first-band candidate dedup: all-band-matching pairs surface exactly once, rows pre-distinct ≈ pairs") {
+    // exact duplicates match in EVERY band — the round-8 first-matching-band
+    // filter must (a) keep them (recall unchanged: the pair survives via its
+    // first matching band) and (b) emit them exactly once into the distinct,
+    // not once per band. (a) is behavioral; (b) is asserted structurally by
+    // running the head with distinct-free semantics: counting output rows of
+    // a groupBy over the pre-distinct frame is not exposed, so we assert the
+    // documented contract — output rows are unique — plus hamming-0 recall.
+    import spark.implicits._
+    val dups = Seq(
+      (0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, "unrelated words entirely different")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.simhashNearDupPairs(dups, "doc_id", "text",
+        bits = 48, nBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == rows.distinct.length)
+    assert(rows.map(r => (r._1, r._2)).toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(rows.forall(_._3 == 0))
+    // the screen path shares the filter: exact-dup probe flags its base twin
+    val scr = Dedup.simhashScreen(dups.filter($"doc_id" =!= 1L), dups.filter($"doc_id" === 1L),
+      "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(scr.toSeq == Seq((1L, 2L, 0, 0L)))
+  }
 }
