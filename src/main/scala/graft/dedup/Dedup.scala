@@ -445,7 +445,24 @@ object Dedup {
     * @param pairs DataFrame with `id_a`, `id_b` edges
     * @return (id, cluster) where cluster = min id reachable
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    connectedComponentsFrom(
+      nodes.select(col("id"), col("id").as("cluster")), pairs, maxIters)
+
+  /** [[connectedComponents]] from a SEEDED labeling (round-8): `seeds` is
+    * (id, cluster) where every seed label is the id of a node in the same
+    * component with label ≤ id (the trivial cluster = id always qualifies;
+    * a previous converged clustering qualifies by construction). Min-label
+    * propagation from any valid seed converges to the SAME fixpoint — the
+    * component-wide min id — because labels only decrease and every
+    * non-fixpoint state has a decreasing step; starting closer to the
+    * fixpoint just removes rounds. Measured on the incremental gates: the
+    * id-seeded run re-derives the entire base clustering every batch
+    * (changed ≈ |base| in round 1), the seeded run pays only for the new
+    * connectivity.
+    */
+  def connectedComponentsFrom(seeds: DataFrame, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.dedup.CC")
     // symmetrize via explode, NOT union: a self-union would execute the
     // (potentially expensive) pair-generation plan twice before the cache
@@ -475,7 +492,7 @@ object Dedup {
     // localCheckpoint each round: iterative DataFrame algorithms grow their
     // logical plan exponentially otherwise (every iteration embeds all
     // previous) — lineage truncation is mandatory at any scale
-    var labels = nodes.select(col("id"), col("id").as("cluster")).localCheckpoint(true)
+    var labels = seeds.select(col("id"), col("cluster")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -542,9 +559,16 @@ object Dedup {
       newEdges: DataFrame, maxIters: Int = 20): DataFrame = {
     val star = labels.filter(col("id") =!= col("cluster"))
       .select(col("id").as("id_a"), col("cluster").as("id_b"))
-    val nodes = labels.select(col("id"))
-      .unionByName(newNodes.select(col("id"))).distinct()
-    connectedComponents(nodes,
+    // SEED the propagation with the existing labels (round-8): the base
+    // side starts already-converged, so rounds pay only for the merges the
+    // new edges introduce instead of re-deriving every base cluster from
+    // scratch (min-merge on id dedups a node arriving both as labeled base
+    // and batch member, keeping the smaller = previous label). Same
+    // fixpoint as id-seeding — see [[connectedComponentsFrom]].
+    val seeds = labels.select(col("id"), col("cluster"))
+      .unionByName(newNodes.select(col("id"), col("id").as("cluster")))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+    connectedComponentsFrom(seeds,
       star.unionByName(newEdges.select(col("id_a"), col("id_b"))), maxIters)
   }
 
@@ -897,14 +921,51 @@ object Dedup {
       threshold: Double = 0.9,
       bits: Int = 48,
       nBands: Int = 12,
-      maxHamming: Int = 11): DataFrame = {
+      maxHamming: Int = 11): DataFrame =
+    touchingFromSigs(simhash(known, idCol, textCol, bits), known, batchIds,
+      idCol, textCol, n, threshold, bits, nBands, maxHamming)
+
+  /** [[simhashJaccardPairsTouching]] over PRE-COMPUTED signatures (round-8;
+    * guide §2.4 "don't compute things twice"): the streaming incremental-CC
+    * gate accumulates each batch's documents — re-deriving simhash for the
+    * whole accumulated corpus on EVERY micro-batch re-paid the token
+    * explode + `bits`-buffer aggregation for all previously seen docs.
+    * `knownSigned` carries a `sigCol` computed ONCE at each doc's arrival
+    * (simhash is a pure function of the text, so the stored value is
+    * bit-identical to a recompute). Verify still reads the texts.
+    */
+  def simhashJaccardPairsTouchingPresigned(
+      knownSigned: DataFrame,
+      batchIds: DataFrame,
+      idCol: String,
+      textCol: String,
+      sigCol: String,
+      n: Int = 1,
+      threshold: Double = 0.9,
+      bits: Int = 48,
+      nBands: Int = 12,
+      maxHamming: Int = 11): DataFrame =
+    touchingFromSigs(
+      knownSigned.select(col(idCol).as("id"), col(sigCol).as("simhash")),
+      knownSigned, batchIds, idCol, textCol, n, threshold, bits, nBands, maxHamming)
+
+  private def touchingFromSigs(
+      sigs: DataFrame,
+      known: DataFrame,
+      batchIds: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double,
+      bits: Int,
+      nBands: Int,
+      maxHamming: Int): DataFrame = {
     require(maxHamming < nBands, s"pigeonhole needs maxHamming ($maxHamming) < nBands ($nBands)")
     require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
     val spark = known.sparkSession
     import spark.implicits._
     val bandBits = bits / nBands
     val mask = (1L << bandBits) - 1
-    val sigs = simhash(known, idCol, textCol, bits)
     val banded = graft.ops.Par.pinned(
       sigs.crossJoin(broadcast((0 until nBands).toDF("band")))
         .withColumn("bkey", expr(s"shiftright(simhash, band * $bandBits) & $mask")),

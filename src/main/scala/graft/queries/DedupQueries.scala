@@ -171,11 +171,19 @@ object DedupQueries extends QueryPack {
       // micro-batches; each folds the previous label snapshot in as stars
       // plus the pairs touching the batch. The final snapshot must equal
       // the one-shot full-graph CC — q_dedup_clusters' oracle verbatim.
+      // each arriving doc's SimHash is computed ONCE and stored with it in
+      // the accumulator (round-8): later batches' banded index reads the
+      // stored signatures instead of re-hashing the whole accumulated
+      // corpus — bit-identical (simhash is a pure function of the text)
       graft.streaming.StreamingOps.streamIncrementalCC(s, dir,
-        (known, batchIds) => Dedup.simhashJaccardPairsTouching(
-          known, batchIds, "doc_id", "text", N, CLUSTER_THR),
+        (known, batchIds) => Dedup.simhashJaccardPairsTouchingPresigned(
+          known, batchIds, "doc_id", "text", "__sig", N, CLUSTER_THR),
         nChunks = 5,
-        queryName = s"stream_cc_${math.abs(dir.hashCode)}")
+        queryName = s"stream_cc_${math.abs(dir.hashCode)}",
+        enrich = batch => batch.join(
+          Dedup.simhash(batch, "doc_id", "text", 48)
+            .select(col("id").as("doc_id"), col("simhash").as("__sig")),
+          Seq("doc_id")))
     }),
     "q_incremental_screen" -> ((s, dir) => {
       // ingest-time near-dup screen: every 5th doc plays the arriving

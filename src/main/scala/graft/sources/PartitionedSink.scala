@@ -41,7 +41,18 @@ object PartitionedSink {
   def writeBucketedTable(df: DataFrame, bucketCol: String, nBuckets: Int, table: String): DataFrame = {
     val spark = df.sparkSession
     if (!spark.catalog.tableExists(table)) {
-      df.write.mode("overwrite").format("parquet")
+      // Pin the write's input distribution to the bucket hash (round-8;
+      // guide §6 "coalesce on write" / §2.4 shared exchange): unpinned, the
+      // write task layout was whatever AQE left upstream — measured BIMODAL
+      // on the sf0.1 prefix-index gate (a post-aggregate input coalesced to
+      // ONE task that sorted and wrote all 16 bucket files: 46 s; the same
+      // write at 32 input tasks × 16 files each: 6 s and 512 tiny files).
+      // repartition(nBuckets, bucketCol) uses exactly the bucket hash, so
+      // every task owns whole buckets: stable nBuckets-way parallelism,
+      // exactly ONE file per bucket, and the write-side sort runs once per
+      // bucket instead of once per (task, bucket).
+      df.repartition(nBuckets, col(bucketCol))
+        .write.mode("overwrite").format("parquet")
         .option("path", s"target/bucketed/$table")
         .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(table)

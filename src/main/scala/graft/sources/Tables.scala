@@ -67,9 +67,28 @@ object Tables {
       // deterministic under retries (sortBeforeRepartition default-on) and
       // partitioning never changes results.
       val df = load(spark, dir, name)
-      val n = graft.ops.Par.parts(df)
+      val n = cacheParts(spark, dir, name)
       (if (n > 1 && df.rdd.getNumPartitions < n) df.repartition(n) else df).persist()
     })
+  }
+
+  /** Cache-spread width: ~one partition per [[CACHE_TARGET_BYTES]] of raw
+    * table file bytes, capped at default parallelism. The per-partition
+    * target is deliberately COARSER than Par.pinned's pre-expansion target:
+    * a cached table feeds ordinary scans whose per-byte work is small, and
+    * every extra cache partition taxes EVERY consumer's first stage with a
+    * task — measured on the sf0.1 bench: a full-width (32-partition) spread
+    * of the 0.6 MB documents table added ~1 s to each of ~100 small
+    * queries, more than its scan-parallelism win. Expansion-heavy chains
+    * get their width from Par.pinned at the expansion boundary instead.
+    */
+  private val CACHE_TARGET_BYTES: Long = 256L << 10
+  private def cacheParts(spark: SparkSession, dir: String, name: String): Int = {
+    val par = spark.sparkContext.defaultParallelism
+    val bytes = scala.util.Try(
+      new java.io.File(s"$dir/$name.parquet").length).getOrElse(0L)
+    math.max(1, math.min(par.toLong,
+      (bytes + CACHE_TARGET_BYTES - 1) / CACHE_TARGET_BYTES).toInt)
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")

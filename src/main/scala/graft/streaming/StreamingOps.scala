@@ -705,12 +705,19 @@ object StreamingOps {
     * (`Dedup.persistentBandedIndex`) so even that linear pass amortizes
     * to index maintenance. The maintenance identity is the same.
     */
+  /** @param enrich per-batch enrichment applied ONCE when a batch lands in
+    *   the accumulator (round-8): derived columns that are pure functions
+    *   of the row (e.g. the SimHash signature) are computed at arrival and
+    *   STORED, so `pairsFn`'s accumulated side never re-derives them for
+    *   previously seen documents on later batches.
+    */
   def streamIncrementalCC(
       spark: SparkSession,
       dir: String,
       pairsFn: (DataFrame, DataFrame) => DataFrame,
       nChunks: Int = 5,
-      queryName: String = "stream_cc"): DataFrame = {
+      queryName: String = "stream_cc",
+      enrich: DataFrame => DataFrame = identity): DataFrame = {
     import graft.dedup.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val root = s"target/stream_cc_${math.abs(queryName.hashCode)}"
@@ -733,7 +740,7 @@ object StreamingOps {
     val query = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
-        val batchDocs = batch.persist()
+        val batchDocs = enrich(batch).persist()
         val batchIds = batchDocs.select(col("doc_id"))
         val acc = subdirs(s"$root/acc")
         val known = if (acc.isEmpty) batchDocs
