@@ -268,10 +268,16 @@ class PlanQualitySpec extends SparkTestBase {
     val par = graft.ops.Experiments.paretoAbc(items, col("k"), col("v"))
     par.collect()
     val planP = par.queryExecution.executedPlan.toString
-    val aggIdx = planP.indexOf("HashAggregate")
+    // round-8: the keyed aggregate is materialized ONCE via localCheckpoint
+    // (it feeds the bounds pass, the bucket histogram, and this plan), so
+    // the window's input shows as the checkpointed RDD scan — the window
+    // still sits above the aggregate OUTPUT (one row per key), never the
+    // raw rows
+    val aggIdx = math.max(planP.indexOf("HashAggregate"),
+      planP.indexOf("Scan ExistingRDD"))
     val winIdx = planP.indexOf("Window")
     assert(aggIdx >= 0 && winIdx >= 0,
-      s"pareto must aggregate and window:\n$planP")
+      s"pareto must window above the (materialized) aggregate:\n$planP")
     // every rank window must be PARTITIONED (by the histogram bucket) —
     // an unpartitioned WindowExec is a single-task sort of the key axis
     for (q <- Seq(par, graft.ops.Experiments.gini(items, col("k"), col("v")))) {
